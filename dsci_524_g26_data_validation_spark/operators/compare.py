@@ -1,0 +1,84 @@
+"""compare_contracts: metadata-only drift detection between two contracts.
+
+Pure driver code — zero Spark jobs, exactly like the reference
+(/root/reference/src/pyos_data_validation/compare_contracts.py:80-143;
+its docstring pins "compares contract metadata only"). Semantics
+reproduced exactly, including the subtle bits the reference tests pin:
+
+* direction: a = old/baseline, b = new (compare_contracts.py:11-14);
+* dtype compare is RAW string ``!=`` — no string-type normalization here,
+  unlike validation (test_compare_contracts.py:226-246 treats
+  category→string as a dtype change);
+* range/category drift only evaluated when dtype is UNCHANGED
+  (compare_contracts.py:120-127);
+* missingness drift evaluated regardless of dtype change;
+* float comparisons are exact ``!=`` by design — do not "fix" with
+  tolerances (SURVEY.md §7 risk c);
+* both contracts are rule-validated first (TypeError / ValueError paths,
+  compare_contracts.py:83-100).
+
+Extension: when both contracts carry baseline histograms (engine-level
+TableContract), the drift operators in ``operators.drift`` score
+chi-square/PSI — that path inspects data, not this one.
+"""
+
+from __future__ import annotations
+
+from ..types import ColumnRule, Contract, DriftReport
+
+__all__ = ["compare_contracts"]
+
+
+def _check_rules(contract: Contract) -> None:
+    for column, rule in contract.columns.items():
+        if not isinstance(rule, ColumnRule):
+            raise TypeError(f"Column rule for {column} must be a ColumnRule instance")
+        if not isinstance(rule.max_missing_frac, (int, float)):
+            raise ValueError(f"max_missing_frac for {column} must be numeric")
+        if rule.max_missing_frac < 0 or rule.max_missing_frac > 1:
+            raise ValueError(f"max_missing_frac for {column} must be between 0 and 1")
+        if rule.min_value is not None and rule.max_value is not None:
+            if rule.min_value > rule.max_value:
+                raise ValueError(f"min_value cannot exceed max_value for {column}")
+
+
+def compare_contracts(contract_a: Contract, contract_b: Contract) -> DriftReport:
+    """Diff two contracts → DriftReport (a=old/baseline, b=new)."""
+    if not isinstance(contract_a, Contract) or not isinstance(contract_b, Contract):
+        raise TypeError("contract_a and contract_b must be Contract instances")
+
+    _check_rules(contract_a)
+    _check_rules(contract_b)
+
+    cols_a = set(contract_a.columns)
+    cols_b = set(contract_b.columns)
+
+    dtype_changes = {}
+    range_changes = set()
+    category_changes = set()
+    missingness_changes = {}
+
+    for column in cols_a & cols_b:
+        ra = contract_a.columns[column]
+        rb = contract_b.columns[column]
+
+        if ra.dtype != rb.dtype:
+            dtype_changes[column] = (ra.dtype, rb.dtype)
+        else:
+            # range/category drift is dtype-gated (reference :120-127)
+            if ra.min_value != rb.min_value or ra.max_value != rb.max_value:
+                range_changes.add(column)
+            if ra.allowed_values != rb.allowed_values:
+                category_changes.add(column)
+
+        if ra.max_missing_frac != rb.max_missing_frac:
+            missingness_changes[column] = (ra.max_missing_frac, rb.max_missing_frac)
+
+    return DriftReport(
+        added_columns=cols_b - cols_a,
+        removed_columns=cols_a - cols_b,
+        dtype_changes=dtype_changes,
+        range_changes=range_changes,
+        category_changes=category_changes,
+        missingness_changes=missingness_changes,
+    )

@@ -1,0 +1,131 @@
+"""infer_contract: profile a Spark DataFrame into a Contract.
+
+Reference semantics (/root/reference/src/pyos_data_validation/
+infer_contract.py:57-94), re-planned for Spark:
+
+* dtype         → schema metadata, zero scan (P1).
+* missing frac  → exact ``avg(isNull)`` (P2) — reference pins exact 0.5 /
+  1.0 fractions (test_infer_contract.py:93-105), so no sampling.
+* numeric min/max → ``min``/``max`` aggregates (P3/P4); ``None`` when the
+  column is all-NULL (matches the reference's notna-any guard).
+* categorical domain → ``collect_set`` **guarded by a HyperLogLog
+  estimate** (P5): the fused pass computes ``approx_count_distinct`` for
+  every string/boolean column; only columns whose estimate is under
+  ``max_categories`` get a ``collect_set`` in a second, column-pruned
+  pass. The reference materializes the full distinct set unconditionally
+  (infer_contract.py:84) — unbounded memory at 10^12 rows; the guard is
+  the scale fix (SURVEY.md §4.2).
+
+Cost: exactly two jobs (one when no categorical column qualifies), each a
+single scan with a one-row partial+final HashAggregate — versus the
+reference's ≥4 full passes per column.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.rule_compiler import categorical_cast, is_numeric_spark_type
+from ..types import ColumnRule, Contract
+
+__all__ = ["infer_contract", "DEFAULT_MAX_CATEGORIES"]
+
+#: Above this estimated cardinality a column is treated as free-text, not
+#: categorical: allowed_values stays None instead of OOM-ing the driver.
+DEFAULT_MAX_CATEGORIES = 1000
+
+#: HLL++ relative error is ~2% at default precision; widen the gate so a
+#: column truly under the limit is never mistakenly rejected.
+_HLL_SAFETY = 1.25
+
+
+def _is_categorical_like(dt: T.DataType) -> bool:
+    """String or boolean — mirrors the reference's object/str/string/
+    category/bool branch (infer_contract.py:79-83)."""
+    return isinstance(dt, (T.StringType, T.BooleanType))
+
+
+def infer_contract(
+    df: DataFrame,
+    *,
+    max_categories: int = DEFAULT_MAX_CATEGORIES,
+    name: str = "contract",
+) -> Contract:
+    """Derive a data contract from a Spark DataFrame.
+
+    Raises TypeError when ``df`` is not a Spark DataFrame (mirrors the
+    reference's pandas type guard, infer_contract.py:57-58).
+    """
+    if not isinstance(df, DataFrame):
+        raise TypeError("df must be a pyspark.sql.DataFrame")
+
+    fields = list(df.schema.fields)
+    if not fields:
+        return Contract(columns={}, name=name)
+
+    # ---- pass 1: fused profile aggregation (one scan) -------------------
+    terms = []
+    slots: Dict[str, Dict[str, str]] = {}
+
+    def add(col: str, stat: str, expr) -> None:
+        alias = f"s{len(terms)}"
+        terms.append(expr.alias(alias))
+        slots.setdefault(col, {})[stat] = alias
+
+    for f in fields:
+        c = F.col(f"`{f.name}`")
+        add(f.name, "null_frac", F.avg(c.isNull().cast("double")))
+        if is_numeric_spark_type(f.dataType):
+            add(f.name, "min", F.min(c))
+            add(f.name, "max", F.max(c))
+        if _is_categorical_like(f.dataType):
+            add(f.name, "acd", F.approx_count_distinct(c))
+
+    row = df.agg(*terms).collect()[0].asDict()
+
+    # ---- pass 2: guarded collect_set for qualifying categoricals --------
+    domains: Dict[str, Optional[set]] = {}
+    cat_cols = [
+        f
+        for f in fields
+        if _is_categorical_like(f.dataType)
+        and (row[slots[f.name]["acd"]] or 0) <= max_categories * _HLL_SAFETY
+    ]
+    if cat_cols:
+        set_terms = [
+            F.collect_set(categorical_cast(F.col(f"`{f.name}`"), f.dataType)).alias(
+                f"d{i}"
+            )
+            for i, f in enumerate(cat_cols)
+        ]
+        drow = df.agg(*set_terms).collect()[0]
+        for i, f in enumerate(cat_cols):
+            vals = set(drow[f"d{i}"])
+            if len(vals) <= max_categories:
+                domains[f.name] = vals
+            # else: HLL under-estimated a just-over-limit column; treat as
+            # high-cardinality (allowed_values=None).
+
+    # ---- assemble --------------------------------------------------------
+    columns: Dict[str, ColumnRule] = {}
+    for f in fields:
+        s = slots[f.name]
+        nf = row[s["null_frac"]]
+        missing_frac = float(nf) if nf is not None else 0.0
+        min_v = max_v = None
+        if "min" in s:
+            mn, mx = row[s["min"]], row[s["max"]]
+            min_v = float(mn) if mn is not None else None
+            max_v = float(mx) if mx is not None else None
+        columns[f.name] = ColumnRule(
+            dtype=f.dataType.simpleString(),
+            max_missing_frac=missing_frac,
+            min_value=min_v,
+            max_value=max_v,
+            allowed_values=domains.get(f.name),
+        )
+    return Contract(columns=columns, name=name)

@@ -1,0 +1,329 @@
+"""Core data-contract types for the Spark-native validation engine.
+
+Semantics mirror the reference package ``pyos_data_validation``
+(/root/reference/src/pyos_data_validation/types.py:25-146) but are written
+from scratch for a PySpark engine:
+
+* the dtype vocabulary is Spark SQL ``simpleString`` names (``bigint``,
+  ``double``, ``string``, ``boolean``, ``timestamp``, ``array<int>`` …),
+* pandas-era dtype strings from reference contracts are accepted and
+  normalized through :func:`normalize_dtype`,
+* contracts serialize to/from JSON so they can be shipped with
+  ``spark-submit --py-files`` and stored next to an Iceberg table.
+
+Driver-side only — nothing in this module touches a SparkSession.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Mapping, Optional, Sequence, Set, Tuple
+
+__all__ = [
+    "ColumnRule",
+    "Contract",
+    "Issue",
+    "ValidationResult",
+    "DriftReport",
+    "Summary",
+    "ContractViolationError",
+    "Histogram",
+    "TableContract",
+    "ForeignKeyRule",
+    "normalize_dtype",
+    "dtypes_equivalent",
+    "contract_to_dict",
+    "contract_from_dict",
+    "contract_to_json",
+    "contract_from_json",
+]
+
+
+# ---------------------------------------------------------------------------
+# dtype vocabulary
+# ---------------------------------------------------------------------------
+
+# pandas-era dtype strings (reference vocabulary, types.py:30 of the
+# reference) → Spark SQL simpleString. Spark names map to themselves so
+# normalize_dtype is idempotent.
+_PANDAS_TO_SPARK: Dict[str, str] = {
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "bigint",
+    "int": "bigint",
+    "uint8": "smallint",
+    "uint16": "int",
+    "uint32": "bigint",
+    "uint64": "bigint",
+    "float16": "float",
+    "float32": "float",
+    "float64": "double",
+    "float": "double",
+    "object": "string",
+    "str": "string",
+    "string": "string",
+    "category": "string",
+    "bool": "boolean",
+    "boolean": "boolean",
+    "datetime64[ns]": "timestamp",
+    "datetime64[us]": "timestamp",
+    "datetime64[ms]": "timestamp",
+    "datetime": "timestamp",
+    # Spark 4 reads parquet TIMESTAMP(isAdjustedToUTC=false) as
+    # timestamp_ntz; the reference vocabulary has a single datetime type,
+    # so both Spark timestamp flavors normalize to one equivalence class.
+    "timestamp_ntz": "timestamp",
+    "timedelta64[ns]": "interval day to second",
+}
+
+#: Spark numeric simpleStrings (NumericType family) — drives range checks.
+NUMERIC_SPARK_TYPES: Set[str] = {
+    "tinyint",
+    "smallint",
+    "int",
+    "bigint",
+    "float",
+    "double",
+}
+
+
+def normalize_dtype(dtype: str) -> str:
+    """Normalize a dtype string (pandas- or Spark-vocabulary) to Spark SQL.
+
+    Unknown strings (e.g. ``array<int>``, ``decimal(10,2)``) pass through
+    lowercased/stripped — they are already Spark vocabulary.
+    """
+    key = dtype.strip()
+    return _PANDAS_TO_SPARK.get(key, _PANDAS_TO_SPARK.get(key.lower(), key.lower()))
+
+
+def dtypes_equivalent(expected: str, observed: str) -> bool:
+    """Reference dtype-match rule, generalized.
+
+    The reference treats ``object``/``str``/``string`` as mutually
+    equivalent and all other dtype strings as exact-match
+    (validate_contract.py:107-115 in the reference). Normalizing both
+    sides to Spark vocabulary preserves that rule (all three string
+    spellings collapse to ``string``) while also letting reference-era
+    contracts (``int64``) validate Spark frames (``bigint``).
+    """
+    return normalize_dtype(expected) == normalize_dtype(observed)
+
+
+# ---------------------------------------------------------------------------
+# Contract
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ColumnRule:
+    """Per-column expectations (reference types.py:25-40 semantics).
+
+    dtype: Spark SQL type string (pandas-era strings accepted, normalized
+        at check time).
+    max_missing_frac: allowed fraction of NULLs in [0, 1]; a fraction
+        exactly at the threshold passes (strict ``>`` comparison).
+    min_value / max_value: inclusive numeric bounds (optional).
+    allowed_values: allowed categorical values as strings (optional).
+    """
+
+    dtype: str
+    max_missing_frac: float = 0.0
+    min_value: Optional[float] = None
+    max_value: Optional[float] = None
+    allowed_values: Optional[Set[str]] = None
+
+
+@dataclass(frozen=True)
+class Contract:
+    """Dataset contract: column name → :class:`ColumnRule`."""
+
+    columns: Dict[str, ColumnRule]
+    name: str = "contract"
+
+
+# ---------------------------------------------------------------------------
+# Validation output
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Issue:
+    """One validation issue (reference types.py:56-71).
+
+    kind ∈ {missing_column, extra_column, dtype, missingness, range,
+    category} for contract checks, plus engine-level kinds
+    {uniqueness, referential, invariant, drift_chi2, drift_psi}.
+    ``column is None`` marks a dataset-level issue.
+    """
+
+    kind: str
+    message: str
+    column: Optional[str] = None
+    observed: Any = None
+    expected: Any = None
+
+
+@dataclass(frozen=True)
+class ValidationResult:
+    """Output of ``validate_contract`` (reference types.py:74-79)."""
+
+    ok: bool
+    issues: List[Issue] = field(default_factory=list)
+
+
+# ---------------------------------------------------------------------------
+# Drift
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DriftReport:
+    """Output of ``compare_contracts`` (reference types.py:87-117)."""
+
+    added_columns: Set[str] = field(default_factory=set)
+    removed_columns: Set[str] = field(default_factory=set)
+    dtype_changes: Dict[str, Tuple[str, str]] = field(default_factory=dict)
+    range_changes: Set[str] = field(default_factory=set)
+    category_changes: Set[str] = field(default_factory=set)
+    missingness_changes: Dict[str, Tuple[float, float]] = field(default_factory=dict)
+
+    @property
+    def has_drift(self) -> bool:
+        return any(
+            [
+                self.added_columns,
+                self.removed_columns,
+                self.dtype_changes,
+                self.range_changes,
+                self.category_changes,
+                self.missingness_changes,
+            ]
+        )
+
+
+# ---------------------------------------------------------------------------
+# Summary
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Summary:
+    """Output of ``summarize_violations`` (reference types.py:125-135)."""
+
+    ok: bool
+    top_issues: List[Issue] = field(default_factory=list)
+    counts_by_kind: Dict[str, int] = field(default_factory=dict)
+
+
+class ContractViolationError(AssertionError):
+    """Raised by ``validate_and_fail`` on a failing ValidationResult.
+
+    Documented-but-unimplemented in the reference (types.py:11,143-146);
+    implemented here as the CI gate helper.
+    """
+
+
+# ---------------------------------------------------------------------------
+# Engine-level extensions (BASELINE.json north rule — not in the reference)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Histogram:
+    """Baseline distribution for drift scoring (chi-square / PSI).
+
+    Categorical: ``labels`` are category strings. Numeric: ``labels`` are
+    bin indices rendered as strings and (lo, hi, n_bins) define the
+    equi-width binning; bin 0 / n_bins+1 are the under/overflow bins.
+    ``fracs[i]`` is the baseline probability mass of ``labels[i]``.
+    """
+
+    labels: Tuple[str, ...]
+    fracs: Tuple[float, ...]
+    kind: str = "categorical"  # or "numeric"
+    lo: Optional[float] = None
+    hi: Optional[float] = None
+    n_bins: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class ForeignKeyRule:
+    """Referential-integrity rule: ``column`` values must appear in the
+    reference dimension's ``ref_column``."""
+
+    column: str
+    ref_table: str
+    ref_column: str
+
+
+@dataclass(frozen=True)
+class TableContract:
+    """Engine-level table contract = column contract + table-level rules.
+
+    Extends the reference model (which has only per-column rules) with
+    the north-rule checks: uniqueness keys (E1), referential integrity
+    (E2), baseline histograms for chi-square/PSI drift (E3/E4), and
+    row-level invariant expressions in Spark SQL syntax (E5), e.g.
+    ``n_tok = size(tokens)``.
+    """
+
+    contract: Contract
+    unique_keys: Tuple[str, ...] = ()
+    foreign_keys: Tuple[ForeignKeyRule, ...] = ()
+    histograms: Mapping[str, Histogram] = field(default_factory=dict)
+    invariants: Tuple[str, ...] = ()
+    name: str = "table_contract"
+
+
+# ---------------------------------------------------------------------------
+# JSON (de)serialization — schema_version-ed so contracts stored beside an
+# Iceberg table survive engine upgrades.
+# ---------------------------------------------------------------------------
+
+_SCHEMA_VERSION = 1
+
+
+def contract_to_dict(contract: Contract) -> Dict[str, Any]:
+    return {
+        "schema_version": _SCHEMA_VERSION,
+        "name": contract.name,
+        "columns": {
+            col: {
+                "dtype": rule.dtype,
+                "max_missing_frac": rule.max_missing_frac,
+                "min_value": rule.min_value,
+                "max_value": rule.max_value,
+                "allowed_values": (
+                    sorted(rule.allowed_values)
+                    if rule.allowed_values is not None
+                    else None
+                ),
+            }
+            for col, rule in contract.columns.items()
+        },
+    }
+
+
+def contract_from_dict(data: Mapping[str, Any]) -> Contract:
+    columns = {}
+    for col, r in data["columns"].items():
+        allowed = r.get("allowed_values")
+        columns[col] = ColumnRule(
+            dtype=r["dtype"],
+            max_missing_frac=r.get("max_missing_frac", 0.0),
+            min_value=r.get("min_value"),
+            max_value=r.get("max_value"),
+            allowed_values=set(allowed) if allowed is not None else None,
+        )
+    return Contract(columns=columns, name=data.get("name", "contract"))
+
+
+def contract_to_json(contract: Contract, indent: Optional[int] = None) -> str:
+    return json.dumps(contract_to_dict(contract), indent=indent, sort_keys=True)
+
+
+def contract_from_json(text: str) -> Contract:
+    return contract_from_dict(json.loads(text))

@@ -1,0 +1,198 @@
+"""Parity tests for validate_contract — mirrors the reference's
+comprehensive scenario (/root/reference/tests/unit/
+test_validate_contract.py:97-227, F1 fixture: age/city contract) plus
+Spark-engine specifics (violation rows, partition verdicts).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from dsci_524_g26_data_validation_spark import (
+    ColumnRule,
+    Contract,
+    ContractViolationError,
+    partition_verdicts,
+    validate_and_fail,
+    validate_contract,
+    violation_rows,
+)
+
+
+@pytest.fixture()
+def f1_contract():
+    # reference test_validate_contract.py:182-190: age int64 [0,100] no
+    # missing; city object in {Vancouver,Toronto}, missing allowed.
+    return Contract(
+        columns={
+            "age": ColumnRule(
+                dtype="int64", max_missing_frac=0.0, min_value=0, max_value=100
+            ),
+            "city": ColumnRule(
+                dtype="object",
+                max_missing_frac=1.0,
+                allowed_values={"Vancouver", "Toronto"},
+            ),
+        }
+    )
+
+
+def _kinds(result):
+    return [i.kind for i in result.issues]
+
+
+def test_happy_path(spark, f1_contract):
+    df = spark.createDataFrame(
+        [(25, "Vancouver"), (30, "Toronto")], "age bigint, city string"
+    )
+    result = validate_contract(df, f1_contract)
+    assert result.ok is True
+    assert result.issues == []
+
+
+def test_missing_column(spark, f1_contract):
+    df = spark.createDataFrame([("Vancouver",)], "city string")
+    result = validate_contract(df, f1_contract)
+    assert result.ok is False
+    assert _kinds(result) == ["missing_column"]
+    issue = result.issues[0]
+    assert issue.column == "age"
+    assert issue.expected == "Present"
+    assert issue.observed == "Missing"
+
+
+def test_extra_column_strict_only(spark, f1_contract):
+    df = spark.createDataFrame(
+        [(25, "Vancouver", 1.0)], "age bigint, city string, bonus double"
+    )
+    strict = validate_contract(df, f1_contract, strict=True)
+    assert _kinds(strict) == ["extra_column"]
+    assert strict.issues[0].column == "bonus"
+    lax = validate_contract(df, f1_contract, strict=False)
+    assert lax.ok is True
+
+
+def test_dtype_mismatch(spark, f1_contract):
+    # age as strings → dtype issue (reference: str vs int64)
+    df = spark.createDataFrame([("25", "Vancouver")], "age string, city string")
+    result = validate_contract(df, f1_contract)
+    assert "dtype" in _kinds(result)
+    issue = [i for i in result.issues if i.kind == "dtype"][0]
+    assert issue.column == "age"
+    assert issue.expected == "bigint"  # normalized from int64
+    assert issue.observed == "string"
+
+
+def test_dtype_string_equivalence(spark):
+    # object/str/string mutually equivalent (validate_contract.py:107-115)
+    contract = Contract(columns={"s": ColumnRule(dtype="object", max_missing_frac=1.0)})
+    df = spark.createDataFrame([("x",)], "s string")
+    assert validate_contract(df, contract).ok is True
+
+
+def test_range_violation_upper(spark, f1_contract):
+    df = spark.createDataFrame([(150, "Toronto")], "age bigint, city string")
+    result = validate_contract(df, f1_contract)
+    assert _kinds(result) == ["range"]
+    issue = result.issues[0]
+    assert issue.column == "age"
+    assert issue.observed == 150
+    assert issue.expected == 100
+
+
+def test_range_violation_lower_and_upper_independent(spark):
+    contract = Contract(
+        columns={"x": ColumnRule(dtype="bigint", min_value=0, max_value=10)}
+    )
+    df = spark.createDataFrame([(-5,), (50,)], "x bigint")
+    result = validate_contract(df, contract)
+    kinds = _kinds(result)
+    assert kinds == ["range", "range"]  # both fire (reference :141-160)
+    assert result.issues[0].observed == -5  # lower first
+    assert result.issues[1].observed == 50
+
+
+def test_at_threshold_missingness_passes(spark):
+    # strict > comparison: exactly at threshold passes (reference :128)
+    contract = Contract(columns={"x": ColumnRule(dtype="double", max_missing_frac=0.5)})
+    df = spark.createDataFrame(
+        [(1.0,), (None,)], T.StructType([T.StructField("x", T.DoubleType())])
+    )
+    assert validate_contract(df, contract).ok is True
+    df2 = spark.createDataFrame(
+        [(1.0,), (None,), (None,)], T.StructType([T.StructField("x", T.DoubleType())])
+    )
+    result = validate_contract(df2, contract)
+    assert _kinds(result) == ["missingness"]
+    assert result.issues[0].observed == pytest.approx(2 / 3)
+
+
+def test_category_violation(spark, f1_contract):
+    df = spark.createDataFrame([(25, "Seattle")], "age bigint, city string")
+    result = validate_contract(df, f1_contract)
+    assert _kinds(result) == ["category"]
+    issue = result.issues[0]
+    assert issue.column == "city"
+    assert issue.observed == {"Seattle"}
+    assert issue.expected == {"Vancouver", "Toronto"}
+
+
+def test_category_null_never_invalid(spark, f1_contract):
+    df = spark.createDataFrame(
+        [(25, None), (30, "Toronto")],
+        T.StructType(
+            [
+                T.StructField("age", T.LongType()),
+                T.StructField("city", T.StringType()),
+            ]
+        ),
+    )
+    assert validate_contract(df, f1_contract).ok is True
+
+
+def test_validate_and_fail(spark, f1_contract):
+    bad = spark.createDataFrame([(150, "Toronto")], "age bigint, city string")
+    with pytest.raises(ContractViolationError):
+        validate_and_fail(bad, f1_contract)
+    good = spark.createDataFrame([(25, "Toronto")], "age bigint, city string")
+    assert validate_and_fail(good, f1_contract).ok is True
+
+
+def test_violation_rows_single_scan(spark, f1_contract):
+    df = spark.createDataFrame(
+        [(150, "Seattle"), (25, "Toronto"), (-1, "Kelowna")],
+        "age bigint, city string",
+    )
+    rows = violation_rows(df, f1_contract).collect()
+    got = {(r["kind"], r["column"], r["observed"]) for r in rows}
+    assert got == {
+        ("range", "age", "150"),
+        ("category", "city", "Seattle"),
+        ("range", "age", "-1"),
+        ("category", "city", "Kelowna"),
+    }
+    # a row violating two rules appears twice
+    assert len(rows) == 4
+
+
+def test_violation_rows_empty_when_clean(spark, f1_contract):
+    df = spark.createDataFrame([(25, "Toronto")], "age bigint, city string")
+    assert violation_rows(df, f1_contract).count() == 0
+
+
+def test_partition_verdicts_by_column(spark, f1_contract):
+    df = spark.createDataFrame(
+        [(150, "Vancouver"), (25, "Vancouver"), (30, "Toronto")],
+        "age bigint, city string",
+    )
+    v = {
+        r["partition"]: (r["n_violations"], r["verdict"])
+        for r in partition_verdicts(df, f1_contract, partition_col="city").collect()
+    }
+    assert v == {"Vancouver": (1, "fail"), "Toronto": (0, "pass")}
+
+
+def test_zero_row_frame_passes(spark, f1_contract):
+    df = spark.createDataFrame([], "age bigint, city string")
+    assert validate_contract(df, f1_contract).ok is True
