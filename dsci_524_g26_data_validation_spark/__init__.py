@@ -35,6 +35,21 @@ from .operators.validate import (
 )
 from .operators.compare import compare_contracts
 from .operators.summarize import summarize_violations, summarize_violations_df
+from .operators.uniqueness import duplicate_keys, uniqueness_violation_count
+from .operators.referential import referential_violations
+from .operators.drift import capture_histograms, chi_square, drift_scores, psi
+from .operators.tokens import (
+    arrays_equal_udf,
+    ntok_invariant_violations,
+    token_equality_violations,
+)
+from .operators.table_validate import (
+    DriftThresholds,
+    run_resumable_validation,
+    validate_table_contract,
+)
+from .sources.manifest import FileManifestStore
+from .sources.token_table import source_dim, token_table
 
 __version__ = "0.1.0"
 
@@ -63,4 +78,20 @@ __all__ = [
     "compare_contracts",
     "summarize_violations",
     "summarize_violations_df",
+    "duplicate_keys",
+    "uniqueness_violation_count",
+    "referential_violations",
+    "capture_histograms",
+    "chi_square",
+    "psi",
+    "drift_scores",
+    "arrays_equal_udf",
+    "ntok_invariant_violations",
+    "token_equality_violations",
+    "DriftThresholds",
+    "validate_table_contract",
+    "run_resumable_validation",
+    "FileManifestStore",
+    "source_dim",
+    "token_table",
 ]

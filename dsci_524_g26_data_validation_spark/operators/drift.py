@@ -1,0 +1,180 @@
+"""E3/E4 — distribution drift: observed histograms + chi-square / PSI.
+
+The reference's drift detection is metadata-only (compare_contracts);
+the north star (BASELINE.json:6) adds data-level drift: compare an
+observed distribution against a baseline histogram stored in the
+(extended) contract.
+
+Plan shape: **one scan captures the histograms of every watched column**
+— each row emits an array of (column, bucket-label) structs which is
+exploded and hash-aggregated by (column, label). One scan + one shuffle
+for any number of columns, versus one job per column naively. The
+chi-square / PSI folds run on the driver over (bins ≪ data) counts.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Iterable, Mapping, Optional, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.rule_compiler import categorical_cast
+from ..types import Histogram
+
+__all__ = [
+    "NULL_LABEL",
+    "capture_histograms",
+    "observed_histogram_df",
+    "chi_square",
+    "psi",
+    "drift_scores",
+]
+
+NULL_LABEL = "__null__"
+_EPS = 1e-9
+
+
+def _bucket_label(col: F.Column, h: Histogram) -> F.Column:
+    """Bucket expression for one column under a baseline histogram."""
+    if h.kind == "categorical":
+        return F.coalesce(col.cast("string"), F.lit(NULL_LABEL))
+    lo, hi, n = float(h.lo), float(h.hi), int(h.n_bins)
+    width = (hi - lo) / n if hi > lo else 1.0
+    raw = F.floor((col.cast("double") - F.lit(lo)) / F.lit(width)) + 1
+    idx = (
+        F.when(col.isNull(), F.lit(None).cast("bigint"))
+        .when(col.cast("double") < lo, F.lit(0))
+        .when(col.cast("double") >= hi, F.lit(n + 1))
+        .otherwise(F.least(raw, F.lit(n)))  # guard FP edge at hi
+    )
+    return F.coalesce(idx.cast("string"), F.lit(NULL_LABEL))
+
+
+def observed_histogram_df(
+    df: DataFrame, histograms: Mapping[str, Histogram]
+) -> DataFrame:
+    """(column, label, cnt) for every watched column in ONE scan."""
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    entries = []
+    for c, h in histograms.items():
+        col = F.col(f"`{c}`")
+        if h.kind == "categorical" and isinstance(schema.get(c), T.BooleanType):
+            col = categorical_cast(col, schema[c])
+        entries.append(
+            F.struct(F.lit(c).alias("column"), _bucket_label(col, h).alias("label"))
+        )
+    return (
+        df.select(F.explode(F.array(*entries)).alias("e"))
+        .groupBy(F.col("e.column").alias("column"), F.col("e.label").alias("label"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def capture_histograms(
+    df: DataFrame,
+    *,
+    categorical_cols: Iterable[str] = (),
+    numeric_bins: Optional[Mapping[str, Tuple[float, float, int]]] = None,
+) -> Dict[str, Histogram]:
+    """Profile ``df`` into baseline Histograms (to store in a contract).
+
+    ``numeric_bins``: column → (lo, hi, n_bins) equi-width spec; derive
+    lo/hi from infer_contract's fused min/max pass. NULLs are excluded
+    from baseline mass (fractions are over non-null rows of each column).
+    """
+    specs: Dict[str, Histogram] = {}
+    for c in categorical_cols:
+        specs[c] = Histogram(labels=(), fracs=(), kind="categorical")
+    for c, (lo, hi, n) in (numeric_bins or {}).items():
+        specs[c] = Histogram(
+            labels=(), fracs=(), kind="numeric", lo=float(lo), hi=float(hi), n_bins=int(n)
+        )
+    if not specs:
+        return {}
+    rows = observed_histogram_df(df, specs).collect()
+    by_col: Dict[str, Dict[str, int]] = {}
+    for r in rows:
+        by_col.setdefault(r["column"], {})[r["label"]] = int(r["cnt"])
+    out: Dict[str, Histogram] = {}
+    for c, spec in specs.items():
+        counts = {k: v for k, v in by_col.get(c, {}).items() if k != NULL_LABEL}
+        total = sum(counts.values())
+        labels = tuple(sorted(counts))
+        fracs = tuple((counts[l] / total) if total else 0.0 for l in labels)
+        out[c] = Histogram(
+            labels=labels,
+            fracs=fracs,
+            kind=spec.kind,
+            lo=spec.lo,
+            hi=spec.hi,
+            n_bins=spec.n_bins,
+        )
+    return out
+
+
+def _align(baseline: Histogram, observed_counts: Mapping[str, int]):
+    """Union of labels → (baseline frac, observed frac) pairs."""
+    obs = {k: v for k, v in observed_counts.items() if k != NULL_LABEL}
+    total = sum(obs.values())
+    base = dict(zip(baseline.labels, baseline.fracs))
+    labels = sorted(set(base) | set(obs))
+    q = [base.get(l, 0.0) for l in labels]
+    p = [(obs.get(l, 0) / total) if total else 0.0 for l in labels]
+    return labels, p, q, total
+
+
+def chi_square(baseline: Histogram, observed_counts: Mapping[str, int]) -> float:
+    """Pearson χ² of observed counts vs baseline-expected counts.
+
+    Labels absent from the baseline get expected mass _EPS — a genuinely
+    novel category yields a very large (finite) statistic.
+    """
+    labels, p, q, total = _align(baseline, observed_counts)
+    if total == 0:
+        return 0.0
+    stat = 0.0
+    for pi, qi in zip(p, q):
+        e = max(qi, _EPS) * total
+        o = pi * total
+        stat += (o - e) ** 2 / e
+    return stat
+
+
+def psi(baseline: Histogram, observed_counts: Mapping[str, int], *, eps: float = 1e-6) -> float:
+    """Population Stability Index Σ (p−q)·ln(p/q), eps-smoothed.
+
+    Common reading: <0.1 stable, 0.1–0.25 moderate, >0.25 major shift.
+    """
+    _, p, q, total = _align(baseline, observed_counts)
+    if total == 0:
+        return 0.0
+    val = 0.0
+    for pi, qi in zip(p, q):
+        pi, qi = max(pi, eps), max(qi, eps)
+        val += (pi - qi) * math.log(pi / qi)
+    return val
+
+
+def drift_scores(
+    df: DataFrame, baselines: Mapping[str, Histogram]
+) -> Dict[str, Dict[str, float]]:
+    """One scan → {column: {chi_square, psi, total}} for every baseline."""
+    if not baselines:
+        return {}
+    rows = observed_histogram_df(df, baselines).collect()
+    by_col: Dict[str, Dict[str, int]] = {}
+    for r in rows:
+        by_col.setdefault(r["column"], {})[r["label"]] = int(r["cnt"])
+    out: Dict[str, Dict[str, float]] = {}
+    for c, h in baselines.items():
+        counts = by_col.get(c, {})
+        non_null = sum(v for k, v in counts.items() if k != NULL_LABEL)
+        out[c] = {
+            "chi_square": chi_square(h, counts),
+            "psi": psi(h, counts),
+            "total": float(non_null),
+        }
+    return out

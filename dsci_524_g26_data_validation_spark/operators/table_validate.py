@@ -1,0 +1,229 @@
+"""Full engine-level table validation: column contract + E1/E2/E3/E4/E5/E6,
+optionally resumable per data partition (E7).
+
+This is the "full contract pass" the north-star metric times
+(BASELINE.json:2 — validated sequences/sec). Job inventory for one run:
+
+  1 fused scan        column stats + invariant counts   (phase 1)
+  1 two-level agg     uniqueness per key                 (E1)
+  1 anti-join         per foreign key (broadcast dim)    (E2)
+  1 scan + 1 shuffle  all drift histograms together      (E3/E4)
+  1 join + UDF scan   token equality (only if reference) (E6)
+  ≤1 scan             violation-row materialization      (conditional)
+
+Everything except E6's Arrow UDF is pure Catalyst.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Mapping, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.manifest import FileManifestStore
+from ..types import Issue, TableContract, ValidationResult
+from .drift import drift_scores
+from .referential import referential_violations
+from .tokens import token_equality_violations
+from .uniqueness import duplicate_keys
+from .validate import validate_contract
+
+__all__ = ["validate_table_contract", "run_resumable_validation", "DriftThresholds"]
+
+
+class DriftThresholds:
+    """PSI / chi-square alert levels (PSI 0.25 = conventional 'major shift')."""
+
+    def __init__(self, psi: float = 0.25, chi_square: Optional[float] = None):
+        self.psi = psi
+        self.chi_square = chi_square
+
+
+def validate_table_contract(
+    df: DataFrame,
+    tc: TableContract,
+    *,
+    dims: Optional[Mapping[str, DataFrame]] = None,
+    reference: Optional[DataFrame] = None,
+    strict: bool = True,
+    drift_thresholds: Optional[DriftThresholds] = None,
+    fk_strategy: str = "broadcast",
+) -> ValidationResult:
+    """Run every check of a TableContract → one ValidationResult.
+
+    dims: name → dimension DataFrame for ForeignKeyRule.ref_table lookups.
+    reference: clean copy of the table for E6 token-array equality
+        (compared on tokens/doc_id when provided).
+    """
+    dims = dims or {}
+    thr = drift_thresholds or DriftThresholds()
+    issues: List[Issue] = []
+
+    # columns + schema (reference semantics) — phases 0-2
+    col_result = validate_contract(df, tc.contract, strict=strict)
+    issues.extend(col_result.issues)
+
+    # E5 invariants ride a single fused count pass
+    if tc.invariants:
+        terms = [
+            F.count_if(~F.expr(inv)).alias(f"i{n}") for n, inv in enumerate(tc.invariants)
+        ]
+        row = df.agg(*terms).collect()[0]
+        for n, inv in enumerate(tc.invariants):
+            bad = int(row[f"i{n}"] or 0)
+            if bad > 0:
+                issues.append(
+                    Issue(
+                        kind="invariant",
+                        message=f"invariant violated on {bad} row(s): {inv}",
+                        column=None,
+                        observed=bad,
+                        expected=0,
+                    )
+                )
+
+    # E1 uniqueness (salted two-level aggregation)
+    for key in tc.unique_keys:
+        dup = duplicate_keys(df, key)
+        agg = dup.agg(
+            F.count(F.lit(1)).alias("k"),
+            F.coalesce(F.sum(F.col("dup_count") - 1), F.lit(0)).alias("s"),
+        ).collect()[0]
+        if int(agg["k"]) > 0:
+            issues.append(
+                Issue(
+                    kind="uniqueness",
+                    message=(
+                        f"{key}: {agg['k']} duplicated key(s), "
+                        f"{agg['s']} surplus row(s)"
+                    ),
+                    column=key,
+                    observed=int(agg["k"]),
+                    expected=0,
+                )
+            )
+
+    # E2 referential integrity (broadcast or salted anti-join)
+    for fk in tc.foreign_keys:
+        if fk.ref_table not in dims:
+            issues.append(
+                Issue(
+                    kind="referential",
+                    message=f"{fk.column}: reference table '{fk.ref_table}' not provided",
+                    column=fk.column,
+                    observed="missing_dim",
+                    expected=fk.ref_table,
+                )
+            )
+            continue
+        bad = referential_violations(
+            df, dims[fk.ref_table], fk.column, fk.ref_column, strategy=fk_strategy
+        ).count()
+        if bad > 0:
+            issues.append(
+                Issue(
+                    kind="referential",
+                    message=(
+                        f"{fk.column}: {bad} row(s) reference values absent "
+                        f"from {fk.ref_table}.{fk.ref_column}"
+                    ),
+                    column=fk.column,
+                    observed=bad,
+                    expected=0,
+                )
+            )
+
+    # E3/E4 drift — all histograms in one scan
+    if tc.histograms:
+        scores = drift_scores(df, tc.histograms)
+        for col, s in sorted(scores.items()):
+            if s["psi"] > thr.psi:
+                issues.append(
+                    Issue(
+                        kind="drift_psi",
+                        message=f"{col}: PSI {s['psi']:.4f} exceeds {thr.psi}",
+                        column=col,
+                        observed=s["psi"],
+                        expected=thr.psi,
+                    )
+                )
+            if thr.chi_square is not None and s["chi_square"] > thr.chi_square:
+                issues.append(
+                    Issue(
+                        kind="drift_chi2",
+                        message=(
+                            f"{col}: chi-square {s['chi_square']:.2f} exceeds "
+                            f"{thr.chi_square}"
+                        ),
+                        column=col,
+                        observed=s["chi_square"],
+                        expected=thr.chi_square,
+                    )
+                )
+
+    # E6 token-array equality vs reference copy (Arrow UDF path)
+    if reference is not None:
+        n_bad = token_equality_violations(df, reference).count()
+        if n_bad > 0:
+            issues.append(
+                Issue(
+                    kind="token_equality",
+                    message=f"tokens: {n_bad} row(s) differ from the reference copy",
+                    column="tokens",
+                    observed=n_bad,
+                    expected=0,
+                )
+            )
+
+    return ValidationResult(ok=len(issues) == 0, issues=issues)
+
+
+def run_resumable_validation(
+    df: DataFrame,
+    tc: TableContract,
+    *,
+    partition_col: str,
+    manifest: FileManifestStore,
+    dims: Optional[Mapping[str, DataFrame]] = None,
+    reference: Optional[DataFrame] = None,
+    strict: bool = True,
+) -> Dict[str, dict]:
+    """Validate partition-by-partition with checkpoint/resume (E7).
+
+    Each distinct ``partition_col`` value is one unit of work: validated
+    independently, then recorded in the manifest with metrics + lineage.
+    Already-recorded partitions are skipped on resume. Filtering on the
+    partition column prunes the scan on a partitioned table (Iceberg
+    partition spec / hive-partitioned parquet), so a resume touches only
+    unfinished data.
+
+    Returns {partition: manifest metrics} for partitions run this call.
+    """
+    parts = [
+        str(r[0])
+        for r in df.select(F.col(f"`{partition_col}`").cast("string")).distinct().collect()
+    ]
+    ran: Dict[str, dict] = {}
+    for p in manifest.pending(parts):
+        sub = df.filter(F.col(f"`{partition_col}`").cast("string") == p)
+        ref_sub = (
+            reference.filter(F.col(f"`{partition_col}`").cast("string") == p)
+            if reference is not None
+            else None
+        )
+        result = validate_table_contract(
+            sub, tc, dims=dims, reference=ref_sub, strict=strict
+        )
+        metrics = {
+            "ok": result.ok,
+            "n_issues": len(result.issues),
+            "issue_kinds": sorted({i.kind for i in result.issues}),
+        }
+        manifest.record(
+            p,
+            metrics,
+            lineage={"partition_col": partition_col, "contract": tc.name},
+        )
+        ran[p] = metrics
+    return ran

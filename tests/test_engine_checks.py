@@ -1,0 +1,231 @@
+"""Tests for the engine-level north-rule checks (SURVEY.md §2.4):
+E1 uniqueness, E2 referential, E3/E4 drift, E5/E6 token invariants,
+E7 checkpoint/resume — all over the deterministic synthetic token table.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dsci_524_g26_data_validation_spark import (
+    ColumnRule,
+    Contract,
+    ForeignKeyRule,
+    TableContract,
+)
+from dsci_524_g26_data_validation_spark.operators.drift import (
+    capture_histograms,
+    chi_square,
+    drift_scores,
+    psi,
+)
+from dsci_524_g26_data_validation_spark.operators.referential import (
+    referential_violations,
+)
+from dsci_524_g26_data_validation_spark.operators.table_validate import (
+    run_resumable_validation,
+    validate_table_contract,
+)
+from dsci_524_g26_data_validation_spark.operators.tokens import (
+    ntok_invariant_violations,
+    token_equality_violations,
+)
+from dsci_524_g26_data_validation_spark.operators.uniqueness import (
+    duplicate_keys,
+    uniqueness_violation_count,
+)
+from dsci_524_g26_data_validation_spark.sources.manifest import FileManifestStore
+from dsci_524_g26_data_validation_spark.sources.token_table import (
+    SOURCES,
+    source_dim,
+    token_table,
+)
+
+N = 2000
+
+
+@pytest.fixture(scope="module")
+def clean(spark):
+    return token_table(spark, N, num_partitions=8).cache()
+
+
+@pytest.fixture(scope="module")
+def dirty(spark):
+    return token_table(
+        spark,
+        N,
+        num_partitions=8,
+        dup_frac=0.01,
+        bad_ntok_frac=0.01,
+        unknown_source_frac=0.01,
+        mutate_frac=0.01,
+    ).cache()
+
+
+def test_generator_deterministic(spark):
+    a = token_table(spark, 200).collect()
+    b = token_table(spark, 200).collect()
+    assert a == b
+    assert all(r["n_tok"] == len(r["tokens"]) for r in a)
+    assert {r["source"] for r in a} <= set(SOURCES)
+
+
+def test_e1_uniqueness(spark, clean, dirty):
+    assert duplicate_keys(clean, "doc_id").count() == 0
+    dups = duplicate_keys(dirty, "doc_id").collect()
+    assert len(dups) > 0
+    assert all(r["dup_count"] >= 2 for r in dups)
+    summary = uniqueness_violation_count(dirty, "doc_id")
+    assert summary["dup_keys"] == len(dups)
+    assert summary["surplus_rows"] >= summary["dup_keys"]
+    # two-level result equals naive groupBy
+    naive = (
+        dirty.groupBy("doc_id").count().filter("count > 1").count()
+    )
+    assert len(dups) == naive
+
+
+def test_e2_referential_broadcast_and_salted(spark, clean, dirty):
+    dim = source_dim(spark)
+    assert referential_violations(clean, dim, "source").count() == 0
+    bad_b = referential_violations(dirty, dim, "source", strategy="broadcast")
+    bad_s = referential_violations(dirty, dim, "source", strategy="salted")
+    nb, ns = bad_b.count(), bad_s.count()
+    assert nb > 0
+    assert nb == ns  # strategies agree
+    assert set(bad_b.select("source").distinct().toPandas()["source"]) == {"martian"}
+
+
+def test_e3_e4_drift(spark, clean):
+    base = capture_histograms(
+        clean, categorical_cols=["source"], numeric_bins={"n_tok": (0, 500, 20)}
+    )
+    assert set(base) == {"source", "n_tok"}
+    assert abs(sum(base["source"].fracs) - 1.0) < 1e-9
+    # same data → ~zero drift
+    scores = drift_scores(clean, base)
+    assert scores["source"]["psi"] < 1e-6
+    assert scores["source"]["chi_square"] < 1e-6
+    # shifted data → large drift + novel category detected
+    shifted = token_table(spark, N, unknown_source_frac=0.5)
+    s2 = drift_scores(shifted, base)
+    assert s2["source"]["psi"] > 0.25
+    assert s2["source"]["chi_square"] > 100
+
+
+def test_psi_chi2_math():
+    from dsci_524_g26_data_validation_spark.types import Histogram
+
+    h = Histogram(labels=("a", "b"), fracs=(0.5, 0.5))
+    assert psi(h, {"a": 50, "b": 50}) == pytest.approx(0.0, abs=1e-9)
+    assert chi_square(h, {"a": 50, "b": 50}) == pytest.approx(0.0, abs=1e-9)
+    # textbook chi2: expected 50/50, observed 60/40 → (100/50)+(100/50)=4
+    assert chi_square(h, {"a": 60, "b": 40}) == pytest.approx(4.0)
+    assert psi(h, {"a": 60, "b": 40}) == pytest.approx(
+        (0.6 - 0.5) * __import__("math").log(0.6 / 0.5)
+        + (0.4 - 0.5) * __import__("math").log(0.4 / 0.5)
+    )
+
+
+def test_e5_ntok_invariant(spark, clean, dirty):
+    assert ntok_invariant_violations(clean).count() == 0
+    bad = ntok_invariant_violations(dirty)
+    assert bad.count() > 0
+    assert all(r["n_tok"] != len(r["tokens"]) for r in bad.collect())
+
+
+def test_e6_token_equality(spark, clean, dirty):
+    # clean vs itself: zero mismatches
+    assert token_equality_violations(clean, clean).count() == 0
+    # mutated vs clean: exactly the mutated rows differ
+    mutated = token_table(spark, N, num_partitions=8, mutate_frac=0.02)
+    bad = token_equality_violations(mutated, clean)
+    n = bad.count()
+    assert n > 0
+    rows = bad.collect()
+    assert all(r["n_tok_observed"] == r["n_tok_reference"] for r in rows)
+
+
+def test_e6_udf_edge_cases(spark):
+    from pyspark.sql import functions as F
+    from dsci_524_g26_data_validation_spark.operators.tokens import arrays_equal_udf
+
+    df = spark.createDataFrame(
+        [
+            ([1, 2, 3], [1, 2, 3], True),
+            ([1, 2, 3], [1, 2, 4], False),
+            ([1, 2], [1, 2, 3], False),
+            ([], [], True),
+            (None, None, True),
+            ([1], None, False),
+            ([], [1], False),
+        ],
+        "a array<int>, b array<int>, expect boolean",
+    )
+    got = df.select(arrays_equal_udf("a", "b").alias("eq"), "expect").collect()
+    assert all(r["eq"] == r["expect"] for r in got)
+
+
+def _tc():
+    return TableContract(
+        contract=Contract(
+            columns={
+                "doc_id": ColumnRule(dtype="string"),
+                "tokens": ColumnRule(dtype="array<int>"),
+                "n_tok": ColumnRule(dtype="int", min_value=1, max_value=100_000),
+                "source": ColumnRule(
+                    dtype="string", allowed_values=set(SOURCES)
+                ),
+            }
+        ),
+        unique_keys=("doc_id",),
+        foreign_keys=(ForeignKeyRule("source", "sources", "source"),),
+        invariants=("n_tok = size(tokens)",),
+        name="token_contract",
+    )
+
+
+def test_full_table_contract_clean(spark, clean):
+    result = validate_table_contract(
+        clean, _tc(), dims={"sources": source_dim(spark)}, reference=clean
+    )
+    assert result.ok, [i.message for i in result.issues]
+
+
+def test_full_table_contract_dirty(spark, clean, dirty):
+    result = validate_table_contract(
+        dirty, _tc(), dims={"sources": source_dim(spark)}, reference=clean
+    )
+    kinds = {i.kind for i in result.issues}
+    assert {"category", "uniqueness", "referential", "invariant", "token_equality"} <= kinds
+
+
+def test_e7_checkpoint_resume(spark, dirty, tmp_path):
+    tc = _tc()
+    dims = {"sources": source_dim(spark)}
+    m1 = FileManifestStore(str(tmp_path), "run1")
+    ran = run_resumable_validation(
+        dirty, tc, partition_col="source", manifest=m1, dims=dims
+    )
+    assert len(ran) >= 4  # web/books/code/wiki (+martian)
+    # resume: nothing left to do
+    m2 = FileManifestStore(str(tmp_path), "run1")
+    ran2 = run_resumable_validation(
+        dirty, tc, partition_col="source", manifest=m2, dims=dims
+    )
+    assert ran2 == {}
+    # manifest carries metrics + lineage
+    recs = m2.completed()
+    assert set(recs) == set(ran)
+    any_rec = next(iter(recs.values()))
+    assert any_rec["lineage"]["contract"] == "token_contract"
+    assert "n_issues" in any_rec["metrics"]
+    # partial resume: drop one record → only that partition re-runs
+    import os
+
+    some = sorted(recs)[0]
+    os.remove(m2._file(some))
+    ran3 = run_resumable_validation(
+        dirty, tc, partition_col="source", manifest=m2, dims=dims
+    )
+    assert set(ran3) == {some}
