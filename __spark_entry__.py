@@ -1,38 +1,464 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship validation; ``queries()`` exposes
+one callable per implemented operator (SURVEY.md §2 + pipeline ops);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible query. Column aliases match exactly on both sides (the
+driver hashes values under name-sorted columns).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import dsci_524_g26_data_validation_spark as dv
+from dsci_524_g26_data_validation_spark.operators import dedup, similarity, text
+from dsci_524_g26_data_validation_spark.operators.drift import observed_histogram_df
+from dsci_524_g26_data_validation_spark.types import Histogram
+
+# ---------------------------------------------------------------------------
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: validate sf0.001 documents against a drifted contract and
+    return the issues as a DataFrame (≥0 rows, stable schema)."""
+    docs = _read(spark, "/root/testdata/sf0.001", "documents")
+    contract = dv.Contract(
+        name="documents_contract",
+        columns={
+            "doc_id": dv.ColumnRule(dtype="bigint", min_value=0),
+            "text": dv.ColumnRule(dtype="string"),
+            # 'zh' deliberately missing -> category issue fires
+            "lang": dv.ColumnRule(
+                dtype="string", allowed_values={"en", "fr", "de", "es"}
+            ),
+            "source": dv.ColumnRule(dtype="string"),
+            "n_chars": dv.ColumnRule(dtype="bigint", min_value=0, max_value=100_000),
+        },
+    )
+    result = dv.validate_contract(docs, contract)
+    rows = [
+        (i.kind, i.column, str(i.observed), str(i.expected), i.message)
+        for i in result.issues
+    ]
+    return spark.createDataFrame(
+        rows or [("none", None, None, None, "no issues")],
+        "kind string, column string, observed string, expected string, message string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — each callable: (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
+
+
+def _profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2-P4/P6: fused single-pass profile of orders numeric columns,
+    unpivoted to long format."""
+    o = _read(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_totalprice").alias("nn_tp"),
+        F.round(F.min("o_totalprice"), 6).alias("min_tp"),
+        F.round(F.max("o_totalprice"), 6).alias("max_tp"),
+        F.count("o_custkey").alias("nn_ck"),
+        F.round(F.min("o_custkey").cast("double"), 6).alias("min_ck"),
+        F.round(F.max("o_custkey").cast("double"), 6).alias("max_ck"),
+    )
+    return agg.selectExpr(
+        """stack(2,
+            'o_totalprice', n, nn_tp, min_tp, max_tp,
+            'o_custkey',    n, nn_ck, min_ck, max_ck
+        ) as (col_name, n_rows, n_non_null, min_val, max_val)"""
+    )
+
+
+def _missingness_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4/P2: exact per-column null fraction, one fused pass, long format."""
+    d = _read(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    agg = d.agg(
+        *[
+            F.round(F.avg(F.col(c).isNull().cast("double")), 6).alias(f"nf_{c}")
+            for c in cols
+        ]
+    )
+    stack_args = ", ".join(f"'{c}', nf_{c}" for c in cols)
+    return agg.selectExpr(
+        f"stack({len(cols)}, {stack_args}) as (col_name, null_frac)"
+    )
+
+
+def _range_violations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V5/V6 violation rows: contract bound l_quantity <= 45."""
+    li = _read(spark, sf_dir, "lineitem")
+    contract = dv.Contract(
+        columns={"l_quantity": dv.ColumnRule(dtype="double", min_value=1, max_value=45)}
+    )
+    rows = dv.violation_rows(li, contract, include_payload=False)
+    return rows.select(
+        "kind", "column", F.col("observed").cast("double").alias("observed_qty")
+    )
+
+
+def _category_violations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V7 violation rows: o_orderpriority restricted to 3 of 5 values."""
+    o = _read(spark, sf_dir, "orders")
+    contract = dv.Contract(
+        columns={
+            "o_orderpriority": dv.ColumnRule(
+                dtype="string",
+                allowed_values={"1-URGENT", "2-HIGH", "3-MEDIUM"},
+            )
+        }
+    )
+    return dv.violation_rows(o, contract, include_payload=False).select(
+        "kind", "column", F.col("observed").alias("observed_value")
+    )
+
+
+def _uniqueness_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: salted two-level duplicate detection on orders.o_custkey."""
+    o = _read(spark, sf_dir, "orders")
+    return dv.duplicate_keys(o, "o_custkey")
+
+
+def _referential_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: broadcast anti-join; dim artificially shrunk (custkey % 10 != 0)
+    so violations exist."""
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer").filter("c_custkey % 10 != 0")
+    bad = dv.referential_violations(o, c, "o_custkey", "c_custkey")
+    return bad.select("o_orderkey", "o_custkey")
+
+
+def _histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 histogram capture: 10 equi-width bins over o_totalprice."""
+    o = _read(spark, sf_dir, "orders")
+    h = Histogram(labels=(), fracs=(), kind="numeric", lo=0.0, hi=600000.0, n_bins=10)
+    return observed_histogram_df(o, {"o_totalprice": h}).select(
+        F.col("label").alias("bin"), F.col("cnt")
+    )
+
+
+def _psi_documents_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: per-category observed fraction + PSI term vs uniform baseline."""
+    d = _read(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    q = 1.0 / 20.0
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            F.round(F.col("cnt") / F.col("total"), 6).alias("obs_frac"),
+            F.round(
+                (F.col("cnt") / F.col("total") - F.lit(q))
+                * F.log((F.col("cnt") / F.col("total")) / F.lit(q)),
+                6,
+            ).alias("psi_term"),
+        )
+    )
+
+
+def _dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a 40-char text prefix (testdata has ~23 dup groups
+    at sf0.01)."""
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("prefix")
+    )
+    groups = dedup.exact_duplicates(d, cols=("prefix",), id_col="doc_id")
+    return groups.select(
+        F.col("content_hash"), F.col("dup_count"), F.col("keep_id")
+    )
+
+
+def _token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(_read(spark, sf_dir, "documents"))
+
+
+def _quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    q = text.quality_score_expr("text")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(q), 4).alias("avg_quality"),
+        F.round(F.min(q), 4).alias("min_quality"),
+    )
+
+
+def _langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return text.language_id(d).groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def _fingerprints_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "source", text.fingerprint_expr("text").alias("fp")
+    ).groupBy("source").agg(F.countDistinct("fp").alias("n_distinct_fp"))
+
+
+def _ntok_invariant_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 analog on documents: n_chars == length(text) per-row invariant."""
+    d = _read(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("n_chars") != F.length("text")).alias("n_bad"),
+    )
+
+
+def _simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-20 to the vec_id=0 embedding."""
+    e = _read(spark, sf_dir, "embeddings")
+    query = list(e.filter("vec_id = 0").select("embedding").first()["embedding"])
+    top = similarity.cosine_topk_bruteforce(e, query, k=20)
+    return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def _embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _read(spark, sf_dir, "embeddings")
+    norm = similarity.norm_expr(F.col("embedding").cast("array<double>"))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg(norm), 4).alias("avg_norm"),
+    )
+
+
+# -- non-SQL-expressible (rows-only checks) ----------------------------------
+
+
+def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 120).alias("text")
+    )
+    cand = dedup.minhash_lsh_candidates(d, num_hashes=16, bands=8)
+    return dedup.jaccard_verify(d, cand, threshold=0.5)
+
+
+def _simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 120).alias("text")
+    )
+    return dedup.simhash_near_duplicates(d, max_hamming=3)
+
+
+def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _read(spark, sf_dir, "embeddings")
+    query = list(e.filter("vec_id = 0").select("embedding").first()["embedding"])
+    return similarity.cosine_topk_lsh(e, query, k=20).select(
+        "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def _token_contract_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine pass (E1/E2/E5 + column contract) on the synthetic
+    dirty token table — issues as rows."""
+    dirty = dv.token_table(
+        spark, 20_000, dup_frac=0.005, bad_ntok_frac=0.005, unknown_source_frac=0.005
+    )
+    tc = dv.TableContract(
+        contract=dv.Contract(
+            columns={
+                "doc_id": dv.ColumnRule(dtype="string"),
+                "tokens": dv.ColumnRule(dtype="array<int>"),
+                "n_tok": dv.ColumnRule(dtype="int", min_value=1, max_value=100_000),
+                "source": dv.ColumnRule(
+                    dtype="string", allowed_values={"web", "books", "code", "wiki"}
+                ),
+            }
+        ),
+        unique_keys=("doc_id",),
+        foreign_keys=(dv.ForeignKeyRule("source", "sources", "source"),),
+        invariants=("n_tok = size(tokens)",),
+    )
+    res = dv.validate_table_contract(
+        dirty, tc, dims={"sources": dv.source_dim(spark)}
+    )
+    rows = [(i.kind, i.column or "", str(i.observed)) for i in res.issues]
+    return spark.createDataFrame(rows, "kind string, column string, observed string")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "profile_orders": _profile_orders,
+        "missingness_documents": _missingness_documents,
+        "range_violations_lineitem": _range_violations_lineitem,
+        "category_violations_orders": _category_violations_orders,
+        "uniqueness_orders_custkey": _uniqueness_orders_custkey,
+        "referential_orders_customer": _referential_orders_customer,
+        "histogram_totalprice": _histogram_totalprice,
+        "psi_documents_source": _psi_documents_source,
+        "dedup_exact_prefix": _dedup_exact_prefix,
+        "token_stats_documents": _token_stats_documents,
+        "quality_by_source": _quality_by_source,
+        "langid_documents": _langid_documents,
+        "fingerprints_by_source": _fingerprints_by_source,
+        "ntok_invariant_documents": _ntok_invariant_documents,
+        "simsearch_topk": _simsearch_topk,
+        "embedding_norms": _embedding_norms,
+        # non-SQL-expressible (rows-only checks)
+        "minhash_candidates": _minhash_candidates,
+        "simhash_near_dups": _simhash_near_dups,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "token_contract_pass": _token_contract_pass,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+_QUALITY_SQL = """
+round((
+  (CASE WHEN length(text) BETWEEN 100 AND 100000 THEN 1.0
+        WHEN length(text) < 100 THEN length(text)/100.0 ELSE 0.5 END)
+  + (CASE WHEN length(text)*1.0/greatest(len(string_split(text,' ')),1)
+           BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.4 END)
+  + length(regexp_replace(text,'[^a-zA-Z ]','','g'))*1.0/greatest(length(text),1)
+) / 3.0, 6)
+"""
+
+_LANG_HITS = {
+    lang: "len(list_filter(string_split(lower(text),' '), t -> list_contains([{}], t)))".format(
+        ", ".join(f"'{w}'" for w in words)
+    )
+    for lang, words in text.STOPWORDS.items()
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    langs = sorted(_LANG_HITS)  # de, en, es, fr — alphabetical tie-break
+    lang_case = (
+        "CASE WHEN greatest({g}) < 1 THEN 'und' ".format(
+            g=", ".join(_LANG_HITS[l] for l in langs)
+        )
+        + " ".join(
+            "WHEN {h} = greatest({g}) THEN '{l}'".format(
+                h=_LANG_HITS[l], g=", ".join(_LANG_HITS[x] for x in langs), l=l
+            )
+            for l in langs
+        )
+        + " END"
+    )
+    return {
+        "profile_orders": """
+            SELECT 'o_totalprice' AS col_name, count(*) AS n_rows,
+                   count(o_totalprice) AS n_non_null,
+                   round(min(o_totalprice), 6) AS min_val,
+                   round(max(o_totalprice), 6) AS max_val
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', count(*), count(o_custkey),
+                   round(min(o_custkey) * 1.0, 6), round(max(o_custkey) * 1.0, 6)
+            FROM orders
+        """,
+        "missingness_documents": """
+            SELECT 'doc_id' AS col_name,
+                   round(avg(CASE WHEN doc_id IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_frac FROM documents
+            UNION ALL SELECT 'text', round(avg(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END), 6) FROM documents
+            UNION ALL SELECT 'lang', round(avg(CASE WHEN lang IS NULL THEN 1.0 ELSE 0.0 END), 6) FROM documents
+            UNION ALL SELECT 'source', round(avg(CASE WHEN source IS NULL THEN 1.0 ELSE 0.0 END), 6) FROM documents
+            UNION ALL SELECT 'n_chars', round(avg(CASE WHEN n_chars IS NULL THEN 1.0 ELSE 0.0 END), 6) FROM documents
+        """,
+        "range_violations_lineitem": """
+            SELECT 'range' AS kind, 'l_quantity' AS column,
+                   l_quantity AS observed_qty
+            FROM lineitem WHERE l_quantity < 1 OR l_quantity > 45
+        """,
+        "category_violations_orders": """
+            SELECT 'category' AS kind, 'o_orderpriority' AS column,
+                   o_orderpriority AS observed_value
+            FROM orders
+            WHERE o_orderpriority IS NOT NULL
+              AND o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM')
+        """,
+        "uniqueness_orders_custkey": """
+            SELECT o_custkey, count(*) AS dup_count
+            FROM orders GROUP BY o_custkey HAVING count(*) > 1
+        """,
+        "referential_orders_customer": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey NOT IN (
+                SELECT c_custkey FROM customer
+                WHERE c_custkey % 10 != 0 AND c_custkey IS NOT NULL)
+        """,
+        "histogram_totalprice": """
+            SELECT CAST(CAST(
+                     CASE WHEN o_totalprice < 0 THEN 0
+                          WHEN o_totalprice >= 600000 THEN 11
+                          ELSE least(floor(o_totalprice / 60000) + 1, 10) END
+                   AS BIGINT) AS VARCHAR) AS bin,
+                   count(*) AS cnt
+            FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+        """,
+        "psi_documents_source": """
+            SELECT source,
+                   round(count(*) * 1.0 / (SELECT count(*) FROM documents), 6) AS obs_frac,
+                   round((count(*) * 1.0 / (SELECT count(*) FROM documents) - 0.05)
+                         * ln((count(*) * 1.0 / (SELECT count(*) FROM documents)) / 0.05), 6) AS psi_term
+            FROM documents GROUP BY source
+        """,
+        "dedup_exact_prefix": """
+            SELECT sha256(substr(text, 1, 40)) AS content_hash,
+                   count(*) AS dup_count, min(doc_id) AS keep_id
+            FROM documents GROUP BY substr(text, 1, 40) HAVING count(*) > 1
+        """,
+        "token_stats_documents": """
+            SELECT source, count(*) AS n_docs,
+                   sum(len(string_split(text, ' '))) AS total_tokens,
+                   round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+                   max(len(string_split(text, ' '))) AS max_tokens
+            FROM documents GROUP BY source
+        """,
+        "quality_by_source": f"""
+            SELECT source, count(*) AS n_docs,
+                   round(avg({_QUALITY_SQL}), 4) AS avg_quality,
+                   round(min({_QUALITY_SQL}), 4) AS min_quality
+            FROM documents GROUP BY source
+        """,
+        "langid_documents": f"""
+            SELECT {lang_case} AS lang_pred, count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "fingerprints_by_source": """
+            SELECT source, count(DISTINCT md5(text)) AS n_distinct_fp
+            FROM documents GROUP BY source
+        """,
+        "ntok_invariant_documents": """
+            SELECT source, count(*) AS n_rows,
+                   count(*) FILTER (WHERE n_chars != length(text)) AS n_bad
+            FROM documents GROUP BY source
+        """,
+        "simsearch_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                       embedding,
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+            FROM embeddings
+            ORDER BY list_cosine_similarity(
+                       embedding,
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+                     vec_id ASC
+            LIMIT 20
+        """,
+        "embedding_norms": """
+            SELECT label, count(*) AS n_vecs,
+                   round(avg(sqrt(list_aggregate(
+                       list_transform(embedding, x -> x * x), 'sum'))), 4) AS avg_norm
+            FROM embeddings GROUP BY label
+        """,
+    }

@@ -1,0 +1,301 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup — each designed for
+the 100 TB case:
+
+* exact       — hash-groupBy; the shuffle carries (digest, id), never text.
+* MinHash+LSH — signatures and band buckets are pure Catalyst array ops;
+                candidate generation is a self-equi-join on (band, hash),
+                i.e. a shuffle keyed by tiny band digests. Only candidate
+                PAIRS (a vanishing fraction of rows) are ever compared.
+* SimHash     — 64-bit signature; token hashing in Catalyst, bit-vote in a
+                vectorized Arrow pandas UDF (numpy over flattened buffers).
+* verification — exact shingle-Jaccard via array_intersect/array_union on
+                the candidates only.
+
+Embedding-cosine near-dup lives in operators.similarity.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+__all__ = [
+    "exact_duplicates",
+    "deduplicate_exact",
+    "shingles_expr",
+    "minhash_signature_expr",
+    "minhash_lsh_candidates",
+    "jaccard_verify",
+    "simhash",
+    "simhash_near_duplicates",
+]
+
+
+# -- exact -------------------------------------------------------------------
+
+
+def exact_duplicates(
+    df: DataFrame, cols: Sequence[str] = ("text",), id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups with >1 identical content → (content_hash, dup_count, keep_id).
+
+    sha2-256 digest (collision-safe at any scale); the shuffle moves only
+    (digest, id) pairs, not document bodies. keep_id = min id is the
+    canonical survivor, so dedup is deterministic.
+    """
+    digest = F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]), 256)
+    return (
+        df.select(digest.alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def deduplicate_exact(
+    df: DataFrame, cols: Sequence[str] = ("text",), id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly one row (min id) per identical content group.
+
+    Planned as a single shuffle: max_by keeps the full row payload of the
+    survivor without a second self-join back to the data.
+    """
+    digest = F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]), 256)
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        df.select(digest.alias("_h"), F.col(id_col).alias("_id"), payload.alias("_p"))
+        .groupBy("_h")
+        .agg(F.min_by("_p", "_id").alias("_p"))
+        .select("_p.*")
+    )
+
+
+# -- MinHash + LSH -----------------------------------------------------------
+
+
+def shingles_expr(text_col: Column | str, *, size: int = 3) -> Column:
+    """Distinct word ``size``-shingles of a document — Catalyst transform
+    over a token-index sequence; short docs yield their whole text as the
+    single shingle."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(c, " ")
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - size + 1, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, size), " "),
+    )
+    return F.array_distinct(sh)
+
+
+def minhash_signature_expr(
+    shingles: Column, *, num_hashes: int = 32, seed: int = 42
+) -> Column:
+    """MinHash signature: element k = min over shingles of
+    xxhash64(shingle, seed+k). array<bigint> of length num_hashes —
+    entirely Catalyst (array_min over transform)."""
+    sigs = [
+        F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed + k)))
+        )
+        for k in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    rows_per_band = num_hashes/bands; two docs collide in a band iff that
+    slice of their signatures is identical. Jaccard ≥ ~0.7 pairs are
+    found w.h.p. at 32 hashes / 8 bands. Returns (id_a, id_b, n_bands)
+    with id_a < id_b, deduplicated across bands.
+
+    Scale shape: the exploded band table is rows×bands tiny tuples
+    (band_idx, band_digest, id); the self-join shuffles on the digest —
+    document text never moves. A pathological bucket (thousands of
+    identical docs) produces quadratic pairs by definition of the
+    problem; cap via pre-aggregation upstream if needed.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rpb = num_hashes // bands
+    sig = minhash_signature_expr(
+        shingles_expr(text_col, size=shingle_size), num_hashes=num_hashes, seed=seed
+    )
+    banded = df.select(F.col(id_col).alias("_id"), sig.alias("_sig")).select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(F.slice(F.col("_sig"), b * rpb + 1, rpb), ","),
+                        F.lit(seed),
+                    ).alias("digest"),
+                ),
+            )
+        ).alias("bd"),
+    ).select("_id", F.col("bd.band").alias("band"), F.col("bd.digest").alias("digest"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.digest") == F.col("b.digest"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    return pairs
+
+
+def jaccard_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle-Jaccard on candidate pairs → (id_a, id_b, jaccard).
+
+    Joins shingle arrays back to the (small) candidate set; similarity is
+    size(intersect)/size(union) — pure Catalyst.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), shingles_expr(text_col, size=shingle_size).alias("_sh")
+    )
+    out = (
+        candidates.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+# -- SimHash -----------------------------------------------------------------
+
+
+@pandas_udf(LongType())
+def _simhash_from_hashes(hash_arrays: pd.Series) -> pd.Series:
+    """64-bit SimHash from per-token 64-bit hashes (Arrow batches).
+
+    Vectorized: all tokens of the batch are flattened into one int64
+    buffer; each bit's ±1 votes are segment-summed per document with
+    np.add.reduceat. Python-level work is O(1) per document.
+    """
+    lens = np.fromiter((0 if x is None else len(x) for x in hash_arrays), dtype=np.int64)
+    n = len(lens)
+    out = np.zeros(n, dtype=np.int64)
+    nonzero = lens > 0
+    if nonzero.any():
+        flat = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in hash_arrays[nonzero]]
+        ).astype(np.uint64)
+        starts = (np.cumsum(lens[nonzero]) - lens[nonzero])
+        sig = np.zeros(int(nonzero.sum()), dtype=np.uint64)
+        for bit in range(64):  # 64 fixed iterations, each fully vectorized
+            votes = ((flat >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
+            ones = np.add.reduceat(votes, starts)
+            take = ones * 2 > lens[nonzero]  # majority vote
+            sig |= take.astype(np.uint64) << np.uint64(bit)
+        out[nonzero] = sig.astype(np.int64)
+    return pd.Series(out)
+
+
+def simhash(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash:bigint) — token hashing stays in Catalyst
+    (xxhash64 per token via transform); only the bit-vote crosses to
+    the Arrow UDF."""
+    token_hashes = F.transform(
+        F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)
+    )
+    return df.select(
+        F.col(id_col), _simhash_from_hashes(token_hashes).alias("simhash")
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    block_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance ≤ max_hamming on SimHash.
+
+    Pigeonhole blocking: split the 64-bit signature into
+    ``64/block_bits`` blocks; any pair within max_hamming < #blocks must
+    agree exactly on ≥1 block, so candidates are found by equi-joining on
+    (block_idx, block_value) — a shuffle on small keys, no O(n²) compare.
+    """
+    n_blocks = 64 // block_bits
+    sh = simhash(df, text_col=text_col, id_col=id_col)
+    mask = (1 << block_bits) - 1
+    blocked = sh.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright("simhash", i * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    popcount = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            popcount.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

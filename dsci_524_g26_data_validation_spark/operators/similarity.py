@@ -1,0 +1,193 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — the exact baseline: dot products via
+  Catalyst higher-order functions (zip_with + aggregate, JVM-side, no
+  Python), then TakeOrderedAndProject for the top-k (per-partition heap
+  + k-row merge; no full sort, no full shuffle).
+* LSH-bucketed ANN — the scale path: random-hyperplane signatures bucket
+  vectors; a query probes its own bucket plus Hamming-1 neighbors and
+  brute-forces only those. Hyperplanes are seed-deterministic ±1 vectors
+  so executors and driver derive identical planes with no broadcast of
+  random state.
+* embedding-cosine near-duplicate pairs — bucket self-join then exact
+  cosine on candidates only.
+
+An IVF variant (KMeans centroids → probe nearest cells) drops in behind
+the same probe-then-brute-force shape; LSH is the dependency-free choice
+here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dot_expr",
+    "norm_expr",
+    "cosine_expr",
+    "cosine_topk_bruteforce",
+    "hyperplanes",
+    "lsh_signature_expr",
+    "cosine_topk_lsh",
+    "embedding_near_duplicates",
+]
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate — evaluated in the JVM."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def _query_lit(query: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in query])
+
+
+def cosine_topk_bruteforce(
+    df: DataFrame,
+    query: Sequence[float],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query`` → (id, cosine).
+
+    orderBy(desc).limit(k) plans as TakeOrderedAndProject: each partition
+    keeps a k-heap, the driver merges #partitions·k rows — scan-bound and
+    embarrassingly parallel at any scale.
+    """
+    q = _query_lit(query)
+    cos = cosine_expr(F.col(vec_col).cast("array<double>"), q)
+    return (
+        df.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, *, seed: int = 42) -> List[List[float]]:
+    """Deterministic ±1 hyperplanes: component j of plane p is the sign
+    of a sha256 bit of (seed, p, j). Same planes everywhere, no RNG
+    state to ship."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for j in range(dim):
+            h = hashlib.sha256(f"{seed}:{p}:{j}".encode()).digest()
+            row.append(1.0 if h[0] & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature_expr(vec: Column, planes: List[List[float]]) -> Column:
+    """Pack sign(v·plane_p) bits into an int bucket id — pure Catalyst."""
+    sig = F.lit(0)
+    for p, plane in enumerate(planes):
+        bit = (dot_expr(vec, _query_lit(plane)) > 0).cast("int")
+        sig = sig + bit * F.lit(1 << p)
+    return sig
+
+
+def _signature_py(vec: Sequence[float], planes: List[List[float]]) -> int:
+    sig = 0
+    for p, plane in enumerate(planes):
+        if sum(x * y for x, y in zip(vec, plane)) > 0:
+            sig |= 1 << p
+    return sig
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    query: Sequence[float],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: multi-table random-hyperplane LSH.
+
+    ``n_tables`` independent signatures; a row is scanned iff ANY table
+    puts it in the query's bucket (or a Hamming-≤1 neighbor bucket) —
+    the classic recall amplification 1−(1−p)^L. Brute-force cosine runs
+    only inside the union of probed buckets.
+
+    At 100 TB the bucket columns are precomputed/persisted (pure
+    functions of the vector), turning every query into a bucket-pruned
+    scan of roughly n_tables·(n_planes+1)/2^n_planes of the data.
+    """
+    dim = len(query)
+    cond = None
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed=seed + 1000 * t)
+        qsig = _signature_py(list(query), planes)
+        probe = {qsig}
+        if probe_hamming >= 1:
+            probe |= {qsig ^ (1 << p) for p in range(n_planes)}
+        sig = lsh_signature_expr(F.col(vec_col).cast("array<double>"), planes)
+        this = sig.isin(sorted(probe))
+        cond = this if cond is None else (cond | this)
+    return cosine_topk_bruteforce(
+        df.filter(cond), query, vec_col=vec_col, id_col=id_col, k=k
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    Bucket self-join on the LSH signature (near-identical vectors land in
+    the same bucket w.h.p.), exact cosine verification on candidates
+    only → (id_a, id_b, cosine).
+    """
+    dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    planes = hyperplanes(int(dim_probe["d"]), n_planes, seed=seed)
+    sig = lsh_signature_expr(F.col(vec_col).cast("array<double>"), planes)
+    b = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        sig.alias("_bucket"),
+    )
+    x, y = b.alias("x"), b.alias("y")
+    cos = cosine_expr(F.col("x._v"), F.col("y._v"))
+    return (
+        x.join(
+            y,
+            (F.col("x._bucket") == F.col("y._bucket"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,153 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+All hot-path expressions are pure Catalyst (``pyspark.sql.functions`` —
+split/filter/transform/aggregate on arrays), so whole-stage codegen and
+column pruning hold; nothing here ships rows through Python. Every
+operator is deliberately expressible in ANSI SQL too, so the DuckDB
+oracle can verify it value-for-value (see __spark_entry__.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens_expr",
+    "token_count_expr",
+    "token_stats",
+    "quality_score_expr",
+    "quality_by_source",
+    "STOPWORDS",
+    "language_scores_expr",
+    "language_id",
+    "fingerprint_expr",
+    "fingerprints",
+]
+
+
+# -- token counting ----------------------------------------------------------
+
+
+def tokens_expr(col: Column | str) -> Column:
+    """Whitespace tokenization (BPE-ish splitting is a contract between
+    producer and consumer; whitespace is the deterministic common core)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_count_expr(col: Column | str) -> Column:
+    return F.size(tokens_expr(col))
+
+
+def token_stats(df: DataFrame, text_col: str = "text", group_col: str = "source") -> DataFrame:
+    """Per-group token statistics — one scan, one partial+final hash agg."""
+    n = token_count_expr(text_col)
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n).alias("total_tokens"),
+            F.round(F.avg(n), 6).alias("avg_tokens"),
+            F.max(n).alias("max_tokens"),
+        )
+    )
+
+
+# -- quality scoring ---------------------------------------------------------
+
+
+def quality_score_expr(col: Column | str) -> Column:
+    """Heuristic document quality in [0,1] from cheap surface features:
+    length band, mean word length band, alpha ratio. Deterministic,
+    SQL-expressible, tuned for 'is this plausible natural text'."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    n_tok = token_count_expr(c)
+    mean_word = n_chars.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+    alpha = (
+        F.length(F.regexp_replace(c, "[^a-zA-Z ]", "")).cast("double")
+        / F.greatest(n_chars, F.lit(1)).cast("double")
+    )
+    len_ok = F.when((n_chars >= 100) & (n_chars <= 100000), 1.0).otherwise(
+        F.when(n_chars < 100, n_chars.cast("double") / 100.0).otherwise(0.5)
+    )
+    word_ok = F.when((mean_word >= 3.0) & (mean_word <= 12.0), 1.0).otherwise(0.4)
+    return F.round((len_ok + word_ok + alpha) / F.lit(3.0), 6)
+
+
+def quality_by_source(
+    df: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    q = quality_score_expr(text_col)
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(q), 6).alias("avg_quality"),
+        F.round(F.min(q), 6).alias("min_quality"),
+    )
+
+
+# -- language identification -------------------------------------------------
+
+#: Tiny per-language stopword lists — the heuristic core of n-gram langid.
+STOPWORDS: Dict[str, List[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "nicht"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "que", "para"],
+}
+
+
+def language_scores_expr(col: Column | str) -> Dict[str, Column]:
+    """Per-language stopword-hit counts over the token array — Catalyst
+    ``filter`` higher-order function, zero UDFs."""
+    toks = tokens_expr(col)
+    lowered = F.transform(toks, lambda t: F.lower(t))
+    return {
+        lang: F.size(F.filter(lowered, lambda t: t.isin(words)))
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", *, min_hits: int = 1
+) -> DataFrame:
+    """Append ``lang_pred``: argmax language by stopword hits, ``und``
+    (undetermined) below ``min_hits``. Ties break alphabetically
+    (deterministic)."""
+    scores = language_scores_expr(text_col)
+    langs = sorted(scores)
+    best_score = F.greatest(*[scores[l] for l in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier alphabetical wins ties
+        pred = F.when(
+            (scores[lang] == best_score) & (best_score >= min_hits), F.lit(lang)
+        ).otherwise(pred)
+    return df.withColumn("lang_pred", pred)
+
+
+# -- fingerprinting ----------------------------------------------------------
+
+
+def fingerprint_expr(col: Column | str, *, prefix_tokens: Optional[int] = None) -> Column:
+    """Deterministic document fingerprint: md5 of the text (or of its
+    first ``prefix_tokens`` tokens for clustering near-identical heads).
+    md5 chosen over xxhash64 because every engine (Spark, DuckDB,
+    Trino…) renders it identically — fingerprints are portable IDs."""
+    c = F.col(col) if isinstance(col, str) else col
+    if prefix_tokens is not None:
+        c = F.array_join(F.slice(tokens_expr(c), 1, prefix_tokens), " ")
+    return F.md5(c)
+
+
+def fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        fingerprint_expr(text_col).alias("fingerprint"),
+        fingerprint_expr(text_col, prefix_tokens=16).alias("prefix_fingerprint"),
+    )

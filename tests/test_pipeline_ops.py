@@ -1,0 +1,214 @@
+"""Tests for the training-data pipeline operators: text analysis, dedup
+(exact / MinHash-LSH / SimHash / Jaccard), similarity search, multimodal
+plumbing — over the driver testdata and synthetic fixtures.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dsci_524_g26_data_validation_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+# -- text --------------------------------------------------------------------
+
+
+def test_token_stats(docs):
+    stats = text.token_stats(docs).collect()
+    assert len(stats) == 20  # src0..src19
+    for r in stats:
+        assert r["total_tokens"] > 0
+        assert 0 < r["avg_tokens"] <= r["max_tokens"]
+
+
+def test_token_count_matches_python(docs):
+    sample = docs.limit(50).select("doc_id", "text").collect()
+    counted = {
+        r["doc_id"]: r["n"]
+        for r in docs.limit(50)
+        .select("doc_id", text.token_count_expr("text").alias("n"))
+        .collect()
+    }
+    for r in sample:
+        assert counted[r["doc_id"]] == len(r["text"].split(" "))
+
+
+def test_quality_score_bounds(docs):
+    rows = docs.select(text.quality_score_expr("text").alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is happy"),
+            (2, "le chat est sur la table et il est content"),
+            (3, "der hund ist ein guter freund und die katze auch"),
+            (4, "el perro es un buen amigo y la casa es grande"),
+            (5, "xyzzy plugh qwerty"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in text.language_id(df).collect()}
+    assert got == {1: "en", 2: "fr", 3: "de", 4: "es", 5: "und"}
+
+
+def test_fingerprints_identical_text_identical_fp(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "a b c d f")],
+        "doc_id bigint, text string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in text.fingerprints(df).collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+# -- dedup -------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "the quick brown fox jumps over the lazy dog again and again today"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog again and again tonight"),  # near dup
+        (4, "completely different content about spark dataframes and shuffles here"),
+        (5, "another unrelated document discussing histograms and drift detection"),
+    ]
+    return spark.createDataFrame(base, "doc_id bigint, text string")
+
+
+def test_exact_duplicates(dup_docs):
+    groups = dedup.exact_duplicates(dup_docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["dup_count"] == 2
+    assert groups[0]["keep_id"] == 1
+
+
+def test_deduplicate_exact(dup_docs):
+    kept = dedup.deduplicate_exact(dup_docs)
+    assert kept.count() == 4
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert ids == {1, 3, 4, 5}  # survivor is min id
+
+
+def test_minhash_lsh_finds_near_dups(dup_docs):
+    cand = dedup.minhash_lsh_candidates(dup_docs, num_hashes=32, bands=16)
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert (1, 2) in pairs  # exact dup always collides
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup collides w.h.p.
+    # unrelated docs don't appear together
+    assert not any({a, b} == {4, 5} for a, b in pairs)
+
+
+def test_jaccard_verify(dup_docs):
+    cand = dedup.minhash_lsh_candidates(dup_docs, num_hashes=32, bands=16)
+    verified = dedup.jaccard_verify(dup_docs, cand, threshold=0.5)
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert rows[(1, 2)] == 1.0
+    pair13 = rows.get((1, 3)) or rows.get((2, 3))
+    assert pair13 is not None and 0.5 <= pair13 < 1.0
+
+
+def test_simhash_near_duplicates(dup_docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(dup_docs).collect()}
+    assert sh[1] == sh[2]  # identical text → identical signature
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_duplicates(dup_docs, max_hamming=16).collect()
+    }
+    assert pairs[(1, 2)] == 0
+
+
+def test_exact_dedup_at_scale(docs):
+    # testdata documents are unique → dedup keeps everything
+    assert dedup.exact_duplicates(docs).count() == 0
+    assert dedup.deduplicate_exact(docs).count() == docs.count()
+
+
+# -- similarity --------------------------------------------------------------
+
+
+def test_cosine_topk_bruteforce(emb):
+    query = emb.filter("vec_id = 0").select("embedding").first()["embedding"]
+    top = similarity.cosine_topk_bruteforce(emb, list(query), k=5).collect()
+    assert len(top) == 5
+    assert top[0]["vec_id"] == 0  # self is most similar
+    assert top[0]["cosine"] == pytest.approx(1.0, abs=1e-5)
+    cosines = [r["cosine"] for r in top]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_cosine_topk_lsh_approximates_bruteforce(emb):
+    query = list(emb.filter("vec_id = 7").select("embedding").first()["embedding"])
+    exact = similarity.cosine_topk_bruteforce(emb, query, k=10).collect()
+    approx = similarity.cosine_topk_lsh(emb, query, k=10, n_planes=6).collect()
+    # the query's own vector must be found, and recall@10 should be decent
+    assert approx[0]["vec_id"] == 7
+    exact_ids = {r["vec_id"] for r in exact}
+    approx_ids = {r["vec_id"] for r in approx}
+    assert len(exact_ids & approx_ids) >= 5
+    # LSH scans a strict subset of rows
+    assert len(approx) <= 10
+
+
+def test_embedding_near_duplicates(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+    ]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+    pairs = similarity.embedding_near_duplicates(df, threshold=0.99).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+# -- multimodal --------------------------------------------------------------
+
+
+def test_media_plumbing(spark):
+    media = multimodal.media_table(spark, 300, num_partitions=4).cache()
+    # same names/types (nullability of generated columns may differ)
+    assert media.schema.simpleString() == multimodal.MEDIA_SCHEMA.simpleString()
+    kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+    decoded = multimodal.decode_images(media)
+    rows = decoded.collect()
+    assert len(rows) == media.filter("kind = 'image'").count()
+    assert all(r["ok"] and r["n_pixels"] == r["width"] * r["height"] for r in rows)
+
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 300
+    assert all(len(r["features"]) == 16 for r in feats)
+    # deterministic across runs
+    feats2 = multimodal.extract_features(
+        multimodal.media_table(spark, 300, num_partitions=4)
+    ).collect()
+    assert {r["media_id"]: tuple(r["features"]) for r in feats} == {
+        r["media_id"]: tuple(r["features"]) for r in feats2
+    }
+
+    frames = multimodal.sample_frames(media, every_ms=5000)
+    f0 = frames.groupBy("media_id").count().first()
+    assert f0["count"] >= 1
+
+
+def test_real_decode_is_gated(spark):
+    media = multimodal.media_table(spark, 10)
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    with pytest.raises(Exception) as exc_info:
+        multimodal.decode_images(media, real_decode=True).collect()
+    assert "codec" in str(exc_info.value) or "NotImplementedError" in str(exc_info.value)
