@@ -32,6 +32,7 @@ __all__ = [
     "deduplicate_exact",
     "shingles_expr",
     "minhash_signature_expr",
+    "minhash_signatures",
     "minhash_lsh_candidates",
     "jaccard_verify",
     "simhash",
@@ -98,16 +99,62 @@ def shingles_expr(text_col: Column | str, *, size: int = 3) -> Column:
 def minhash_signature_expr(
     shingles: Column, *, num_hashes: int = 32, seed: int = 42
 ) -> Column:
-    """MinHash signature: element k = min over shingles of
-    xxhash64(shingle, seed+k). array<bigint> of length num_hashes —
-    entirely Catalyst (array_min over transform)."""
+    """MinHash signature as one expression: element k = min over shingles
+    of ``xxhash64(h1(s), seed+k)`` — the variable-length shingle string is
+    hashed ONCE (h1), and the per-permutation families re-hash only that
+    fixed 8-byte value, so cost is one string pass + num_hashes cheap
+    long-hashes (vs. num_hashes full string passes naively). Re-hashing
+    (rather than the classic ``h1 + k*h2`` affine family) also sidesteps
+    ANSI-mode overflow on 64-bit arithmetic.
+
+    array<bigint> of length num_hashes — entirely Catalyst. Prefer
+    :func:`minhash_signatures` (the DataFrame form) in pipelines: it
+    materializes the base hashes behind a projection barrier so the
+    shingling runs exactly once per row."""
+    h1 = F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed)))
     sigs = [
-        F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed + k)))
-        )
+        F.array_min(F.transform(h1, lambda x: F.xxhash64(x, F.lit(seed + k))))
         for k in range(num_hashes)
     ]
     return F.array(*sigs)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, _sig: array<bigint>) MinHash signatures, evaluated efficiently.
+
+    Three chained projections — shingles, then the base hash array, then
+    the signature. Each step's output is referenced multiple times
+    downstream, so Catalyst's CollapseProject keeps the barriers and every
+    expensive array is computed once per row (vs. ``num_hashes``× when the
+    whole signature is one inlined expression)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        shingles_expr(text_col, size=shingle_size).alias("_sh"),
+    )
+    hashes = sh.select(
+        "_id",
+        F.transform("_sh", lambda s: F.xxhash64(s, F.lit(seed))).alias("_h1"),
+    )
+    sig = hashes.select(
+        "_id",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform("_h1", lambda x: F.xxhash64(x, F.lit(seed + k)))
+                )
+                for k in range(num_hashes)
+            ]
+        ).alias("_sig"),
+    )
+    return sig
 
 
 def minhash_lsh_candidates(
@@ -135,10 +182,14 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rpb = num_hashes // bands
-    sig = minhash_signature_expr(
-        shingles_expr(text_col, size=shingle_size), num_hashes=num_hashes, seed=seed
-    )
-    banded = df.select(F.col(id_col).alias("_id"), sig.alias("_sig")).select(
+    banded = minhash_signatures(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_size=shingle_size,
+        num_hashes=num_hashes,
+        seed=seed,
+    ).select(
         "_id",
         F.explode(
             F.transform(

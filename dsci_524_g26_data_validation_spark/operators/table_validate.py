@@ -4,14 +4,21 @@ optionally resumable per data partition (E7).
 This is the "full contract pass" the north-star metric times
 (BASELINE.json:2 — validated sequences/sec). Job inventory for one run:
 
-  1 fused scan        column stats + invariant counts   (phase 1)
-  1 two-level agg     uniqueness per key                 (E1)
-  1 anti-join         per foreign key (broadcast dim)    (E2)
-  1 scan + 1 shuffle  all drift histograms together      (E3/E4)
-  1 join + UDF scan   token equality (only if reference) (E6)
-  ≤1 scan             violation-row materialization      (conditional)
+  1 fused scan        column stats + invariant counts (E5) + inlined
+                      small-dim referential counts (E2)        (phase 1)
+  1 two-level agg     uniqueness per key                        (E1)
+  ≤1 anti-join        per foreign key whose dim is too big to
+                      inline into the fused pass                (E2)
+  1 scan + 1 shuffle  all drift histograms together             (E3/E4)
+  1 narrow hash-join  token equality pre-filter + candidate
+                      UDF confirmation (only if reference)      (E6)
+  ≤1 scan             violation-row materialization             (conditional)
 
-Everything except E6's Arrow UDF is pure Catalyst.
+Everything except E6's Arrow UDF is pure Catalyst. Small dimension
+tables (≤ INLINE_DIM_CAP distinct keys — the usual case for a source /
+language / license dim) are collected once and compiled into an InSet
+``count_if`` term of the fused aggregation, removing the whole anti-join
+job; larger dims fall back to the broadcast/salted anti-join.
 """
 
 from __future__ import annotations
@@ -27,9 +34,12 @@ from .drift import drift_scores
 from .referential import referential_violations
 from .tokens import token_equality_violations
 from .uniqueness import duplicate_keys
-from .validate import validate_contract
+from .validate import validate_contract_fused
 
 __all__ = ["validate_table_contract", "run_resumable_validation", "DriftThresholds"]
+
+#: Max distinct dim keys inlined into the fused pass as an InSet predicate.
+INLINE_DIM_CAP = 10_000
 
 
 class DriftThresholds:
@@ -38,6 +48,25 @@ class DriftThresholds:
     def __init__(self, psi: float = 0.25, chi_square: Optional[float] = None):
         self.psi = psi
         self.chi_square = chi_square
+
+
+def _collect_small_dim(dim: DataFrame, key: str) -> Optional[list]:
+    """Distinct dim keys if ≤ INLINE_DIM_CAP (else None → join fallback).
+
+    One tiny job over the (dimension) table; at most CAP+1 keys cross to
+    the driver. NULL dim keys are dropped — they can never legitimise a
+    fact row (SQL join semantics).
+    """
+    rows = (
+        dim.select(F.col(f"`{key}`").alias("_k"))
+        .filter(F.col("_k").isNotNull())
+        .distinct()
+        .limit(INLINE_DIM_CAP + 1)
+        .collect()
+    )
+    if len(rows) > INLINE_DIM_CAP:
+        return None
+    return [r["_k"] for r in rows]
 
 
 def validate_table_contract(
@@ -60,28 +89,47 @@ def validate_table_contract(
     thr = drift_thresholds or DriftThresholds()
     issues: List[Issue] = []
 
-    # columns + schema (reference semantics) — phases 0-2
-    col_result = validate_contract(df, tc.contract, strict=strict)
+    # --- build the extra fused-agg terms: E5 invariants + inlinable E2 ----
+    extra_terms = [
+        F.count_if(~F.expr(inv)).alias(f"inv{n}") for n, inv in enumerate(tc.invariants)
+    ]
+    inline_fk: Dict[int, str] = {}  # fk index -> extras alias
+    joined_fk: List[int] = []
+    for i, fk in enumerate(tc.foreign_keys):
+        if fk.ref_table not in dims:
+            continue
+        keys = _collect_small_dim(dims[fk.ref_table], fk.ref_column)
+        if keys is None:
+            joined_fk.append(i)
+            continue
+        c = F.col(f"`{fk.column}`")
+        # NULL fact keys count as violations — same as the anti-join
+        # (a NULL never matches any dim key).
+        extra_terms.append(
+            F.count_if(c.isNull() | ~c.isin(keys)).alias(f"fk{i}")
+        )
+        inline_fk[i] = f"fk{i}"
+
+    # columns + schema (reference semantics) — phases 0-2, with the extra
+    # table-level counts riding the same single phase-1 scan
+    col_result, extras = validate_contract_fused(
+        df, tc.contract, strict=strict, extra_terms=extra_terms
+    )
     issues.extend(col_result.issues)
 
-    # E5 invariants ride a single fused count pass
-    if tc.invariants:
-        terms = [
-            F.count_if(~F.expr(inv)).alias(f"i{n}") for n, inv in enumerate(tc.invariants)
-        ]
-        row = df.agg(*terms).collect()[0]
-        for n, inv in enumerate(tc.invariants):
-            bad = int(row[f"i{n}"] or 0)
-            if bad > 0:
-                issues.append(
-                    Issue(
-                        kind="invariant",
-                        message=f"invariant violated on {bad} row(s): {inv}",
-                        column=None,
-                        observed=bad,
-                        expected=0,
-                    )
+    # E5 invariant verdicts (already computed in the fused pass)
+    for n, inv in enumerate(tc.invariants):
+        bad = int(extras.get(f"inv{n}") or 0)
+        if bad > 0:
+            issues.append(
+                Issue(
+                    kind="invariant",
+                    message=f"invariant violated on {bad} row(s): {inv}",
+                    column=None,
+                    observed=bad,
+                    expected=0,
                 )
+            )
 
     # E1 uniqueness (salted two-level aggregation)
     for key in tc.unique_keys:
@@ -104,8 +152,9 @@ def validate_table_contract(
                 )
             )
 
-    # E2 referential integrity (broadcast or salted anti-join)
-    for fk in tc.foreign_keys:
+    # E2 referential integrity: inlined counts from the fused pass for
+    # small dims; broadcast/salted anti-join for the rest
+    for i, fk in enumerate(tc.foreign_keys):
         if fk.ref_table not in dims:
             issues.append(
                 Issue(
@@ -117,9 +166,12 @@ def validate_table_contract(
                 )
             )
             continue
-        bad = referential_violations(
-            df, dims[fk.ref_table], fk.column, fk.ref_column, strategy=fk_strategy
-        ).count()
+        if i in inline_fk:
+            bad = int(extras.get(inline_fk[i]) or 0)
+        else:
+            bad = referential_violations(
+                df, dims[fk.ref_table], fk.column, fk.ref_column, strategy=fk_strategy
+            ).count()
         if bad > 0:
             issues.append(
                 Issue(

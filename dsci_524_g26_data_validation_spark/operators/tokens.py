@@ -81,26 +81,73 @@ def token_equality_violations(
     *,
     key: str = "doc_id",
     arr_col: str = "tokens",
+    verify_with_udf: bool = True,
 ) -> DataFrame:
     """Rows of ``df`` whose token array differs from ``reference``'s (E6).
 
+    Scale-first two-phase design:
+
+    1. **Hash pre-filter (pure Catalyst).** Each side is reduced to
+       ``(key, xxhash64(tokens), size(tokens))`` inside the scan, so the
+       equi-join on ``key`` shuffles ~24 bytes/row instead of whole token
+       arrays (~1 KB/row at typical sequence lengths — a 40× shuffle
+       reduction at 100 TB). A differing hash or length *proves* the
+       arrays differ; equal hashes mean equal arrays up to a 2^-64
+       collision.
+    2. **Arrow-UDF confirmation on candidates only.** The (tiny)
+       candidate key set is broadcast back against both tables to fetch
+       the actual arrays; the vectorized ``arrays_equal_udf`` re-checks
+       them batch-wise. The UDF therefore only ever sees the mismatch
+       set, never the full table.
+
     Inner-join on the key (rows missing from the reference are the
-    referential check's job, not this one), then the Arrow UDF compares
-    arrays batch-wise. Returns (key, n_tok_observed, n_tok_reference).
+    referential check's job, not this one). NULL-key rows never match and
+    are dropped, same as before. Returns (key, n_tok_observed,
+    n_tok_reference).
     """
-    ref = reference.select(
-        F.col(f"`{key}`").alias("_rk"), F.col(f"`{arr_col}`").alias("_ref_tokens")
+    k, arr = f"`{key}`", f"`{arr_col}`"
+    left = df.select(
+        F.col(k).alias("_k"),
+        F.xxhash64(F.col(arr)).alias("_h_obs"),
+        F.size(F.col(arr)).alias("n_tok_observed"),
     )
-    joined = df.join(ref, on=df[f"`{key}`"] == F.col("_rk"), how="inner")
+    right = reference.select(
+        F.col(k).alias("_k"),
+        F.xxhash64(F.col(arr)).alias("_h_ref"),
+        F.size(F.col(arr)).alias("n_tok_reference"),
+    )
+    cand = (
+        left.join(right, on="_k", how="inner")
+        .filter(
+            (F.col("_h_obs") != F.col("_h_ref"))
+            | (F.col("n_tok_observed") != F.col("n_tok_reference"))
+        )
+        .select(F.col("_k"), "n_tok_observed", "n_tok_reference")
+    )
+    if not verify_with_udf:
+        return cand.withColumnRenamed("_k", key)
+
+    # Phase 2: semi-join the candidate keys (AQE picks broadcast when the
+    # set is small — the normal case; falls back to shuffle join when a
+    # mass mismatch makes it huge), fetch both arrays, confirm with the
+    # mandated Arrow UDF. Pruned scans read only (key, tokens).
+    keys = cand.select("_k").distinct()
+    obs = df.join(keys, on=df[k] == F.col("_k"), how="left_semi").select(
+        F.col(k).alias("_k"), F.col(arr).alias("_obs_tokens")
+    )
+    ref = reference.join(keys, on=reference[k] == F.col("_k"), how="left_semi").select(
+        F.col(k).alias("_k"), F.col(arr).alias("_ref_tokens")
+    )
     return (
-        joined.withColumn(
-            "_eq", arrays_equal_udf(F.col(f"`{arr_col}`"), F.col("_ref_tokens"))
+        obs.join(ref, on="_k", how="inner")
+        .withColumn(
+            "_eq", arrays_equal_udf(F.col("_obs_tokens"), F.col("_ref_tokens"))
         )
         .filter(~F.col("_eq"))
         .select(
-            F.col(f"`{key}`"),
-            F.size(F.col(f"`{arr_col}`")).alias("n_tok_observed"),
-            F.size(F.col("_ref_tokens")).alias("n_tok_reference"),
+            F.col("_k").alias(key),
+            F.size("_obs_tokens").alias("n_tok_observed"),
+            F.size("_ref_tokens").alias("n_tok_reference"),
         )
     )
 

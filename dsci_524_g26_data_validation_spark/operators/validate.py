@@ -46,6 +46,7 @@ from ..types import (
 
 __all__ = [
     "validate_contract",
+    "validate_contract_fused",
     "validate_and_fail",
     "violation_rows",
     "partition_verdicts",
@@ -65,8 +66,30 @@ def validate_contract(
     ``strict=True`` reports extra (non-contract) columns, mirroring the
     reference's flag (validate_contract.py:31-36,83-93).
     """
+    result, _ = validate_contract_fused(df, contract, strict=strict)
+    return result
+
+
+def validate_contract_fused(
+    df: DataFrame,
+    contract: Contract,
+    *,
+    strict: bool = True,
+    extra_terms: Optional[List] = None,
+):
+    """validate_contract + caller-supplied aggregate terms in the SAME
+    single scan.
+
+    ``extra_terms`` (aliased aggregate Columns, e.g. table-level invariant
+    ``count_if`` terms or inlined referential-violation counts) ride the
+    phase-1 fused aggregation, so a full table-contract pass costs one
+    scan for ALL per-column rules + table-level counts together. Returns
+    ``(ValidationResult, extras)`` where ``extras`` maps each extra
+    term's alias to its aggregated value ({} when none given).
+    """
     if not isinstance(df, DataFrame):
         raise TypeError("df must be a pyspark.sql.DataFrame")
+    extra_terms = list(extra_terms or [])
 
     issues: List[Issue] = []
     schema = {f.name: f.dataType for f in df.schema.fields}
@@ -98,7 +121,14 @@ def validate_contract(
 
     # --- phase 1: one fused aggregation job ------------------------------
     plan = compile_stats_pass(df, contract)
-    stats = run_stats_pass(df, plan)
+    extras: Dict[str, object] = {}
+    if plan.terms or extra_terms:
+        agg_df = df.agg(*plan.terms, *extra_terms)
+        row = agg_df.collect()[0]
+        stats = plan.decode(row)
+        extras = {n: row[n] for n in agg_df.columns[len(plan.terms):]}
+    else:
+        stats = {}
 
     # --- phase 2 prep: which category rules need the observed set --------
     tripped_cats = [
@@ -204,7 +234,7 @@ def validate_contract(
                     )
                 )
 
-    return ValidationResult(ok=len(issues) == 0, issues=issues)
+    return ValidationResult(ok=len(issues) == 0, issues=issues), extras
 
 
 def validate_and_fail(
