@@ -21,6 +21,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 import dsci_524_g26_data_validation_spark as dv
 from dsci_524_g26_data_validation_spark.operators import dedup, similarity, text
 from dsci_524_g26_data_validation_spark.operators.drift import observed_histogram_df
+from dsci_524_g26_data_validation_spark.streaming import (
+    validate_each_batch,
+    violation_counts_stream,
+)
 from dsci_524_g26_data_validation_spark.types import Histogram
 
 # ---------------------------------------------------------------------------
@@ -238,6 +242,79 @@ def _embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+_EVENTS_CONTRACT = dv.Contract(
+    name="events",
+    columns={
+        "value": dv.ColumnRule(dtype="double", min_value=0, max_value=100),
+        "event_type": dv.ColumnRule(
+            dtype="string",
+            allowed_values={"click", "view", "purchase", "signup"},
+        ),
+    },
+)
+
+
+def _stream_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming: per-day windowed violation counts over a
+    file-stream of the events table (availableNow → deterministic)."""
+    import tempfile
+    import uuid
+
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    counted = violation_counts_stream(
+        stream, _EVENTS_CONTRACT, time_col="ts", window_duration="1 day",
+        watermark_delay="2 days",
+    )
+    name = f"vc_{uuid.uuid4().hex[:8]}"
+    q = (
+        counted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dv_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "window_start", "column", "kind", "facet", "n_violations", "n_rows"
+    )
+
+
+def _stream_batch_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming: full fused contract pass per micro-batch
+    (foreachBatch); one verdict row per batch. Rows-only check."""
+    import tempfile
+
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    q, verdicts = validate_each_batch(
+        stream,
+        _EVENTS_CONTRACT,
+        checkpoint_dir=tempfile.mkdtemp(prefix="dv_ckpt_"),
+        strict=False,
+    )
+    q.awaitTermination(300)
+    rows = [
+        (v.batch_id, v.result.ok, len(v.result.issues), v.n_rows)
+        for v in verdicts
+    ]
+    return spark.createDataFrame(
+        rows, "batch_id long, ok boolean, n_issues int, n_rows long"
+    )
+
+
 # -- non-SQL-expressible (rows-only checks) ----------------------------------
 
 
@@ -310,7 +387,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntok_invariant_documents": _ntok_invariant_documents,
         "simsearch_topk": _simsearch_topk,
         "embedding_norms": _embedding_norms,
+        "stream_violation_counts": _stream_violation_counts,
         # non-SQL-expressible (rows-only checks)
+        "stream_batch_verdicts": _stream_batch_verdicts,
         "minhash_candidates": _minhash_candidates,
         "simhash_near_dups": _simhash_near_dups,
         "ann_lsh_topk": _ann_lsh_topk,
@@ -460,5 +539,24 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(sqrt(list_aggregate(
                        list_transform(embedding, x -> x * x), 'sum'))), 4) AS avg_norm
             FROM embeddings GROUP BY label
+        """,
+        # windowed streaming aggregation == per-day batch aggregation
+        # (Spark 1-day tumbling windows align to epoch days = date_trunc)
+        "stream_violation_counts": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+                   'value' AS column, 'range' AS kind, 0 AS facet,
+                   count(*) FILTER (WHERE value < 0) AS n_violations,
+                   count(*) AS n_rows
+            FROM events GROUP BY 1
+            UNION ALL
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP), 'value', 'range', 1,
+                   count(*) FILTER (WHERE value > 100), count(*)
+            FROM events GROUP BY 1
+            UNION ALL
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP), 'event_type', 'category', 0,
+                   count(*) FILTER (WHERE event_type IS NOT NULL
+                       AND event_type NOT IN ('click','view','purchase','signup')),
+                   count(*)
+            FROM events GROUP BY 1
         """,
     }

@@ -39,6 +39,7 @@ from .operators.uniqueness import duplicate_keys, uniqueness_violation_count
 from .operators.referential import referential_violations
 from .operators.drift import capture_histograms, chi_square, drift_scores, psi
 from .operators.tokens import (
+    key_integrity_counts,
     arrays_equal_udf,
     ntok_invariant_violations,
     token_equality_violations,

@@ -26,14 +26,18 @@ from ..types import Histogram
 
 __all__ = [
     "NULL_LABEL",
+    "OTHER_LABEL",
     "capture_histograms",
     "observed_histogram_df",
+    "fused_drift_terms",
+    "drift_scores_from_counts",
     "chi_square",
     "psi",
     "drift_scores",
 ]
 
 NULL_LABEL = "__null__"
+OTHER_LABEL = "__other__"
 _EPS = 1e-9
 
 
@@ -158,16 +162,62 @@ def psi(baseline: Histogram, observed_counts: Mapping[str, int], *, eps: float =
     return val
 
 
-def drift_scores(
-    df: DataFrame, baselines: Mapping[str, Histogram]
+def fused_drift_terms(df: DataFrame, baselines: Mapping[str, Histogram]):
+    """Compile observed-histogram capture into flat ``count_if`` aggregate
+    terms so drift rides the SAME single-row fused aggregation as the
+    column stats (no separate scan, no (column,label) shuffle).
+
+    Possible because the baseline pins the label set: one ``count_if``
+    per baseline label plus one ``__other__`` bucket for everything
+    novel. vs. the groupBy path (:func:`observed_histogram_df`) the only
+    semantic difference is that multiple novel categories aggregate into
+    ONE novel bucket — which is also the only formulation whose state is
+    bounded at 10^12 rows (a groupBy on a drifting high-cardinality
+    column is not).
+
+    Returns ``(terms, decode)`` where ``decode(extras)`` maps the
+    aggregated values back to ``{column: {label: count}}`` ready for
+    :func:`chi_square` / :func:`psi`.
+    """
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    terms = []
+    spec: Dict[str, Dict[str, str]] = {}
+    for i, (c, h) in enumerate(baselines.items()):
+        col = F.col(f"`{c}`")
+        if h.kind == "categorical" and isinstance(schema.get(c), T.BooleanType):
+            col = categorical_cast(col, schema[c])
+        label = _bucket_label(col, h)
+        labels = list(h.labels)
+        aliases: Dict[str, str] = {}
+        for j, lab in enumerate(labels):
+            a = f"hg{i}_{j}"
+            terms.append(F.count_if(label == F.lit(lab)).alias(a))
+            aliases[lab] = a
+        other = f"hg{i}_other"
+        known = labels + [NULL_LABEL]
+        terms.append(F.count_if(~label.isin(known)).alias(other))
+        aliases[OTHER_LABEL] = other
+        spec[c] = aliases
+
+    def decode(extras: Mapping[str, object]) -> Dict[str, Dict[str, int]]:
+        out: Dict[str, Dict[str, int]] = {}
+        for c, aliases in spec.items():
+            counts = {
+                lab: int(extras[a] or 0)
+                for lab, a in aliases.items()
+            }
+            if counts.get(OTHER_LABEL) == 0:
+                counts.pop(OTHER_LABEL, None)
+            out[c] = counts
+        return out
+
+    return terms, decode
+
+
+def drift_scores_from_counts(
+    baselines: Mapping[str, Histogram], by_col: Mapping[str, Mapping[str, int]]
 ) -> Dict[str, Dict[str, float]]:
-    """One scan → {column: {chi_square, psi, total}} for every baseline."""
-    if not baselines:
-        return {}
-    rows = observed_histogram_df(df, baselines).collect()
-    by_col: Dict[str, Dict[str, int]] = {}
-    for r in rows:
-        by_col.setdefault(r["column"], {})[r["label"]] = int(r["cnt"])
+    """chi-square / PSI per column from already-aggregated counts."""
     out: Dict[str, Dict[str, float]] = {}
     for c, h in baselines.items():
         counts = by_col.get(c, {})
@@ -178,3 +228,16 @@ def drift_scores(
             "total": float(non_null),
         }
     return out
+
+
+def drift_scores(
+    df: DataFrame, baselines: Mapping[str, Histogram]
+) -> Dict[str, Dict[str, float]]:
+    """One scan → {column: {chi_square, psi, total}} for every baseline."""
+    if not baselines:
+        return {}
+    rows = observed_histogram_df(df, baselines).collect()
+    by_col: Dict[str, Dict[str, int]] = {}
+    for r in rows:
+        by_col.setdefault(r["column"], {})[r["label"]] = int(r["cnt"])
+    return drift_scores_from_counts(baselines, by_col)

@@ -4,15 +4,21 @@ optionally resumable per data partition (E7).
 This is the "full contract pass" the north-star metric times
 (BASELINE.json:2 — validated sequences/sec). Job inventory for one run:
 
-  1 fused scan        column stats + invariant counts (E5) + inlined
-                      small-dim referential counts (E2)        (phase 1)
-  1 two-level agg     uniqueness per key                        (E1)
-  ≤1 anti-join        per foreign key whose dim is too big to
-                      inline into the fused pass                (E2)
-  1 scan + 1 shuffle  all drift histograms together             (E3/E4)
-  1 narrow hash-join  token equality pre-filter + candidate
-                      UDF confirmation (only if reference)      (E6)
-  ≤1 scan             violation-row materialization             (conditional)
+  job 1  fused scan          column stats + invariant counts (E5) +
+                             inlined small-dim referential counts (E2) +
+                             ALL drift histogram counts (E3/E4)
+  job 2  union + groupBy     uniqueness (E1) AND token-hash equality
+                             (E6) in one shuffle, when the token key is
+                             a unique key and a reference is given
+  ≤1 two-level agg           per additional uniqueness key        (E1)
+  ≤1 anti-join               per foreign key whose dim is too big
+                             to inline into job 1                 (E2)
+  ≤1 scan                    violation-row materialization (conditional;
+                             E6 candidates confirmed by the Arrow UDF)
+
+A clean full contract pass is therefore exactly TWO jobs regardless of
+how many columns, rules, histograms, invariants, or (small-dim) foreign
+keys the contract carries.
 
 Everything except E6's Arrow UDF is pure Catalyst. Small dimension
 tables (≤ INLINE_DIM_CAP distinct keys — the usual case for a source /
@@ -30,9 +36,9 @@ from pyspark.sql import functions as F
 
 from ..sources.manifest import FileManifestStore
 from ..types import Issue, TableContract, ValidationResult
-from .drift import drift_scores
+from .drift import drift_scores_from_counts, fused_drift_terms
 from .referential import referential_violations
-from .tokens import token_equality_violations
+from .tokens import key_integrity_counts, token_equality_violations
 from .uniqueness import duplicate_keys
 from .validate import validate_contract_fused
 
@@ -78,21 +84,28 @@ def validate_table_contract(
     strict: bool = True,
     drift_thresholds: Optional[DriftThresholds] = None,
     fk_strategy: str = "broadcast",
+    token_key: str = "doc_id",
+    token_col: str = "tokens",
 ) -> ValidationResult:
     """Run every check of a TableContract → one ValidationResult.
 
     dims: name → dimension DataFrame for ForeignKeyRule.ref_table lookups.
     reference: clean copy of the table for E6 token-array equality
-        (compared on tokens/doc_id when provided).
+        (compared on token_col, joined on token_key).
     """
     dims = dims or {}
     thr = drift_thresholds or DriftThresholds()
     issues: List[Issue] = []
 
-    # --- build the extra fused-agg terms: E5 invariants + inlinable E2 ----
+    # --- build the extra fused-agg terms: E5 invariants + inlinable E2
+    #     + all drift histograms (E3/E4) ---------------------------------
     extra_terms = [
         F.count_if(~F.expr(inv)).alias(f"inv{n}") for n, inv in enumerate(tc.invariants)
     ]
+    drift_decode = None
+    if tc.histograms:
+        hg_terms, drift_decode = fused_drift_terms(df, tc.histograms)
+        extra_terms.extend(hg_terms)
     inline_fk: Dict[int, str] = {}  # fk index -> extras alias
     joined_fk: List[int] = []
     for i, fk in enumerate(tc.foreign_keys):
@@ -113,7 +126,11 @@ def validate_table_contract(
     # columns + schema (reference semantics) — phases 0-2, with the extra
     # table-level counts riding the same single phase-1 scan
     col_result, extras = validate_contract_fused(
-        df, tc.contract, strict=strict, extra_terms=extra_terms
+        df,
+        tc.contract,
+        strict=strict,
+        extra_terms=extra_terms,
+        category_observed="invalid_only",
     )
     issues.extend(col_result.issues)
 
@@ -131,8 +148,43 @@ def validate_table_contract(
                 )
             )
 
-    # E1 uniqueness (salted two-level aggregation)
+    # E1 uniqueness + E6 token equality: when the E6 reference is present
+    # and the token key is also a uniqueness key, BOTH ride one fused
+    # union+groupBy job (key_integrity_counts) — one shuffle instead of a
+    # groupBy job plus a two-sided join job. Other unique keys use the
+    # two-level salted aggregation.
+    fused_e6 = reference is not None and token_key in tc.unique_keys
+    if fused_e6:
+        kc = key_integrity_counts(df, reference, key=token_key, arr_col=token_col)
+        if kc["dup_keys"] > 0:
+            issues.append(
+                Issue(
+                    kind="uniqueness",
+                    message=(
+                        f"{token_key}: {kc['dup_keys']} duplicated key(s), "
+                        f"{kc['surplus_rows']} surplus row(s)"
+                    ),
+                    column=token_key,
+                    observed=kc["dup_keys"],
+                    expected=0,
+                )
+            )
+        if kc["eq_bad_keys"] > 0:
+            issues.append(
+                Issue(
+                    kind="token_equality",
+                    message=(
+                        f"{token_col}: {kc['eq_bad_keys']} key(s) whose token "
+                        "content differs from the reference copy"
+                    ),
+                    column=token_col,
+                    observed=kc["eq_bad_keys"],
+                    expected=0,
+                )
+            )
     for key in tc.unique_keys:
+        if fused_e6 and key == token_key:
+            continue
         dup = duplicate_keys(df, key)
         agg = dup.agg(
             F.count(F.lit(1)).alias("k"),
@@ -186,9 +238,9 @@ def validate_table_contract(
                 )
             )
 
-    # E3/E4 drift — all histograms in one scan
+    # E3/E4 drift — decoded from the fused phase-1 pass (no extra scan)
     if tc.histograms:
-        scores = drift_scores(df, tc.histograms)
+        scores = drift_scores_from_counts(tc.histograms, drift_decode(extras))
         for col, s in sorted(scores.items()):
             if s["psi"] > thr.psi:
                 issues.append(
@@ -214,15 +266,23 @@ def validate_table_contract(
                     )
                 )
 
-    # E6 token-array equality vs reference copy (Arrow UDF path)
-    if reference is not None:
-        n_bad = token_equality_violations(df, reference).count()
+    # E6 token-array equality vs reference copy (only when not already
+    # fused with E1 above): Catalyst hash pre-filter; materialized
+    # candidate rows are confirmed by the Arrow UDF inside
+    # token_equality_violations.
+    if reference is not None and not fused_e6:
+        n_bad = token_equality_violations(
+            df, reference, key=token_key, arr_col=token_col
+        ).count()
         if n_bad > 0:
             issues.append(
                 Issue(
                     kind="token_equality",
-                    message=f"tokens: {n_bad} row(s) differ from the reference copy",
-                    column="tokens",
+                    message=(
+                        f"{token_col}: {n_bad} row(s) differ from the "
+                        "reference copy"
+                    ),
+                    column=token_col,
                     observed=n_bad,
                     expected=0,
                 )

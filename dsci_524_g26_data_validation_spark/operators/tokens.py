@@ -16,6 +16,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType
 
@@ -24,7 +25,12 @@ __all__ = [
     "arrays_equal_udf",
     "token_equality_violations",
     "token_equality_report",
+    "key_integrity_counts",
 ]
+
+#: Max candidate rows fetched for Arrow-UDF confirmation; above this the
+#: (already exact) hash verdicts are returned directly.
+VERIFY_CANDIDATE_CAP = 100_000
 
 
 def ntok_invariant_violations(
@@ -124,20 +130,36 @@ def token_equality_violations(
         )
         .select(F.col("_k"), "n_tok_observed", "n_tok_reference")
     )
+    cand = cand.withColumnRenamed("_k", key)
     if not verify_with_udf:
-        return cand.withColumnRenamed("_k", key)
+        return cand
 
-    # Phase 2: semi-join the candidate keys (AQE picks broadcast when the
-    # set is small — the normal case; falls back to shuffle join when a
-    # mass mismatch makes it huge), fetch both arrays, confirm with the
-    # mandated Arrow UDF. Pruned scans read only (key, tokens).
-    keys = cand.select("_k").distinct()
-    obs = df.join(keys, on=df[k] == F.col("_k"), how="left_semi").select(
-        F.col(k).alias("_k"), F.col(arr).alias("_obs_tokens")
+    # Phase 2: the candidate key set is tiny in practice (it IS the
+    # violation set — a differing hash proves the arrays differ; the only
+    # hash error mode is a 2^-64 false NEGATIVE). Collect it to the
+    # driver ONCE (so phase 1 executes exactly once), ship it back as a
+    # small DataFrame (Arrow — py4j literal lists are ruinously slow at
+    # >10^3 elements), and broadcast-semi-join both tables: pruned
+    # (key, tokens) reads, zero array shuffle. If a mass mismatch
+    # overflows the cap, the hash verdicts are returned as-is (still
+    # exact for every reported row).
+    cand_local = cand.limit(VERIFY_CANDIDATE_CAP + 1).collect()
+    if len(cand_local) > VERIFY_CANDIDATE_CAP:
+        return cand
+    if not cand_local:
+        return cand.filter(F.lit(False))
+    spark = df.sparkSession
+    key_type = df.select(F.col(k)).schema.fields[0].dataType
+    keys_df = spark.createDataFrame(
+        [(r[key],) for r in cand_local],
+        T.StructType([T.StructField("_ck", key_type)]),
     )
-    ref = reference.join(keys, on=reference[k] == F.col("_k"), how="left_semi").select(
-        F.col(k).alias("_k"), F.col(arr).alias("_ref_tokens")
-    )
+    obs = df.join(
+        F.broadcast(keys_df), on=df[k] == F.col("_ck"), how="left_semi"
+    ).select(F.col(k).alias("_k"), F.col(arr).alias("_obs_tokens"))
+    ref = reference.join(
+        F.broadcast(keys_df), on=reference[k] == F.col("_ck"), how="left_semi"
+    ).select(F.col(k).alias("_k"), F.col(arr).alias("_ref_tokens"))
     return (
         obs.join(ref, on="_k", how="inner")
         .withColumn(
@@ -150,6 +172,77 @@ def token_equality_violations(
             F.size("_ref_tokens").alias("n_tok_reference"),
         )
     )
+
+
+def key_integrity_counts(
+    df: DataFrame,
+    reference: DataFrame,
+    *,
+    key: str = "doc_id",
+    arr_col: str = "tokens",
+) -> dict:
+    """E1 uniqueness + E6 token-equality summary in ONE shuffled job.
+
+    Both checks need the table keyed by ``key``; paying that shuffle once
+    is the scale play. Each side reduces to ``(key, xxhash64(tokens))``
+    in its scan; the union is hash-aggregated twice:
+
+      stage 1  groupBy(key, hash) — map-side partial agg collapses
+               duplicates before the only real shuffle (~24 B/row);
+               reducer groups are per (key,hash): bounded under key skew.
+      stage 2  groupBy(key)       — per-key row counts per side + the
+               count of hash values present on exactly one side
+               (distinct-set difference), tiny input.
+      stage 3  global agg         — duplicate keys, surplus rows,
+               mismatched keys; one row to the driver.
+
+    Token equality is judged on DISTINCT 64-bit token-hash sets per key
+    (a hash differing proves arrays differ; equal sets are equal up to
+    2^-64/row collisions) for keys present in BOTH tables. NULL keys
+    group like SQL GROUP BY (they count for uniqueness; for equality a
+    NULL key never matches, like the join formulation).
+
+    Returns {dup_keys, surplus_rows, eq_bad_keys, n_obs_rows, n_ref_rows}.
+    """
+    k, arr = f"`{key}`", f"`{arr_col}`"
+    u = df.select(
+        F.col(k).alias("_k"),
+        F.xxhash64(F.col(arr)).alias("_h"),
+        F.lit(1).alias("_s"),
+    ).unionByName(
+        reference.select(
+            F.col(k).alias("_k"),
+            F.xxhash64(F.col(arr)).alias("_h"),
+            F.lit(0).alias("_s"),
+        )
+    )
+    per_hash = u.groupBy("_k", "_h").agg(
+        F.count_if(F.col("_s") == 1).alias("n1"),
+        F.count_if(F.col("_s") == 0).alias("n0"),
+    )
+    per_key = per_hash.groupBy("_k").agg(
+        F.sum("n1").alias("n_obs"),
+        F.sum("n0").alias("n_ref"),
+        F.count_if(
+            ((F.col("n1") > 0) & (F.col("n0") == 0))
+            | ((F.col("n0") > 0) & (F.col("n1") == 0))
+        ).alias("set_diff"),
+    )
+    row = per_key.agg(
+        F.count_if(F.col("n_obs") > 1).alias("dup_keys"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_obs") > 1, F.col("n_obs") - 1)), F.lit(0)
+        ).alias("surplus_rows"),
+        F.count_if(
+            (F.col("n_obs") > 0)
+            & (F.col("n_ref") > 0)
+            & (F.col("set_diff") > 0)
+            & F.col("_k").isNotNull()
+        ).alias("eq_bad_keys"),
+        F.sum("n_obs").alias("n_obs_rows"),
+        F.sum("n_ref").alias("n_ref_rows"),
+    ).collect()[0]
+    return {n: int(row[n] or 0) for n in row.asDict()}
 
 
 def token_equality_report(

@@ -76,6 +76,7 @@ def validate_contract_fused(
     *,
     strict: bool = True,
     extra_terms: Optional[List] = None,
+    category_observed: str = "full",
 ):
     """validate_contract + caller-supplied aggregate terms in the SAME
     single scan.
@@ -86,9 +87,21 @@ def validate_contract_fused(
     scan for ALL per-column rules + table-level counts together. Returns
     ``(ValidationResult, extras)`` where ``extras`` maps each extra
     term's alias to its aggregated value ({} when none given).
+
+    ``category_observed``:
+
+    * ``"full"`` — reference parity: a tripped category Issue carries the
+      column's FULL observed distinct set (validate_contract.py:164-174),
+      collected by a second conditional job (phase 2).
+    * ``"invalid_only"`` — scale mode: the Issue carries only the
+      observed INVALID values (capped), collected by a
+      ``collect_set(when(invalid, v))`` term riding phase 1 — violations
+      are rare, so the state is tiny and NO second job ever runs.
     """
     if not isinstance(df, DataFrame):
         raise TypeError("df must be a pyspark.sql.DataFrame")
+    if category_observed not in ("full", "invalid_only"):
+        raise ValueError("category_observed must be 'full' or 'invalid_only'")
     extra_terms = list(extra_terms or [])
 
     issues: List[Issue] = []
@@ -121,38 +134,60 @@ def validate_contract_fused(
 
     # --- phase 1: one fused aggregation job ------------------------------
     plan = compile_stats_pass(df, contract)
+    cat_terms: List = []
+    cat_cols: List[str] = []
+    if category_observed == "invalid_only":
+        for col, rule in contract.columns.items():
+            if col not in schema or rule.allowed_values is None:
+                continue
+            sc = categorical_cast(F.col(f"`{col}`"), schema[col])
+            invalid = sc.isNotNull() & ~sc.isin(sorted(rule.allowed_values))
+            cat_terms.append(
+                F.slice(
+                    F.sort_array(F.collect_set(F.when(invalid, sc))),
+                    1,
+                    OBSERVED_SET_CAP,
+                ).alias(f"_cat{len(cat_cols)}")
+            )
+            cat_cols.append(col)
+
     extras: Dict[str, object] = {}
-    if plan.terms or extra_terms:
-        agg_df = df.agg(*plan.terms, *extra_terms)
+    observed_sets: Dict[str, set] = {}
+    if plan.terms or extra_terms or cat_terms:
+        agg_df = df.agg(*plan.terms, *extra_terms, *cat_terms)
         row = agg_df.collect()[0]
         stats = plan.decode(row)
-        extras = {n: row[n] for n in agg_df.columns[len(plan.terms):]}
+        n_plan, n_extra = len(plan.terms), len(extra_terms)
+        extras = {n: row[n] for n in agg_df.columns[n_plan : n_plan + n_extra]}
+        for i, c in enumerate(cat_cols):
+            observed_sets[c] = set(row[f"_cat{i}"])
     else:
         stats = {}
 
-    # --- phase 2 prep: which category rules need the observed set --------
-    tripped_cats = [
-        col
-        for col, rule in contract.columns.items()
-        if col in schema
-        and rule.allowed_values is not None
-        and stats[col].invalid_category_count > 0
-    ]
-    observed_sets: Dict[str, set] = {}
-    if tripped_cats:
-        terms = [
-            F.slice(
-                F.sort_array(
-                    F.collect_set(categorical_cast(F.col(f"`{c}`"), schema[c]))
-                ),
-                1,
-                OBSERVED_SET_CAP,
-            ).alias(f"o{i}")
-            for i, c in enumerate(tripped_cats)
+    # --- phase 2: full observed set for tripped category rules (parity
+    # mode only — one conditional job) ------------------------------------
+    if category_observed == "full":
+        tripped_cats = [
+            col
+            for col, rule in contract.columns.items()
+            if col in schema
+            and rule.allowed_values is not None
+            and stats[col].invalid_category_count > 0
         ]
-        row = df.agg(*terms).collect()[0]
-        for i, c in enumerate(tripped_cats):
-            observed_sets[c] = set(row[f"o{i}"])
+        if tripped_cats:
+            terms = [
+                F.slice(
+                    F.sort_array(
+                        F.collect_set(categorical_cast(F.col(f"`{c}`"), schema[c]))
+                    ),
+                    1,
+                    OBSERVED_SET_CAP,
+                ).alias(f"o{i}")
+                for i, c in enumerate(tripped_cats)
+            ]
+            row = df.agg(*terms).collect()[0]
+            for i, c in enumerate(tripped_cats):
+                observed_sets[c] = set(row[f"o{i}"])
 
     # --- assemble Issues in reference order -------------------------------
     for col, rule in contract.columns.items():

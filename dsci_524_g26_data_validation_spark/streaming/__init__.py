@@ -1,0 +1,9 @@
+"""Structured Streaming surface of the validation engine."""
+
+from .validate_stream import (
+    BatchVerdict,
+    validate_each_batch,
+    violation_counts_stream,
+)
+
+__all__ = ["BatchVerdict", "validate_each_batch", "violation_counts_stream"]

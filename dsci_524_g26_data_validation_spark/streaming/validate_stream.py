@@ -1,0 +1,160 @@
+"""Streaming contract validation — Structured Streaming surface.
+
+The reference is batch-only (SURVEY.md §2.7) and the north rule describes
+batch passes over Iceberg snapshots, but a training-data pipeline also
+ingests continuously; this module runs the SAME contract engine over a
+``readStream`` DataFrame two ways:
+
+* :func:`violation_counts_stream` — pure-Catalyst path: per-rule violation
+  predicates (plans.rule_compiler) summed inside a watermarked event-time
+  window aggregation. Fully incremental, state bounded by the watermark,
+  no Python in the hot path; sink-agnostic (the caller writes it with
+  ``writeStream``).
+* :func:`validate_each_batch` — ``foreachBatch`` path: every micro-batch
+  gets the full fused validate_contract pass (schema checks + one-scan
+  stats) and the resulting Issues are handed to a callback / collected as
+  per-batch verdict rows. This reuses the exact batch semantics when a
+  whole-batch verdict (not a windowed count) is the contract.
+
+Both work with any streaming source (file/kafka/rate); tests drive them
+with a file source + ``trigger(availableNow=True)`` for determinism.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.rule_compiler import violation_predicates
+from ..types import Contract, ValidationResult
+from ..operators.validate import validate_contract
+
+__all__ = ["violation_counts_stream", "validate_each_batch", "BatchVerdict"]
+
+
+def violation_counts_stream(
+    stream_df: DataFrame,
+    contract: Contract,
+    *,
+    time_col: str,
+    window_duration: str = "1 minute",
+    watermark_delay: str = "5 minutes",
+) -> DataFrame:
+    """Streaming DF of per-window, per-rule violation counts.
+
+    Output: (window_start, window_end, column, kind, facet, n_violations,
+    n_rows); ``facet`` is the per-column rule-facet ordinal (a range rule
+    with both bounds has facet 0 = lower, 1 = upper) so each facet keeps
+    its own violation count and ``n_rows`` is the window's row count.
+    Late rows beyond ``watermark_delay`` are dropped by the watermark so
+    aggregation state stays bounded — the standard late-data contract.
+
+    Every rule facet is evaluated as a Catalyst predicate inside ONE
+    projection (same compiler as the batch engine), so the stream stage is
+    whole-stage-codegen and shuffles only (window, column, kind) partial
+    counts.
+    """
+    preds = violation_predicates(stream_df, contract)
+    entries = [
+        F.struct(
+            F.lit(col).alias("column"),
+            F.lit(kind).alias("kind"),
+            F.lit(facet).alias("facet"),
+            p.cast("int").alias("viol"),
+        )
+        for col, plist in preds.items()
+        for facet, (kind, p) in enumerate(plist)
+    ]
+    if not entries:  # contract has no data-dependent rules: count rows only
+        entries = [
+            F.struct(
+                F.lit(None).cast("string").alias("column"),
+                F.lit("none").alias("kind"),
+                F.lit(0).alias("facet"),
+                F.lit(0).alias("viol"),
+            )
+        ]
+    exploded = (
+        stream_df.withWatermark(time_col, watermark_delay)
+        .select(
+            F.col(time_col).alias("_ts"),
+            F.explode(F.array(*entries)).alias("e"),
+        )
+        .select("_ts", "e.column", "e.kind", "e.facet", "e.viol")
+    )
+    return (
+        exploded.groupBy(
+            F.window("_ts", window_duration).alias("w"), "column", "kind", "facet"
+        )
+        .agg(
+            F.sum("viol").alias("n_violations"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "column",
+            "kind",
+            "facet",
+            "n_violations",
+            "n_rows",
+        )
+    )
+
+
+class BatchVerdict:
+    """Verdict for one micro-batch from :func:`validate_each_batch`."""
+
+    def __init__(self, batch_id: int, result: ValidationResult, n_rows: int):
+        self.batch_id = batch_id
+        self.result = result
+        self.n_rows = n_rows
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return (
+            f"BatchVerdict(batch_id={self.batch_id}, ok={self.result.ok}, "
+            f"issues={len(self.result.issues)}, rows={self.n_rows})"
+        )
+
+
+def validate_each_batch(
+    stream_df: DataFrame,
+    contract: Contract,
+    *,
+    checkpoint_dir: str,
+    on_verdict: Optional[Callable[[BatchVerdict], None]] = None,
+    strict: bool = True,
+    available_now: bool = True,
+):
+    """Run the full fused contract pass on every micro-batch.
+
+    Returns ``(query, verdicts)``: the StreamingQuery and a driver-side
+    list that accumulates one :class:`BatchVerdict` per processed batch
+    (also forwarded to ``on_verdict`` when given). The foreachBatch body
+    is the batch engine verbatim — one fused aggregation per micro-batch,
+    so semantics match offline validation exactly (the point: one
+    contract, one code path, batch or stream).
+
+    ``available_now=True`` processes the current backlog then stops —
+    deterministic for tests/backfills; pass False for a continuous run.
+    """
+    verdicts: List[BatchVerdict] = []
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        result = validate_contract(batch_df, contract, strict=strict)
+        v = BatchVerdict(batch_id, result, n)
+        verdicts.append(v)
+        if on_verdict is not None:
+            on_verdict(v)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), verdicts
