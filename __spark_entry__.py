@@ -242,6 +242,89 @@ def _embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _infer_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship infer_contract as a checkable query: profile documents in
+    two fused jobs, emit one row per inferred ColumnRule."""
+    d = _read(spark, sf_dir, "documents")
+    contract = dv.infer_contract(d)
+    rows = [
+        (
+            col,
+            r.dtype,
+            round(float(r.max_missing_frac), 6),
+            float(r.min_value) if r.min_value is not None else None,
+            float(r.max_value) if r.max_value is not None else None,
+            len(r.allowed_values) if r.allowed_values is not None else None,
+        )
+        for col, r in contract.columns.items()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "col_name string, dtype string, null_frac double, "
+        "min_val double, max_val double, n_allowed int",
+    )
+
+
+def _quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 quantiles (exact form for oracle checkability; the engine's
+    profile path uses the same-shaped percentile_approx GK sketch)."""
+    o = _read(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+    )
+    return agg.selectExpr(
+        "stack(3, '0.25', p25, '0.5', p50, '0.75', p75) as (q, totalprice)"
+    )
+
+
+def _dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deduplicate_exact: one surviving row (min doc_id) per identical
+    40-char text prefix — single min_by shuffle, no self-join."""
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("prefix")
+    )
+    return dedup.deduplicate_exact(d, cols=("prefix",), id_col="doc_id").select(
+        "doc_id"
+    )
+
+
+def _media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (rows-only): deterministic fake media table →
+    mapInPandas decode + feature extraction + frame sampling."""
+    from dsci_524_g26_data_validation_spark.operators import multimodal as mm
+
+    m = mm.media_table(spark, 2000)
+    dec = mm.decode_images(m).agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("n_pixels").alias("total_pixels"),
+        F.count_if(F.col("ok")).alias("n_ok"),
+    )
+    frames = mm.sample_frames(m, every_ms=5000).agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    feats = mm.extract_features(m).agg(
+        F.round(
+            F.avg(similarity.norm_expr(F.col("features").cast("array<double>"))), 4
+        ).alias("avg_feature_norm")
+    )
+    return dec.crossJoin(frames).crossJoin(feats)
+
+
+def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (rows-only): testdata embeddings
+    augmented with 10 exact copies under new ids → ≥10 pairs at 0.99."""
+    e = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = e.filter("vec_id < 10").select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    aug = e.unionByName(copies)
+    return similarity.embedding_near_duplicates(aug, threshold=0.99).select(
+        "id_a", "id_b", "cosine"
+    )
+
+
 _EVENTS_SCHEMA = (
     "event_id bigint, ts timestamp, user_id bigint, event_type string, "
     "value double, props string"
@@ -388,8 +471,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_topk": _simsearch_topk,
         "embedding_norms": _embedding_norms,
         "stream_violation_counts": _stream_violation_counts,
+        "infer_profile_documents": _infer_profile_documents,
+        "quantiles_orders": _quantiles_orders,
+        "dedup_keep_one": _dedup_keep_one,
         # non-SQL-expressible (rows-only checks)
         "stream_batch_verdicts": _stream_batch_verdicts,
+        "media_pipeline": _media_pipeline,
+        "embedding_near_dups": _embedding_near_dups,
         "minhash_candidates": _minhash_candidates,
         "simhash_near_dups": _simhash_near_dups,
         "ann_lsh_topk": _ann_lsh_topk,
@@ -539,6 +627,47 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(sqrt(list_aggregate(
                        list_transform(embedding, x -> x * x), 'sum'))), 4) AS avg_norm
             FROM embeddings GROUP BY label
+        """,
+        "infer_profile_documents": """
+            SELECT 'doc_id' AS col_name, 'bigint' AS dtype,
+                   round(avg(CASE WHEN doc_id IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_frac,
+                   CAST(min(doc_id) AS DOUBLE) AS min_val,
+                   CAST(max(doc_id) AS DOUBLE) AS max_val,
+                   CAST(NULL AS INT) AS n_allowed
+            FROM documents
+            UNION ALL
+            SELECT 'text', 'string',
+                   round(avg(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END), 6),
+                   NULL, NULL,
+                   CASE WHEN count(DISTINCT text) <= 1000
+                        THEN count(DISTINCT text) END
+            FROM documents
+            UNION ALL
+            SELECT 'lang', 'string',
+                   round(avg(CASE WHEN lang IS NULL THEN 1.0 ELSE 0.0 END), 6),
+                   NULL, NULL, count(DISTINCT lang)
+            FROM documents
+            UNION ALL
+            SELECT 'source', 'string',
+                   round(avg(CASE WHEN source IS NULL THEN 1.0 ELSE 0.0 END), 6),
+                   NULL, NULL, count(DISTINCT source)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', 'bigint',
+                   round(avg(CASE WHEN n_chars IS NULL THEN 1.0 ELSE 0.0 END), 6),
+                   CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE), NULL
+            FROM documents
+        """,
+        "quantiles_orders": """
+            SELECT '0.25' AS q, round(quantile_cont(o_totalprice, 0.25), 4) AS totalprice FROM orders
+            UNION ALL
+            SELECT '0.5', round(quantile_cont(o_totalprice, 0.5), 4) FROM orders
+            UNION ALL
+            SELECT '0.75', round(quantile_cont(o_totalprice, 0.75), 4) FROM orders
+        """,
+        "dedup_keep_one": """
+            SELECT min(doc_id) AS doc_id
+            FROM documents GROUP BY substr(text, 1, 40)
         """,
         # windowed streaming aggregation == per-day batch aggregation
         # (Spark 1-day tumbling windows align to epoch days = date_trunc)

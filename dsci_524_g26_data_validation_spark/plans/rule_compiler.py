@@ -73,6 +73,7 @@ class ColumnStats:
     invalid_category_count: int = 0
     approx_distinct: Optional[int] = None
     non_null_count: int = 0
+    quantiles: Optional[tuple] = None  # (p25, p50, p75) when profiled
 
 
 @dataclass
@@ -111,6 +112,9 @@ class StatsPlan:
                 cs.approx_distinct = int(v) if v is not None else None
             if "nnc" in slots:
                 cs.non_null_count = int(d[slots["nnc"]] or 0)
+            if "pq" in slots:
+                v = d[slots["pq"]]
+                cs.quantiles = tuple(v) if v is not None else None
             out[col] = cs
         return out
 
@@ -189,6 +193,16 @@ def compile_stats_pass(
             if "nnc" not in slots.get(col, {}):
                 add(col, "nnc", F.count(c))
             add(col, "acd", F.approx_count_distinct(c))
+            if is_numeric_spark_type(dt):
+                # GK sketch (P6): mergeable per-partition state, exact to
+                # 1/accuracy — rides the same single-row aggregation.
+                add(
+                    col,
+                    "pq",
+                    F.percentile_approx(
+                        c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10_000
+                    ),
+                )
 
     return StatsPlan(terms=terms, _slots=slots)
 

@@ -229,3 +229,21 @@ def test_e7_checkpoint_resume(spark, dirty, tmp_path):
         dirty, tc, partition_col="source", manifest=m2, dims=dims
     )
     assert set(ran3) == {some}
+
+
+def test_profile_quantiles_ride_fused_pass(spark):
+    """P6: GK-sketch quantiles are terms of the same single-row agg."""
+    from pyspark.sql import functions as F
+
+    from dsci_524_g26_data_validation_spark.plans.rule_compiler import (
+        compile_stats_pass,
+        run_stats_pass,
+    )
+    from dsci_524_g26_data_validation_spark.types import ColumnRule, Contract
+
+    df = spark.range(0, 1001).select(F.col("id").cast("double").alias("v"))
+    c = Contract(columns={"v": ColumnRule(dtype="double")})
+    plan = compile_stats_pass(df, c, include_profile_stats=True)
+    stats = run_stats_pass(df, plan)
+    assert stats["v"].quantiles == (250.0, 500.0, 750.0)
+    assert stats["v"].non_null_count == 1001
