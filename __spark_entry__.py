@@ -295,7 +295,9 @@ def _media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas decode + feature extraction + frame sampling."""
     from dsci_524_g26_data_validation_spark.operators import multimodal as mm
 
-    m = mm.media_table(spark, 2000)
+    # few partitions on purpose: 2000 rows across 32 partitions would pay
+    # 32 Python-worker launches per mapInPandas stage
+    m = mm.media_table(spark, 2000, num_partitions=4)
     dec = mm.decode_images(m).agg(
         F.count(F.lit(1)).alias("n_images"),
         F.sum("n_pixels").alias("total_pixels"),

@@ -107,15 +107,17 @@ def decode_images(df: DataFrame, *, real_decode: bool = False) -> DataFrame:
         for pdf in it:
             if real_decode:
                 _require_codec("image")
-            w = pdf["meta"].map(lambda m: m["width"]).astype("int32")
-            h = pdf["meta"].map(lambda m: m["height"]).astype("int32")
+            # struct column → one columnar frame (no per-row lambdas)
+            meta = pd.DataFrame(list(pdf["meta"]))
+            w = meta["width"].astype("int32")
+            h = meta["height"].astype("int32")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "width": w,
                     "height": h,
                     "n_pixels": (w.astype("int64") * h.astype("int64")),
-                    "ok": pdf["payload"].map(lambda b: b is not None and len(b) > 0),
+                    "ok": pdf["payload"].notna() & (pdf["payload"].str.len() > 0),
                 }
             )
 
