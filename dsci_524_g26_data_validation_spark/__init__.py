@@ -23,6 +23,10 @@ from .types import (
     contract_from_json,
     contract_to_dict,
     contract_to_json,
+    table_contract_from_dict,
+    table_contract_from_json,
+    table_contract_to_dict,
+    table_contract_to_json,
     dtypes_equivalent,
     normalize_dtype,
 )
@@ -69,6 +73,10 @@ __all__ = [
     "contract_from_json",
     "contract_to_dict",
     "contract_to_json",
+    "table_contract_from_dict",
+    "table_contract_from_json",
+    "table_contract_to_dict",
+    "table_contract_to_json",
     "dtypes_equivalent",
     "normalize_dtype",
     "infer_contract",

@@ -1,0 +1,7 @@
+"""``python -m dsci_524_g26_data_validation_spark`` → CLI."""
+
+import sys
+
+from .cli import main
+
+sys.exit(main())

@@ -1,0 +1,166 @@
+"""CLI entry point — the spark-submit orchestration surface (north rule).
+
+    spark-submit --py-files dist/dv_engine.zip -m ... \
+        python -m dsci_524_g26_data_validation_spark <cmd> ...
+
+Commands (input = parquet path or catalog/Iceberg table name):
+
+    infer     --input T --output contract.json [--max-categories N]
+    validate  --input T --contract contract.json [--no-strict]
+              [--violations-out PATH] [--fail]
+    table-validate --input T --table-contract tc.json
+              [--reference T2] [--dim name=T ...]
+              [--resume-manifest DIR --partition-col COL --run-id ID]
+    compare   --old a.json --new b.json
+
+Every command prints ONE JSON report to stdout (machine-parseable; logs
+go to stderr) and exits 0/1 per the verdict when --fail is given.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+from typing import Optional
+
+from . import (
+    Contract,
+    compare_contracts,
+    contract_from_json,
+    contract_to_json,
+    infer_contract,
+    summarize_violations,
+    table_contract_from_json,
+    validate_contract,
+    validate_table_contract,
+    violation_rows,
+)
+from .sources import FileManifestStore, load_table
+from .operators.table_validate import run_resumable_validation
+
+__all__ = ["main"]
+
+
+def _spark(app: str):
+    from pyspark.sql import SparkSession
+
+    return SparkSession.builder.appName(app).getOrCreate()
+
+
+def _issues_json(result) -> dict:
+    return {
+        "ok": result.ok,
+        "n_issues": len(result.issues),
+        "issues": [
+            {
+                "kind": i.kind,
+                "column": i.column,
+                "message": i.message,
+                "observed": str(i.observed),
+                "expected": str(i.expected),
+            }
+            for i in result.issues
+        ],
+    }
+
+
+def main(argv: Optional[list] = None) -> int:
+    ap = argparse.ArgumentParser(prog="dsci_524_g26_data_validation_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("infer")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--max-categories", type=int, default=1000)
+
+    p = sub.add_parser("validate")
+    p.add_argument("--input", required=True)
+    p.add_argument("--contract", required=True)
+    p.add_argument("--no-strict", action="store_true")
+    p.add_argument("--violations-out")
+    p.add_argument("--fail", action="store_true")
+    p.add_argument("--top-k", type=int, default=5)
+
+    p = sub.add_parser("table-validate")
+    p.add_argument("--input", required=True)
+    p.add_argument("--table-contract", required=True)
+    p.add_argument("--reference")
+    p.add_argument("--dim", action="append", default=[], metavar="NAME=SOURCE")
+    p.add_argument("--resume-manifest")
+    p.add_argument("--partition-col")
+    p.add_argument("--run-id", default="run0")
+    p.add_argument("--fail", action="store_true")
+
+    p = sub.add_parser("compare")
+    p.add_argument("--old", required=True)
+    p.add_argument("--new", required=True)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "compare":  # driver-only: no SparkSession needed
+        with open(args.old) as f:
+            a = contract_from_json(f.read())
+        with open(args.new) as f:
+            b = contract_from_json(f.read())
+        report = compare_contracts(a, b)
+        d = dataclasses.asdict(report)
+        d["has_drift"] = report.has_drift
+        d = {
+            k: (sorted(v) if isinstance(v, set) else v) for k, v in d.items()
+        }
+        print(json.dumps(d, sort_keys=True, default=list))
+        return 0
+
+    spark = _spark(f"dv-{args.cmd}")
+    df = load_table(spark, args.input)
+
+    if args.cmd == "infer":
+        contract = infer_contract(df, max_categories=args.max_categories)
+        with open(args.output, "w") as f:
+            f.write(contract_to_json(contract, indent=2))
+        print(json.dumps({"written": args.output, "n_columns": len(contract.columns)}))
+        return 0
+
+    if args.cmd == "validate":
+        with open(args.contract) as f:
+            contract = contract_from_json(f.read())
+        result = validate_contract(df, contract, strict=not args.no_strict)
+        out = _issues_json(result)
+        summary = summarize_violations(result, top_k=args.top_k)
+        out["counts_by_kind"] = summary.counts_by_kind
+        if args.violations_out and not result.ok:
+            violation_rows(df, contract).write.mode("overwrite").parquet(
+                args.violations_out
+            )
+            out["violations_path"] = args.violations_out
+        print(json.dumps(out, sort_keys=True))
+        return 0 if (result.ok or not args.fail) else 1
+
+    # table-validate
+    with open(args.table_contract) as f:
+        tc = table_contract_from_json(f.read())
+    dims = {}
+    for spec in args.dim:
+        name, src = spec.split("=", 1)
+        dims[name] = load_table(spark, src)
+    ref = load_table(spark, args.reference) if args.reference else None
+    if args.resume_manifest:
+        if not args.partition_col:
+            ap.error("--resume-manifest requires --partition-col")
+        manifest = FileManifestStore(args.resume_manifest, run_id=args.run_id)
+        ran = run_resumable_validation(
+            df, tc, partition_col=args.partition_col, manifest=manifest,
+            dims=dims, reference=ref,
+        )
+        ok = all(m["ok"] for m in ran.values()) if ran else True
+        print(json.dumps({"partitions_ran": ran, "ok": ok}, sort_keys=True))
+        return 0 if (ok or not args.fail) else 1
+    result = validate_table_contract(df, tc, dims=dims, reference=ref)
+    print(json.dumps(_issues_json(result), sort_keys=True))
+    return 0 if (result.ok or not args.fail) else 1
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

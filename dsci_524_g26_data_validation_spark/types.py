@@ -36,6 +36,10 @@ __all__ = [
     "contract_to_dict",
     "contract_from_dict",
     "contract_to_json",
+    "table_contract_to_dict",
+    "table_contract_from_dict",
+    "table_contract_to_json",
+    "table_contract_from_json",
     "contract_from_json",
 ]
 
@@ -327,3 +331,61 @@ def contract_to_json(contract: Contract, indent: Optional[int] = None) -> str:
 
 def contract_from_json(text: str) -> Contract:
     return contract_from_dict(json.loads(text))
+
+
+def table_contract_to_dict(tc: "TableContract") -> Dict[str, Any]:
+    return {
+        "schema_version": _SCHEMA_VERSION,
+        "name": tc.name,
+        "contract": contract_to_dict(tc.contract),
+        "unique_keys": list(tc.unique_keys),
+        "foreign_keys": [
+            {"column": fk.column, "ref_table": fk.ref_table,
+             "ref_column": fk.ref_column}
+            for fk in tc.foreign_keys
+        ],
+        "histograms": {
+            col: {
+                "labels": list(h.labels),
+                "fracs": list(h.fracs),
+                "kind": h.kind,
+                "lo": h.lo,
+                "hi": h.hi,
+                "n_bins": h.n_bins,
+            }
+            for col, h in tc.histograms.items()
+        },
+        "invariants": list(tc.invariants),
+    }
+
+
+def table_contract_from_dict(data: Mapping[str, Any]) -> "TableContract":
+    return TableContract(
+        contract=contract_from_dict(data["contract"]),
+        unique_keys=tuple(data.get("unique_keys", ())),
+        foreign_keys=tuple(
+            ForeignKeyRule(fk["column"], fk["ref_table"], fk["ref_column"])
+            for fk in data.get("foreign_keys", ())
+        ),
+        histograms={
+            col: Histogram(
+                labels=tuple(h["labels"]),
+                fracs=tuple(h["fracs"]),
+                kind=h.get("kind", "categorical"),
+                lo=h.get("lo"),
+                hi=h.get("hi"),
+                n_bins=h.get("n_bins"),
+            )
+            for col, h in data.get("histograms", {}).items()
+        },
+        invariants=tuple(data.get("invariants", ())),
+        name=data.get("name", "table_contract"),
+    )
+
+
+def table_contract_to_json(tc: "TableContract", indent: Optional[int] = None) -> str:
+    return json.dumps(table_contract_to_dict(tc), indent=indent, sort_keys=True)
+
+
+def table_contract_from_json(text: str) -> "TableContract":
+    return table_contract_from_dict(json.loads(text))

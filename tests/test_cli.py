@@ -1,0 +1,78 @@
+"""CLI (spark-submit orchestration surface): infer → validate → compare →
+table-validate with checkpoint resume, all through ``cli.main``."""
+
+from __future__ import annotations
+
+import json
+
+import dsci_524_g26_data_validation_spark as dv
+from dsci_524_g26_data_validation_spark.cli import main
+
+
+def _last_json(capsys):
+    out = capsys.readouterr().out.strip().splitlines()
+    return json.loads(out[-1])
+
+
+def test_cli_infer_validate_compare(spark, sf_dir, tmp_path, capsys):
+    cpath = str(tmp_path / "c.json")
+    assert main(["infer", "--input", f"{sf_dir}/orders.parquet",
+                 "--output", cpath]) == 0
+    assert _last_json(capsys)["n_columns"] == 6
+
+    # validating the SAME data against its own inferred contract passes
+    assert main(["validate", "--input", f"{sf_dir}/orders.parquet",
+                 "--contract", cpath, "--fail"]) == 0
+    assert _last_json(capsys)["ok"] is True
+
+    # bigger sf naturally exceeds inferred bounds -> exit 1 with --fail
+    rc = main(["validate", "--input", "/root/testdata/sf0.01/orders.parquet",
+               "--contract", cpath, "--fail",
+               "--violations-out", str(tmp_path / "viol")])
+    assert rc == 1
+    rep = _last_json(capsys)
+    assert rep["ok"] is False and rep["counts_by_kind"]["range"] >= 1
+    viol = spark.read.parquet(str(tmp_path / "viol"))
+    assert viol.count() > 0 and "payload" in viol.columns
+
+    assert main(["compare", "--old", cpath, "--new", cpath]) == 0
+    assert _last_json(capsys)["has_drift"] is False
+
+
+def test_cli_table_validate_with_resume(spark, tmp_path, capsys):
+    data = str(tmp_path / "tokens")
+    dv.token_table(spark, 3000, bad_ntok_frac=0.01, num_partitions=4).write.parquet(data)
+    tc = dv.TableContract(
+        contract=dv.Contract(
+            columns={
+                "doc_id": dv.ColumnRule(dtype="string"),
+                "tokens": dv.ColumnRule(dtype="array<int>"),
+                "n_tok": dv.ColumnRule(dtype="int"),
+                "source": dv.ColumnRule(dtype="string"),
+            }
+        ),
+        unique_keys=("doc_id",),
+        invariants=("n_tok = size(tokens)",),
+    )
+    tcpath = str(tmp_path / "tc.json")
+    with open(tcpath, "w") as f:
+        f.write(dv.table_contract_to_json(tc))
+
+    rc = main(["table-validate", "--input", data, "--table-contract", tcpath])
+    assert rc == 0
+    rep = _last_json(capsys)
+    assert rep["ok"] is False
+    assert {i["kind"] for i in rep["issues"]} == {"invariant"}
+
+    # resumable run: first call validates every source partition...
+    manifest = str(tmp_path / "manifest")
+    rc = main(["table-validate", "--input", data, "--table-contract", tcpath,
+               "--resume-manifest", manifest, "--partition-col", "source"])
+    assert rc == 0
+    first = _last_json(capsys)
+    assert len(first["partitions_ran"]) == 4  # web/books/code/wiki
+    # ...second call is a no-op (everything checkpointed)
+    rc = main(["table-validate", "--input", data, "--table-contract", tcpath,
+               "--resume-manifest", manifest, "--partition-col", "source"])
+    assert rc == 0
+    assert _last_json(capsys)["partitions_ran"] == {}

@@ -1,0 +1,105 @@
+"""Physical-plan guarantees — the properties that make the engine work at
+10^12 rows are asserted on the plan itself, not just trusted:
+
+* the fused stats pass is ONE parquet scan with whole-stage codegen,
+* the scan reads ONLY contract columns (column pruning),
+* rule predicates push down to the parquet reader (PushedFilters),
+* small-dim referential integrity plans a broadcast anti-join,
+* the key-integrity check is hash aggregation, never a sort-merge join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import dsci_524_g26_data_validation_spark as dv
+from dsci_524_g26_data_validation_spark.plans.rule_compiler import (
+    compile_stats_pass,
+    violation_predicates,
+)
+
+
+def _spark_plan(df) -> str:
+    """Pre-AQE physical plan text (deterministic without executing)."""
+    return df._jdf.queryExecution().sparkPlan().toString()
+
+
+def _final_plan(df) -> str:
+    """Post-execution AQE final plan text."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+CONTRACT = dv.Contract(
+    columns={
+        "o_totalprice": dv.ColumnRule(dtype="double", min_value=0, max_value=1e6),
+        "o_orderpriority": dv.ColumnRule(
+            dtype="string", allowed_values={"1-URGENT", "2-HIGH"}
+        ),
+    }
+)
+
+
+def test_fused_pass_is_one_pruned_codegen_scan(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    plan = compile_stats_pass(orders, CONTRACT)
+    agg = orders.agg(*plan.terms)
+    final = _final_plan(agg)
+    final = final.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "*(" in final  # whole-stage codegen
+    # column pruning: only the two contract columns are read
+    read_schema = [l for l in final.splitlines() if "ReadSchema" in l][0]
+    assert "o_totalprice" in read_schema and "o_orderpriority" in read_schema
+    assert "o_custkey" not in read_schema and "o_comment" not in read_schema
+
+
+def test_rule_predicates_push_down_to_parquet(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    preds = violation_predicates(orders, CONTRACT)
+    flat = [p for plist in preds.values() for _, p in plist]
+    cond = flat[0]
+    for p in flat[1:]:
+        cond = cond | p
+    plan = _spark_plan(orders.filter(cond))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "PushedFilters: []" not in pushed  # something actually pushed
+
+
+def test_referential_small_dim_is_broadcast_anti_join(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    bad = dv.referential_violations(orders, dim, "o_custkey", "c_custkey")
+    plan = _spark_plan(bad)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_key_integrity_never_sort_merge_joins(spark):
+    df = dv.token_table(spark, 2000, num_partitions=4)
+    ref = dv.token_table(spark, 2000, num_partitions=4)
+    u = df.select(
+        F.col("doc_id").alias("_k"),
+        F.xxhash64("tokens").alias("_h"),
+        F.lit(1).alias("_s"),
+    ).unionByName(
+        ref.select(
+            F.col("doc_id").alias("_k"),
+            F.xxhash64("tokens").alias("_h"),
+            F.lit(0).alias("_s"),
+        )
+    )
+    per_hash = u.groupBy("_k", "_h").agg(F.count_if(F.col("_s") == 1).alias("n1"))
+    plan = _spark_plan(per_hash)
+    assert "SortMergeJoin" not in plan and "HashAggregate" in plan
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from dsci_524_g26_data_validation_spark.operators import similarity
+
+    q = [0.0] * 64
+    q[0] = 1.0
+    top = similarity.cosine_topk_bruteforce(e, q, k=5)
+    plan = _spark_plan(top)
+    assert "TakeOrderedAndProject" in plan  # per-partition heap, no full sort
