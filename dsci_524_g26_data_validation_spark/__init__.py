@@ -37,7 +37,7 @@ from .operators.validate import (
     validate_contract,
     violation_rows,
 )
-from .operators.compare import compare_contracts
+from .operators.compare import compare_contracts, compare_table_contracts
 from .operators.summarize import summarize_violations, summarize_violations_df
 from .operators.uniqueness import duplicate_keys, uniqueness_violation_count
 from .operators.referential import referential_violations
@@ -85,6 +85,7 @@ __all__ = [
     "violation_rows",
     "partition_verdicts",
     "compare_contracts",
+    "compare_table_contracts",
     "summarize_violations",
     "summarize_violations_df",
     "duplicate_keys",

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from ..types import ColumnRule, Contract, DriftReport
 
-__all__ = ["compare_contracts"]
+__all__ = ["compare_contracts", "compare_table_contracts"]
 
 
 def _check_rules(contract: Contract) -> None:
@@ -82,3 +82,46 @@ def compare_contracts(contract_a: Contract, contract_b: Contract) -> DriftReport
         category_changes=category_changes,
         missingness_changes=missingness_changes,
     )
+
+
+def compare_table_contracts(tc_a, tc_b) -> dict:
+    """Metadata-only diff of two TableContracts (a=old, b=new).
+
+    Extends :func:`compare_contracts` with the engine-level rule surface:
+    unique keys, foreign keys, invariants, and — when both sides stored
+    baseline histograms for a column — the PSI between the two BASELINES
+    themselves (a pure fold over stored bin fractions; still zero Spark
+    jobs, per the reference's metadata-only doctrine).
+
+    Returns {"columns": DriftReport, "unique_keys_added/removed",
+    "foreign_keys_added/removed", "invariants_added/removed",
+    "baseline_psi": {col: psi}}.
+    """
+    import math
+
+    report = compare_contracts(tc_a.contract, tc_b.contract)
+    fk = lambda t: {(f.column, f.ref_table, f.ref_column) for f in t.foreign_keys}  # noqa: E731
+
+    baseline_psi = {}
+    for col in set(tc_a.histograms) & set(tc_b.histograms):
+        ha, hb = tc_a.histograms[col], tc_b.histograms[col]
+        labels = sorted(set(ha.labels) | set(hb.labels))
+        da = dict(zip(ha.labels, ha.fracs))
+        db = dict(zip(hb.labels, hb.fracs))
+        val = 0.0
+        for lab in labels:
+            p = max(db.get(lab, 0.0), 1e-6)
+            q = max(da.get(lab, 0.0), 1e-6)
+            val += (p - q) * math.log(p / q)
+        baseline_psi[col] = val
+
+    return {
+        "columns": report,
+        "unique_keys_added": sorted(set(tc_b.unique_keys) - set(tc_a.unique_keys)),
+        "unique_keys_removed": sorted(set(tc_a.unique_keys) - set(tc_b.unique_keys)),
+        "foreign_keys_added": sorted(fk(tc_b) - fk(tc_a)),
+        "foreign_keys_removed": sorted(fk(tc_a) - fk(tc_b)),
+        "invariants_added": sorted(set(tc_b.invariants) - set(tc_a.invariants)),
+        "invariants_removed": sorted(set(tc_a.invariants) - set(tc_b.invariants)),
+        "baseline_psi": baseline_psi,
+    }

@@ -155,3 +155,36 @@ def test_mixed_multi_column_report():
     assert r.range_changes == {"keep"}
     assert r.category_changes == {"cats"}
     assert r.missingness_changes == {"retyped": (0.0, 0.5)}
+
+
+def test_compare_table_contracts_metadata_only():
+    import dsci_524_g26_data_validation_spark as dv
+
+    base_cols = {"a": dv.ColumnRule(dtype="int")}
+    ha = dv.Histogram(labels=("x", "y"), fracs=(0.5, 0.5))
+    hb = dv.Histogram(labels=("x", "y"), fracs=(0.9, 0.1))
+    a = dv.TableContract(
+        contract=dv.Contract(columns=base_cols),
+        unique_keys=("a",),
+        invariants=("a > 0",),
+        histograms={"c": ha},
+    )
+    b = dv.TableContract(
+        contract=dv.Contract(columns=base_cols),
+        unique_keys=(),
+        foreign_keys=(dv.ForeignKeyRule("a", "dim", "a"),),
+        invariants=("a > 0", "a < 10"),
+        histograms={"c": hb},
+    )
+    d = dv.compare_table_contracts(a, b)
+    assert d["columns"].has_drift is False
+    assert d["unique_keys_removed"] == ["a"]
+    assert d["foreign_keys_added"] == [("a", "dim", "a")]
+    assert d["invariants_added"] == ["a < 10"]
+    import math
+    expected = (0.9 - 0.5) * math.log(0.9 / 0.5) + (0.1 - 0.5) * math.log(0.1 / 0.5)
+    assert d["baseline_psi"]["c"] == pytest.approx(expected)
+    # identical contracts -> zero drift everywhere
+    d2 = dv.compare_table_contracts(a, a)
+    assert d2["baseline_psi"]["c"] == pytest.approx(0.0)
+    assert not any(v for k, v in d2.items() if k not in ("columns", "baseline_psi"))
