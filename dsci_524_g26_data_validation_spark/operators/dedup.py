@@ -1,7 +1,11 @@
 """Deduplication operators for training-data pipelines.
 
 Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup — each designed for
-the 100 TB case:
+the 100 TB case. Algorithms follow the published formulations: MinHash
+resemblance sketches (Broder, SEQUENCES 1997), banded LSH amplification
+(Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets" ch. 3), SimHash
+random-projection fingerprints (Charikar, STOC 2002) with the pigeonhole
+block-permutation search of Manku/Jain/Das Sarma (WWW 2007):
 
 * exact       — hash-groupBy; the shuffle carries (digest, id), never text.
 * MinHash+LSH — signatures and band buckets are pure Catalyst array ops;

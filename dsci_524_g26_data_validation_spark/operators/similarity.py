@@ -12,6 +12,10 @@
 * embedding-cosine near-duplicate pairs — bucket self-join then exact
   cosine on candidates only.
 
+Random-hyperplane signatures are Charikar's rounding-hyperplane LSH
+(STOC 2002); multi-table amplification and multiprobe (Hamming-1 bucket
+probing) follow Lv et al., VLDB 2007.
+
 An IVF variant (KMeans centroids → probe nearest cells) drops in behind
 the same probe-then-brute-force shape; LSH is the dependency-free choice
 here.

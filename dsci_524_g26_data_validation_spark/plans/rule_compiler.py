@@ -17,7 +17,11 @@ compiled into
 
 Everything here is pure ``pyspark.sql.functions`` — no UDFs — so
 whole-stage codegen, column pruning, and Parquet/Iceberg predicate pushdown
-all apply at 10^12-row scale.
+all apply at 10^12-row scale. The sketch aggregates are Spark's built-in
+implementations of published algorithms: HyperLogLog++ distinct counting
+(Flajolet et al. 2007; Heule et al., EDBT 2013) and Greenwald-Khanna
+quantile summaries (SIGMOD 2001) — both mergeable, so they ride the same
+partial+final aggregation as the plain min/max/count terms.
 """
 
 from __future__ import annotations
