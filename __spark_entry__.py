@@ -368,7 +368,10 @@ def _stream_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    q.awaitTermination(600)
+    if q.isActive:  # loaded host: don't return a half-built memory table
+        q.stop()
+        q.awaitTermination(60)
     return spark.table(name).select(
         "window_start", "column", "kind", "facet", "n_violations", "n_rows"
     )
@@ -390,7 +393,10 @@ def _stream_batch_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=tempfile.mkdtemp(prefix="dv_ckpt_"),
         strict=False,
     )
-    q.awaitTermination(300)
+    q.awaitTermination(600)
+    if q.isActive:
+        q.stop()
+        q.awaitTermination(60)
     rows = [
         (v.batch_id, v.result.ok, len(v.result.issues), v.n_rows)
         for v in verdicts

@@ -24,7 +24,7 @@ here.
 from __future__ import annotations
 
 import hashlib
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -40,6 +40,7 @@ __all__ = [
     "hyperplanes",
     "lsh_signature_expr",
     "lsh_buckets_udf",
+    "with_lsh_buckets",
     "cosine_topk_lsh",
     "embedding_near_duplicates",
 ]
@@ -152,6 +153,32 @@ def lsh_buckets_udf(all_planes: List[List[List[float]]]):
     return _buckets
 
 
+def with_lsh_buckets(
+    df: DataFrame,
+    *,
+    dim: int,
+    vec_col: str = "embedding",
+    bucket_col: str = "lsh_buckets",
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Append the persisted-bucket column (array<int>, one id per table).
+
+    The 100 TB pattern: run this once at ingest, write the table with the
+    bucket column, and every subsequent :func:`cosine_topk_lsh` query
+    becomes a pure Catalyst filter over precomputed ints — no vector math
+    on the query path at all. Buckets are a pure seed-deterministic
+    function of the vector, so ingest-time and query-time planes always
+    agree.
+    """
+    all_planes = [
+        hyperplanes(dim, n_planes, seed=seed + 1000 * t) for t in range(n_tables)
+    ]
+    buckets = lsh_buckets_udf(all_planes)
+    return df.withColumn(bucket_col, buckets(F.col(vec_col).cast("array<double>")))
+
+
 def cosine_topk_lsh(
     df: DataFrame,
     query: Sequence[float],
@@ -163,6 +190,7 @@ def cosine_topk_lsh(
     n_tables: int = 8,
     seed: int = 42,
     probe_hamming: int = 1,
+    bucket_col: Optional[str] = None,
 ) -> DataFrame:
     """Approximate top-k: multi-table random-hyperplane LSH.
 
@@ -177,7 +205,9 @@ def cosine_topk_lsh(
 
     Buckets for all tables come from ONE vectorized Arrow-UDF matmul
     (:func:`lsh_buckets_udf`); the probe test is a cheap Catalyst filter
-    over the resulting int array.
+    over the resulting int array. Pass ``bucket_col`` when the table
+    already carries persisted buckets (:func:`with_lsh_buckets`) — then
+    the query is filter + top-k only.
     """
     dim = len(query)
     all_planes = [
@@ -190,14 +220,21 @@ def cosine_topk_lsh(
         if probe_hamming >= 1:
             probe |= {qsig ^ (1 << p) for p in range(n_planes)}
         probes.append(sorted(probe))
-    buckets = lsh_buckets_udf(all_planes)
-    with_b = df.withColumn("_b", buckets(F.col(vec_col).cast("array<double>")))
+    if bucket_col is None:
+        buckets = lsh_buckets_udf(all_planes)
+        df = df.withColumn("_b", buckets(F.col(vec_col).cast("array<double>")))
+        bucket_col, drop_after = "_b", True
+    else:
+        drop_after = False
     cond = None
     for t, probe in enumerate(probes):
-        this = F.element_at(F.col("_b"), t + 1).isin(probe)
+        this = F.element_at(F.col(bucket_col), t + 1).isin(probe)
         cond = this if cond is None else (cond | this)
+    pruned = df.filter(cond)
+    if drop_after:
+        pruned = pruned.drop("_b")
     return cosine_topk_bruteforce(
-        with_b.filter(cond).drop("_b"), query, vec_col=vec_col, id_col=id_col, k=k
+        pruned, query, vec_col=vec_col, id_col=id_col, k=k
     )
 
 

@@ -212,3 +212,42 @@ def test_real_decode_is_gated(spark):
     with pytest.raises(Exception) as exc_info:
         multimodal.decode_images(media, real_decode=True).collect()
     assert "codec" in str(exc_info.value) or "NotImplementedError" in str(exc_info.value)
+
+
+def test_lsh_persisted_buckets_match_inline(spark, sf_dir):
+    """with_lsh_buckets persisted column gives the same top-k as inline."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = list(e.filter("vec_id = 0").first()["embedding"])
+    inline = similarity.cosine_topk_lsh(e, query, k=10).collect()
+    persisted_tbl = similarity.with_lsh_buckets(e, dim=len(query))
+    persisted = similarity.cosine_topk_lsh(
+        persisted_tbl, query, k=10, bucket_col="lsh_buckets"
+    ).collect()
+    assert [r["vec_id"] for r in inline] == [r["vec_id"] for r in persisted]
+
+
+def test_key_checks_survive_hot_key_skew(spark):
+    """50% of all rows share ONE key: the two-level aggregations must
+    stay bounded and return exact counts (no OOM, no wrong answers)."""
+    from pyspark.sql import functions as F
+
+    import dsci_524_g26_data_validation_spark as dv
+    from dsci_524_g26_data_validation_spark.operators.tokens import (
+        key_integrity_counts,
+    )
+
+    n = 200_000
+    df = spark.range(0, n, 1, 16).select(
+        F.when(F.col("id") % 2 == 0, F.lit("HOT"))
+        .otherwise(F.format_string("k%09d", F.col("id")))
+        .alias("doc_id"),
+        F.array(F.col("id").cast("int")).alias("tokens"),
+        F.lit(1).alias("n_tok"),
+        F.lit("web").alias("source"),
+    )
+    dup = dv.duplicate_keys(df, "doc_id").collect()
+    assert len(dup) == 1 and dup[0]["dup_count"] == n // 2
+    ref = df.dropDuplicates(["doc_id"])
+    kc = key_integrity_counts(df, ref)
+    assert kc["dup_keys"] == 1
+    assert kc["surplus_rows"] == n // 2 - 1
