@@ -327,6 +327,52 @@ def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINEITEM_CONTRACT = dv.Contract(
+    columns={
+        "l_quantity": dv.ColumnRule(dtype="double", min_value=1, max_value=45),
+        "l_discount": dv.ColumnRule(dtype="double", min_value=0, max_value=0.05),
+    }
+)
+
+
+def _partition_verdicts_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8/north rule: per-data-partition pass/fail verdicts (keyed to
+    l_returnflag, stable across repartitioning)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return dv.partition_verdicts(li, _LINEITEM_CONTRACT, partition_col="l_returnflag")
+
+
+def _violation_summary_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 at scale: counts_by_kind over the violations DataFrame."""
+    li = _read(spark, sf_dir, "lineitem")
+    rows = dv.violation_rows(li, _LINEITEM_CONTRACT, include_payload=False)
+    return rows.groupBy("kind", "column").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _token_equality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 with a DuckDB oracle: documents tokenized by whitespace; every
+    doc_id % 50 == 0 row gets one extra token vs the reference copy —
+    hash pre-filter + Arrow-UDF confirmation must find exactly those."""
+    from dsci_524_g26_data_validation_spark.operators.tokens import (
+        token_equality_violations,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    ref = d.select("doc_id", F.split("text", " ").alias("tokens"))
+    obs = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 50 == 0,
+            F.concat(F.split("text", " "), F.array(F.lit("EXTRA"))),
+        )
+        .otherwise(F.split("text", " "))
+        .alias("tokens"),
+    )
+    return token_equality_violations(obs, ref).select(
+        "doc_id", "n_tok_observed", "n_tok_reference"
+    )
+
+
 _EVENTS_SCHEMA = (
     "event_id bigint, ts timestamp, user_id bigint, event_type string, "
     "value double, props string"
@@ -482,6 +528,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_profile_documents": _infer_profile_documents,
         "quantiles_orders": _quantiles_orders,
         "dedup_keep_one": _dedup_keep_one,
+        "partition_verdicts_lineitem": _partition_verdicts_lineitem,
+        "violation_summary_lineitem": _violation_summary_lineitem,
+        "token_equality_documents": _token_equality_documents,
         # non-SQL-expressible (rows-only checks)
         "stream_batch_verdicts": _stream_batch_verdicts,
         "media_pipeline": _media_pipeline,
@@ -676,6 +725,34 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_one": """
             SELECT min(doc_id) AS doc_id
             FROM documents GROUP BY substr(text, 1, 40)
+        """,
+        "partition_verdicts_lineitem": """
+            SELECT CAST(l_returnflag AS VARCHAR) AS partition,
+                   (count(*) FILTER (WHERE l_quantity < 1)
+                    + count(*) FILTER (WHERE l_quantity > 45)
+                    + count(*) FILTER (WHERE l_discount < 0)
+                    + count(*) FILTER (WHERE l_discount > 0.05)) AS n_violations,
+                   CASE WHEN (count(*) FILTER (WHERE l_quantity < 1)
+                    + count(*) FILTER (WHERE l_quantity > 45)
+                    + count(*) FILTER (WHERE l_discount < 0)
+                    + count(*) FILTER (WHERE l_discount > 0.05)) > 0
+                        THEN 'fail' ELSE 'pass' END AS verdict
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "violation_summary_lineitem": """
+            SELECT 'range' AS kind, 'l_quantity' AS column,
+                   count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 45) AS n
+            FROM lineitem
+            UNION ALL
+            SELECT 'range', 'l_discount',
+                   count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.05)
+            FROM lineitem
+        """,
+        "token_equality_documents": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) + 1 AS n_tok_observed,
+                   len(string_split(text, ' ')) AS n_tok_reference
+            FROM documents WHERE doc_id % 50 = 0
         """,
         # windowed streaming aggregation == per-day batch aggregation
         # (Spark 1-day tumbling windows align to epoch days = date_trunc)
