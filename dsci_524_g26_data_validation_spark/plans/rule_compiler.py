@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..types import NUMERIC_SPARK_TYPES, ColumnRule, Contract, normalize_dtype
+from ..types import Contract
 
 __all__ = [
     "ColumnStats",
