@@ -643,7 +643,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_stats_documents": """
             SELECT source, count(*) AS n_docs,
-                   sum(len(string_split(text, ' '))) AS total_tokens,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
                    round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
                    max(len(string_split(text, ' '))) AS max_tokens
             FROM documents GROUP BY source

@@ -26,7 +26,7 @@ from typing import Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
@@ -170,6 +170,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 42,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -180,9 +181,17 @@ def minhash_lsh_candidates(
 
     Scale shape: the exploded band table is rows×bands tiny tuples
     (band_idx, band_digest, id); the self-join shuffles on the digest —
-    document text never moves. A pathological bucket (thousands of
-    identical docs) produces quadratic pairs by definition of the
-    problem; cap via pre-aggregation upstream if needed.
+    document text never moves.
+
+    **Degenerate-bucket cap**: a boilerplate document duplicated 10^6
+    times would put 10^12 pairs through the band self-join. Buckets
+    larger than ``max_bucket_size`` skip the all-pairs join; their
+    members are instead star-linked to the bucket's min id — O(n) pairs
+    per bucket that preserve the connected component (dedup clustering
+    unions pairs into components, so transitive reachability, not the
+    full clique, is what downstream consumers need). In practice an
+    over-cap bucket is a cluster of near/exact duplicates of one
+    document. ``max_bucket_size=None`` disables the cap.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rpb = num_hashes // bands
@@ -208,21 +217,42 @@ def minhash_lsh_candidates(
             )
         ).alias("bd"),
     ).select("_id", F.col("bd.band").alias("band"), F.col("bd.digest").alias("digest"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
+    if max_bucket_size is not None:
+        # One extra (band, digest)-keyed shuffle annotates every bucket
+        # with its size and anchor (min id) before any pairing happens.
+        w = Window.partitionBy("band", "digest")
+        banded = banded.select(
+            "_id",
+            "band",
+            "digest",
+            F.count(F.lit(1)).over(w).alias("_bsz"),
+            F.min("_id").over(w).alias("_anchor"),
+        )
+        small = banded.filter(F.col("_bsz") <= max_bucket_size)
+        star = (
+            banded.filter(
+                (F.col("_bsz") > max_bucket_size)
+                & (F.col("_id") != F.col("_anchor"))
+            )
+            # anchor = min id, so (anchor, id) is already (id_a < id_b)
+            .select(F.col("_anchor").alias("id_a"), F.col("_id").alias("id_b"))
+        )
+    else:
+        small, star = banded, None
+    a = small.alias("a")
+    b = small.alias("b")
+    joined = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.digest") == F.col("b.digest"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .groupBy(
-            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
     )
-    return pairs
+    if star is not None:
+        joined = joined.unionByName(star)
+    return joined.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_bands"))
 
 
 def jaccard_verify(

@@ -137,6 +137,7 @@ def lsh_buckets_udf(all_planes: List[List[List[float]]]):
     """
     n_tables = len(all_planes)
     n_planes = len(all_planes[0])
+    dim = len(all_planes[0][0])
     mat = np.concatenate(
         [np.asarray(p, dtype=np.float64).T for p in all_planes], axis=1
     )  # (dim, n_tables*n_planes)
@@ -144,11 +145,27 @@ def lsh_buckets_udf(all_planes: List[List[List[float]]]):
 
     @pandas_udf("array<int>")
     def _buckets(vecs: pd.Series) -> pd.Series:
-        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        # Dirty vector data (NULL embeddings, wrong dimensionality) must
+        # not crash a validation engine: invalid rows get NULL buckets
+        # (so downstream bucket filters drop them) and a zero vector is
+        # substituted in the matmul to keep the batch rectangular.
+        vals = vecs.to_numpy(dtype=object)
+        valid = np.fromiter(
+            (v is not None and len(v) == dim for v in vals),
+            dtype=bool,
+            count=len(vals),
+        )
+        zero = np.zeros(dim, dtype=np.float64)
+        x = np.stack(
+            [np.asarray(v, dtype=np.float64) if ok else zero
+             for v, ok in zip(vals, valid)]
+        ) if len(vals) else np.empty((0, dim))
         bits = (x @ mat) > 0  # (batch, n_tables*n_planes)
         bits = bits.reshape(len(x), n_tables, n_planes)
         sigs = (bits * weights).sum(axis=2).astype(np.int32)
-        return pd.Series(list(sigs))
+        return pd.Series(
+            [list(s) if ok else None for s, ok in zip(sigs, valid)]
+        )
 
     return _buckets
 
@@ -245,34 +262,73 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     n_planes: int = 12,
+    n_tables: int = 4,
     seed: int = 42,
+    bucket_col: Optional[str] = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
-    Bucket self-join on the LSH signature (near-identical vectors land in
-    the same bucket w.h.p.), exact cosine verification on candidates
-    only → (id_a, id_b, cosine).
+    Multi-table LSH candidate generation then exact cosine verification
+    on candidates only → (id_a, id_b, cosine). Collision probability per
+    table is (1 − θ/π)^n_planes (Charikar), amplified 1−(1−p)^L across
+    ``n_tables`` independent tables — at threshold 0.95 a single 12-bit
+    table misses ~half the pairs straddling a hyperplane; 4 tables push
+    recall past 0.95 (measured in tests/test_pipeline_ops.py).
+
+    Scale shape (100 TB):
+
+    * buckets come from ONE vectorized Arrow matmul
+      (:func:`lsh_buckets_udf`) — or, better, a persisted
+      ``bucket_col`` written at ingest by :func:`with_lsh_buckets`,
+      making this query pure Catalyst;
+    * the candidate self-join shuffles only (id, table, bucket) int
+      tuples — embedding payloads never move;
+    * vectors are joined back ONLY for the deduplicated candidate
+      pairs (a vanishing fraction of rows) for exact verification.
     """
-    dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    planes = hyperplanes(int(dim_probe["d"]), n_planes, seed=seed)
-    sig = lsh_signature_expr(F.col(vec_col).cast("array<double>"), planes)
-    b = df.select(
+    if bucket_col is None:
+        dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        base = with_lsh_buckets(
+            df,
+            dim=int(dim_probe["d"]),
+            vec_col=vec_col,
+            bucket_col="_ndb",
+            n_planes=n_planes,
+            n_tables=n_tables,
+            seed=seed,
+        )
+        bucket_col = "_ndb"
+    else:
+        base = df
+    keyed = base.select(
         F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-        sig.alias("_bucket"),
+        F.posexplode(F.col(bucket_col)).alias("_t", "_bucket"),
     )
-    x, y = b.alias("x"), b.alias("y")
-    cos = cosine_expr(F.col("x._v"), F.col("y._v"))
-    return (
+    x, y = keyed.alias("x"), keyed.alias("y")
+    cand = (
         x.join(
             y,
-            (F.col("x._bucket") == F.col("y._bucket"))
+            (F.col("x._t") == F.col("y._t"))
+            & (F.col("x._bucket") == F.col("y._bucket"))
             & (F.col("x._id") < F.col("y._id")),
         )
-        .select(
-            F.col("x._id").alias("id_a"),
-            F.col("y._id").alias("id_b"),
-            F.round(cos, 6).alias("cosine"),
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = df.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    cos = cosine_expr(F.col("va"), F.col("vb"))
+    return (
+        cand.join(
+            vecs.select(F.col("_vid").alias("id_a"), F.col("_v").alias("va")),
+            "id_a",
         )
+        .join(
+            vecs.select(F.col("_vid").alias("id_b"), F.col("_v").alias("vb")),
+            "id_b",
+        )
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -16,9 +16,14 @@ This is the "full contract pass" the north-star metric times
   ≤1 scan                    violation-row materialization (conditional;
                              E6 candidates confirmed by the Arrow UDF)
 
-A clean full contract pass is therefore exactly TWO jobs regardless of
-how many columns, rules, histograms, invariants, or (small-dim) foreign
-keys the contract carries.
+A clean full contract pass is therefore exactly TWO jobs **over the
+fact table** regardless of how many columns, rules, histograms,
+invariants, or (small-dim) foreign keys the contract carries — plus one
+tiny job per inlined small dimension (``_collect_small_dim``'s
+distinct+limit over the dim, ≤ INLINE_DIM_CAP rows, no fact-table
+scan). On a dirty table the conditional extra jobs above apply; the
+non-fused E6 path additionally pays its candidate-collect plus the
+pruned confirmation scans (see tokens.py — each executes exactly once).
 
 Everything except E6's Arrow UDF is pure Catalyst. Small dimension
 tables (≤ INLINE_DIM_CAP distinct keys — the usual case for a source /

@@ -50,7 +50,9 @@ def token_stats(df: DataFrame, text_col: str = "text", group_col: str = "source"
         df.groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(n).alias("total_tokens"),
+            # explicit bigint: DuckDB's sum() yields HUGEINT/DECIMAL where
+            # Spark yields BIGINT — both sides cast so serialized values match
+            F.sum(n).cast("bigint").alias("total_tokens"),
             F.round(F.avg(n), 6).alias("avg_tokens"),
             F.max(n).alias("max_tokens"),
         )

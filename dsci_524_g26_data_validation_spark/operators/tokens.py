@@ -146,10 +146,19 @@ def token_equality_violations(
     cand_local = cand.limit(VERIFY_CANDIDATE_CAP + 1).collect()
     if len(cand_local) > VERIFY_CANDIDATE_CAP:
         return cand
-    if not cand_local:
-        return cand.filter(F.lit(False))
     spark = df.sparkSession
     key_type = df.select(F.col(k)).schema.fields[0].dataType
+    if not cand_local:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(key, key_type),
+                    T.StructField("n_tok_observed", T.IntegerType()),
+                    T.StructField("n_tok_reference", T.IntegerType()),
+                ]
+            ),
+        )
     keys_df = spark.createDataFrame(
         [(r[key],) for r in cand_local],
         T.StructType([T.StructField("_ck", key_type)]),
@@ -160,17 +169,29 @@ def token_equality_violations(
     ref = reference.join(
         F.broadcast(keys_df), on=reference[k] == F.col("_ck"), how="left_semi"
     ).select(F.col(k).alias("_k"), F.col(arr).alias("_ref_tokens"))
-    return (
+    # The confirmation runs EAGERLY and the result is rebuilt from the
+    # already-collected candidate rows: phase 1 and the pruned array
+    # fetch each execute exactly once, and downstream actions on the
+    # returned (tiny, local-backed) DataFrame re-trigger nothing.
+    confirmed_rows = (
         obs.join(ref, on="_k", how="inner")
         .withColumn(
             "_eq", arrays_equal_udf(F.col("_obs_tokens"), F.col("_ref_tokens"))
         )
         .filter(~F.col("_eq"))
-        .select(
-            F.col("_k").alias(key),
-            F.size("_obs_tokens").alias("n_tok_observed"),
-            F.size("_ref_tokens").alias("n_tok_reference"),
-        )
+        .select("_k")
+        .collect()
+    )
+    confirmed = {r["_k"] for r in confirmed_rows}
+    out_schema = T.StructType(
+        [
+            T.StructField(key, key_type),
+            T.StructField("n_tok_observed", T.IntegerType()),
+            T.StructField("n_tok_reference", T.IntegerType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [r for r in cand_local if r[key] in confirmed], out_schema
     )
 
 
