@@ -243,25 +243,30 @@ def _embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _infer_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship infer_contract as a checkable query: profile documents in
-    two fused jobs, emit one row per inferred ColumnRule."""
+    """Flagship infer_profile as a checkable query: profile documents in
+    two fused jobs, emit one row per column with the full P6 stats
+    (incl. p25/p50/p75 — exact mode so DuckDB quantile_cont matches)."""
     d = _read(spark, sf_dir, "documents")
-    contract = dv.infer_contract(d)
+    prof = dv.infer_profile(d, exact_quantiles=True)
     rows = [
         (
             col,
-            r.dtype,
-            round(float(r.max_missing_frac), 6),
-            float(r.min_value) if r.min_value is not None else None,
-            float(r.max_value) if r.max_value is not None else None,
-            len(r.allowed_values) if r.allowed_values is not None else None,
+            p.dtype,
+            round(float(p.null_frac), 6),
+            p.min_value,
+            p.max_value,
+            len(p.allowed_values) if p.allowed_values is not None else None,
+            round(p.quantiles[0], 4) if p.quantiles else None,
+            round(p.quantiles[1], 4) if p.quantiles else None,
+            round(p.quantiles[2], 4) if p.quantiles else None,
         )
-        for col, r in contract.columns.items()
+        for col, p in prof.columns.items()
     ]
     return spark.createDataFrame(
         rows,
         "col_name string, dtype string, null_frac double, "
-        "min_val double, max_val double, n_allowed int",
+        "min_val double, max_val double, n_allowed int, "
+        "p25 double, p50 double, p75 double",
     )
 
 
@@ -531,14 +536,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_verdicts_lineitem": _partition_verdicts_lineitem,
         "violation_summary_lineitem": _violation_summary_lineitem,
         "token_equality_documents": _token_equality_documents,
-        # non-SQL-expressible (rows-only checks)
-        "stream_batch_verdicts": _stream_batch_verdicts,
-        "media_pipeline": _media_pipeline,
         "embedding_near_dups": _embedding_near_dups,
         "minhash_candidates": _minhash_candidates,
+        "token_contract_pass": _token_contract_pass,
+        # rows-only (no SQL oracle): foreachBatch driver state, stubbed
+        # codecs, and deliberately-approximate ANN (recall measured in
+        # ANN_RECALL.json / tests instead of an exact oracle)
+        "stream_batch_verdicts": _stream_batch_verdicts,
+        "media_pipeline": _media_pipeline,
         "simhash_near_dups": _simhash_near_dups,
         "ann_lsh_topk": _ann_lsh_topk,
-        "token_contract_pass": _token_contract_pass,
     }
 
 
@@ -690,29 +697,36 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CASE WHEN doc_id IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_frac,
                    CAST(min(doc_id) AS DOUBLE) AS min_val,
                    CAST(max(doc_id) AS DOUBLE) AS max_val,
-                   CAST(NULL AS INT) AS n_allowed
+                   CAST(NULL AS INT) AS n_allowed,
+                   round(quantile_cont(doc_id, 0.25), 4) AS p25,
+                   round(quantile_cont(doc_id, 0.5), 4) AS p50,
+                   round(quantile_cont(doc_id, 0.75), 4) AS p75
             FROM documents
             UNION ALL
             SELECT 'text', 'string',
                    round(avg(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END), 6),
                    NULL, NULL,
                    CASE WHEN count(DISTINCT text) <= 1000
-                        THEN count(DISTINCT text) END
+                        THEN count(DISTINCT text) END,
+                   NULL, NULL, NULL
             FROM documents
             UNION ALL
             SELECT 'lang', 'string',
                    round(avg(CASE WHEN lang IS NULL THEN 1.0 ELSE 0.0 END), 6),
-                   NULL, NULL, count(DISTINCT lang)
+                   NULL, NULL, count(DISTINCT lang), NULL, NULL, NULL
             FROM documents
             UNION ALL
             SELECT 'source', 'string',
                    round(avg(CASE WHEN source IS NULL THEN 1.0 ELSE 0.0 END), 6),
-                   NULL, NULL, count(DISTINCT source)
+                   NULL, NULL, count(DISTINCT source), NULL, NULL, NULL
             FROM documents
             UNION ALL
             SELECT 'n_chars', 'bigint',
                    round(avg(CASE WHEN n_chars IS NULL THEN 1.0 ELSE 0.0 END), 6),
-                   CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE), NULL
+                   CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE), NULL,
+                   round(quantile_cont(n_chars, 0.25), 4),
+                   round(quantile_cont(n_chars, 0.5), 4),
+                   round(quantile_cont(n_chars, 0.75), 4)
             FROM documents
         """,
         "quantiles_orders": """
@@ -753,6 +767,63 @@ def oracle_sql() -> dict[str, str]:
                    len(string_split(text, ' ')) + 1 AS n_tok_observed,
                    len(string_split(text, ' ')) AS n_tok_reference
             FROM documents WHERE doc_id % 50 = 0
+        """,
+        # LSH candidates + exact-jaccard verification vs DuckDB ground
+        # truth: an inverted-index shingle join finds EVERY pair with a
+        # shared 3-shingle (necessary for jaccard > 0), then exact
+        # jaccard >= 0.5 filters. The testdata's qualifying pairs all
+        # have jaccard >= 0.9, where banded-LSH recall at 16 hashes /
+        # 8 bands is 1 - (1-0.81)^8 ≈ 1-2e-6 — deterministic equality
+        # on this fixed dataset.
+        "minhash_candidates": """
+            WITH t AS (
+              SELECT doc_id, string_split(substr(text,1,120), ' ') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(toks[i:i+2], ' ')
+                                    for i in generate_series(1, greatest(len(toks)-2, 1))]) AS sh
+              FROM t
+            ), e AS (
+              SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n FROM s
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+                     any_value(a.n) AS na, any_value(b.n) AS nb
+              FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, round(inter*1.0/(na+nb-inter), 6) AS jaccard
+            FROM pairs WHERE inter*1.0/(na+nb-inter) >= 0.5
+        """,
+        # All-pairs cosine ground truth over the augmented table (500+10
+        # vectors at sf0.01 — tractable in DuckDB). The only pairs at
+        # >= 0.99 are the 10 planted exact copies (max natural cosine
+        # ~0.51); identical vectors produce identical hyperplane signs in
+        # every LSH table, so candidate recall on them is exactly 1.
+        "embedding_near_dups": """
+            WITH aug AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 10
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.99
+        """,
+        # The dirty token table is generated with fixed seeds and fixed
+        # injection fractions (20k rows, 0.5% each), so the full pass
+        # yields exactly these issue kinds and counts every run — the
+        # oracle pins them (VERDICT r1 item 4).
+        "token_contract_pass": """
+            SELECT * FROM (VALUES
+                ('category',    'source', '{''martian''}'),
+                ('invariant',   '',       '94'),
+                ('referential', 'source', '92'),
+                ('uniqueness',  'doc_id', '104')
+            ) AS t(kind, "column", observed)
         """,
         # windowed streaming aggregation == per-day batch aggregation
         # (Spark 1-day tumbling windows align to epoch days = date_trunc)

@@ -9,6 +9,7 @@ checks; see SURVEY.md §2 for the operator inventory.
 """
 
 from .types import (
+    ColumnProfile,
     ColumnRule,
     Contract,
     ContractViolationError,
@@ -18,6 +19,7 @@ from .types import (
     Issue,
     Summary,
     TableContract,
+    TableProfile,
     ValidationResult,
     contract_from_dict,
     contract_from_json,
@@ -30,7 +32,7 @@ from .types import (
     dtypes_equivalent,
     normalize_dtype,
 )
-from .operators.infer import infer_contract
+from .operators.infer import infer_contract, infer_profile
 from .operators.validate import (
     partition_verdicts,
     validate_and_fail,
@@ -38,7 +40,12 @@ from .operators.validate import (
     violation_rows,
 )
 from .operators.compare import compare_contracts, compare_table_contracts
-from .operators.summarize import summarize_violations, summarize_violations_df
+from .operators.summarize import (
+    DistributedSummary,
+    summarize_violations,
+    summarize_violations_df,
+    summarize_violations_distributed,
+)
 from .operators.uniqueness import duplicate_keys, uniqueness_violation_count
 from .operators.referential import referential_violations
 from .operators.drift import capture_histograms, chi_square, drift_scores, psi
@@ -59,6 +66,7 @@ from .sources.token_table import source_dim, token_table
 __version__ = "0.1.0"
 
 __all__ = [
+    "ColumnProfile",
     "ColumnRule",
     "Contract",
     "ContractViolationError",
@@ -68,6 +76,7 @@ __all__ = [
     "Issue",
     "Summary",
     "TableContract",
+    "TableProfile",
     "ValidationResult",
     "contract_from_dict",
     "contract_from_json",
@@ -80,6 +89,7 @@ __all__ = [
     "dtypes_equivalent",
     "normalize_dtype",
     "infer_contract",
+    "infer_profile",
     "validate_contract",
     "validate_and_fail",
     "violation_rows",
@@ -88,6 +98,8 @@ __all__ = [
     "compare_table_contracts",
     "summarize_violations",
     "summarize_violations_df",
+    "summarize_violations_distributed",
+    "DistributedSummary",
     "duplicate_keys",
     "uniqueness_violation_count",
     "referential_violations",

@@ -29,10 +29,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..plans.rule_compiler import categorical_cast, is_numeric_spark_type
-from ..types import ColumnRule, Contract
+from ..plans.rule_compiler import (
+    categorical_cast,
+    compile_stats_pass,
+    is_numeric_spark_type,
+)
+from ..types import ColumnProfile, ColumnRule, Contract, TableProfile
 
-__all__ = ["infer_contract", "DEFAULT_MAX_CATEGORIES"]
+__all__ = ["infer_contract", "infer_profile", "DEFAULT_MAX_CATEGORIES"]
 
 #: Above this estimated cardinality a column is treated as free-text, not
 #: categorical: allowed_values stays None instead of OOM-ing the driver.
@@ -47,6 +51,35 @@ def _is_categorical_like(dt: T.DataType) -> bool:
     """String or boolean — mirrors the reference's object/str/string/
     category/bool branch (infer_contract.py:79-83)."""
     return isinstance(dt, (T.StringType, T.BooleanType))
+
+
+def _guarded_domains(
+    df: DataFrame, fields, acd: Dict[str, Optional[int]], max_categories: int
+) -> Dict[str, set]:
+    """HLL-guarded collect_set pass: only categorical-like columns whose
+    approx-distinct estimate clears the gate get a domain; one extra
+    column-pruned scan (or none when nothing qualifies)."""
+    domains: Dict[str, set] = {}
+    cat_cols = [
+        f
+        for f in fields
+        if f.name in acd and (acd[f.name] or 0) <= max_categories * _HLL_SAFETY
+    ]
+    if cat_cols:
+        set_terms = [
+            F.collect_set(categorical_cast(F.col(f"`{f.name}`"), f.dataType)).alias(
+                f"d{i}"
+            )
+            for i, f in enumerate(cat_cols)
+        ]
+        drow = df.agg(*set_terms).collect()[0]
+        for i, f in enumerate(cat_cols):
+            vals = set(drow[f"d{i}"])
+            if len(vals) <= max_categories:
+                domains[f.name] = vals
+            # else: HLL under-estimated a just-over-limit column; treat as
+            # high-cardinality (allowed_values=None).
+    return domains
 
 
 def infer_contract(
@@ -88,27 +121,12 @@ def infer_contract(
     row = df.agg(*terms).collect()[0].asDict()
 
     # ---- pass 2: guarded collect_set for qualifying categoricals --------
-    domains: Dict[str, Optional[set]] = {}
-    cat_cols = [
-        f
+    acd = {
+        f.name: row[slots[f.name]["acd"]]
         for f in fields
         if _is_categorical_like(f.dataType)
-        and (row[slots[f.name]["acd"]] or 0) <= max_categories * _HLL_SAFETY
-    ]
-    if cat_cols:
-        set_terms = [
-            F.collect_set(categorical_cast(F.col(f"`{f.name}`"), f.dataType)).alias(
-                f"d{i}"
-            )
-            for i, f in enumerate(cat_cols)
-        ]
-        drow = df.agg(*set_terms).collect()[0]
-        for i, f in enumerate(cat_cols):
-            vals = set(drow[f"d{i}"])
-            if len(vals) <= max_categories:
-                domains[f.name] = vals
-            # else: HLL under-estimated a just-over-limit column; treat as
-            # high-cardinality (allowed_values=None).
+    }
+    domains = _guarded_domains(df, fields, acd, max_categories)
 
     # ---- assemble --------------------------------------------------------
     columns: Dict[str, ColumnRule] = {}
@@ -129,3 +147,89 @@ def infer_contract(
             allowed_values=domains.get(f.name),
         )
     return Contract(columns=columns, name=name)
+
+
+def infer_profile(
+    df: DataFrame,
+    *,
+    max_categories: int = DEFAULT_MAX_CATEGORIES,
+    name: str = "contract",
+    exact_quantiles: bool = False,
+) -> TableProfile:
+    """Profile a table into a :class:`TableProfile` — the inferred
+    contract PLUS every P6 statistic of the fused pass: row count,
+    non-null counts, HyperLogLog++ approx-distinct for every column, and
+    p25/p50/p75 quantiles for numeric columns (Greenwald-Khanna sketch
+    by default; ``exact_quantiles=True`` switches to Spark's exact
+    ``percentile`` for oracle-checkable output at test scale).
+
+    Same job shape as :func:`infer_contract`: ONE fused aggregation scan
+    (all statistics ride a single partial+final HashAggregate) plus at
+    most one HLL-guarded ``collect_set`` scan for categorical domains.
+    Reuses the engine's rule compiler
+    (``compile_stats_pass(include_profile_stats=True)``) so the profile
+    path and the validation path share one planning layer.
+    """
+    if not isinstance(df, DataFrame):
+        raise TypeError("df must be a pyspark.sql.DataFrame")
+
+    fields = list(df.schema.fields)
+    if not fields:
+        return TableProfile(
+            contract=Contract(columns={}, name=name), columns={}, n_rows=0
+        )
+
+    base = Contract(
+        columns={
+            f.name: ColumnRule(dtype=f.dataType.simpleString()) for f in fields
+        },
+        name=name,
+    )
+    plan = compile_stats_pass(
+        df, base, include_profile_stats=True, exact_quantiles=exact_quantiles
+    )
+    row = df.agg(*plan.terms, F.count(F.lit(1)).alias("_n_rows")).collect()[0]
+    stats = plan.decode(row)
+    n_rows = int(row["_n_rows"])
+
+    acd = {
+        f.name: stats[f.name].approx_distinct
+        for f in fields
+        if _is_categorical_like(f.dataType)
+    }
+    domains = _guarded_domains(df, fields, acd, max_categories)
+
+    columns: Dict[str, ColumnRule] = {}
+    profiles: Dict[str, ColumnProfile] = {}
+    for f in fields:
+        cs = stats[f.name]
+        missing_frac = float(cs.null_frac) if cs.null_frac is not None else 0.0
+        numeric = is_numeric_spark_type(f.dataType)
+        min_v = float(cs.min_value) if numeric and cs.min_value is not None else None
+        max_v = float(cs.max_value) if numeric and cs.max_value is not None else None
+        q = None
+        if cs.quantiles is not None and all(x is not None for x in cs.quantiles):
+            q = tuple(float(x) for x in cs.quantiles)
+        dtype = f.dataType.simpleString()
+        columns[f.name] = ColumnRule(
+            dtype=dtype,
+            max_missing_frac=missing_frac,
+            min_value=min_v,
+            max_value=max_v,
+            allowed_values=domains.get(f.name),
+        )
+        profiles[f.name] = ColumnProfile(
+            dtype=dtype,
+            null_frac=missing_frac,
+            non_null_count=cs.non_null_count,
+            approx_distinct=cs.approx_distinct,
+            min_value=min_v,
+            max_value=max_v,
+            quantiles=q,
+            allowed_values=domains.get(f.name),
+        )
+    return TableProfile(
+        contract=Contract(columns=columns, name=name),
+        columns=profiles,
+        n_rows=n_rows,
+    )

@@ -225,6 +225,17 @@ def cosine_topk_lsh(
     over the resulting int array. Pass ``bucket_col`` when the table
     already carries persisted buckets (:func:`with_lsh_buckets`) — then
     the query is filter + top-k only.
+
+    **Measured trade-offs** (ANN_RECALL.json, swept by tools/
+    ann_recall.py on the sf0.01 embeddings): hyperplane LSH recall
+    depends on the similarity regime. High-similarity neighbors (planted
+    pairs at cosine ≥0.95) are recalled at 0.96-1.0 across all swept
+    configs; the testdata's *natural* top-20 sit at cosine ~0.2-0.3
+    (near-random angles) where e.g. (6 planes, 8 tables, Hamming-1)
+    reaches recall 0.86 at a 0.59 scan fraction, and tighter configs
+    trade recall for pruning ((10, 8, 1): 0.30 recall @ 0.09 scanned).
+    Prefer :func:`cosine_topk_bruteforce` when the similarity floor is
+    low; LSH pays off for near-dup / high-similarity workloads.
     """
     dim = len(query)
     all_planes = [
@@ -261,8 +272,8 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    n_planes: int = 12,
-    n_tables: int = 4,
+    n_planes: int = 10,
+    n_tables: int = 8,
     seed: int = 42,
     bucket_col: Optional[str] = None,
 ) -> DataFrame:
@@ -270,10 +281,14 @@ def embedding_near_duplicates(
 
     Multi-table LSH candidate generation then exact cosine verification
     on candidates only → (id_a, id_b, cosine). Collision probability per
-    table is (1 − θ/π)^n_planes (Charikar), amplified 1−(1−p)^L across
-    ``n_tables`` independent tables — at threshold 0.95 a single 12-bit
-    table misses ~half the pairs straddling a hyperplane; 4 tables push
-    recall past 0.95 (measured in tests/test_pipeline_ops.py).
+    table is p = (1 − θ/π)^n_planes (Charikar), amplified 1−(1−p)^L
+    across ``n_tables`` independent tables. At the default 10 planes ×
+    8 tables, a pair at exactly cosine 0.95 (θ≈0.318) has p≈0.345 per
+    table → amplified recall ≈0.966; tighter near-dups (≥0.98) are found
+    with probability >0.99. Recall is asserted against brute-force
+    ground truth in tests/test_pipeline_ops.py. Raise ``n_planes`` (and
+    ``n_tables`` with it) on very large corpora to keep random-pair
+    collisions (~n_tables·2^−n_planes of all pairs) in check.
 
     Scale shape (100 TB):
 

@@ -23,6 +23,7 @@ without a full sort).
 from __future__ import annotations
 
 from collections import Counter
+from dataclasses import dataclass
 from typing import Dict, Optional, Union
 
 from pyspark.sql import DataFrame
@@ -30,7 +31,13 @@ from pyspark.sql import functions as F
 
 from ..types import Issue, Summary, ValidationResult
 
-__all__ = ["summarize_violations", "summarize_violations_df", "DEFAULT_WEIGHTS"]
+__all__ = [
+    "summarize_violations",
+    "summarize_violations_df",
+    "summarize_violations_distributed",
+    "DistributedSummary",
+    "DEFAULT_WEIGHTS",
+]
 
 DEFAULT_WEIGHTS: Dict[str, float] = {
     "missing_column": 10,
@@ -120,3 +127,79 @@ def summarize_violations_df(
     return weighted.orderBy(
         F.desc("weight"), F.asc_nulls_first("column"), F.asc("kind")
     ).limit(top_k)
+
+
+@dataclass(frozen=True)
+class DistributedSummary:
+    """Distributed mirror of :class:`~..types.Summary` (M3+M5 at scale).
+
+    ``top_issues_df`` is the weighted top-k (TakeOrderedAndProject);
+    ``counts_by_kind_df`` is the full ``groupBy(kind).count()`` over ALL
+    violations (kind, n) — the reference's counts-include-everything rule
+    (test_summarize_violations.py:87-107) as a hash aggregate. Both are
+    lazy DataFrames; :meth:`to_summary` collects them (k rows + #kinds
+    rows — always tiny) into the in-memory Summary shape.
+    """
+
+    top_issues_df: DataFrame
+    counts_by_kind_df: DataFrame
+
+    def to_summary(self) -> Summary:
+        counts = {
+            r["kind"]: int(r["n"]) for r in self.counts_by_kind_df.collect()
+        }
+        issues = []
+        for r in self.top_issues_df.collect():
+            d = r.asDict()
+            issues.append(
+                Issue(
+                    kind=d["kind"],
+                    message=str(d.get("message", "")),
+                    column=d.get("column"),
+                    observed=d.get("observed"),
+                    expected=d.get("expected"),
+                )
+            )
+        return Summary(
+            ok=sum(counts.values()) == 0,
+            top_issues=issues,
+            counts_by_kind=counts,
+        )
+
+
+def summarize_violations_distributed(
+    violations: DataFrame,
+    *,
+    top_k: int = 5,
+    weights: Optional[Dict[str, Union[int, float]]] = None,
+) -> DistributedSummary:
+    """Full Summary semantics over a violations DataFrame at any scale.
+
+    Two independent lazy plans over the same input: the weighted top-k
+    (M4/M5, per-partition heaps + k-row merge) and counts_by_kind over
+    ALL issues (M3, partial+final hash aggregate — one ~#kinds-row
+    shuffle). Weight/tiebreak rules match :func:`summarize_violations`
+    exactly except the in-memory path's final original-order tiebreak
+    (meaningless under distributed ordering; ties beyond
+    (weight, column, kind) are nondeterministic, as documented).
+
+    Input-validation mirrors M1 (reference summarize_violations.py:200-223)
+    for the arguments that exist here.
+    """
+    if not isinstance(top_k, int):
+        raise TypeError("top_k must be an integer")
+    if top_k <= 0:
+        raise ValueError("top_k must be a positive integer")
+    if weights is not None:
+        if not isinstance(weights, dict):
+            raise TypeError("weights must be a dict or None")
+        for kind, weight in weights.items():
+            if not isinstance(weight, (int, float)):
+                raise ValueError(
+                    f"Weight for '{kind}' must be numeric, got {type(weight).__name__}"
+                )
+            if weight <= 0:
+                raise ValueError(f"Weight for '{kind}' must be positive, got {weight}")
+    top = summarize_violations_df(violations, top_k=top_k, weights=weights)
+    counts = violations.groupBy("kind").agg(F.count(F.lit(1)).alias("n"))
+    return DistributedSummary(top_issues_df=top, counts_by_kind_df=counts)

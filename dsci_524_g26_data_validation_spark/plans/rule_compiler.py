@@ -128,6 +128,7 @@ def compile_stats_pass(
     contract: Contract,
     *,
     include_profile_stats: bool = False,
+    exact_quantiles: bool = False,
 ) -> StatsPlan:
     """Compile every data-dependent check of ``contract`` into one agg list.
 
@@ -198,15 +199,31 @@ def compile_stats_pass(
                 add(col, "nnc", F.count(c))
             add(col, "acd", F.approx_count_distinct(c))
             if is_numeric_spark_type(dt):
-                # GK sketch (P6): mergeable per-partition state, exact to
-                # 1/accuracy — rides the same single-row aggregation.
-                add(
-                    col,
-                    "pq",
-                    F.percentile_approx(
-                        c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10_000
-                    ),
-                )
+                if "min" not in slots.get(col, {}):
+                    add(col, "min", F.min(c))
+                    add(col, "max", F.max(c))
+                if exact_quantiles:
+                    # Exact interpolated percentiles (oracle-checkable vs
+                    # DuckDB quantile_cont); distributed but holds value
+                    # counts in the aggregation state — fine at test
+                    # scale, use the GK default at 10^12 rows.
+                    add(
+                        col,
+                        "pq",
+                        F.expr(
+                            f"percentile(`{col}`, array(0.25D, 0.5D, 0.75D))"
+                        ),
+                    )
+                else:
+                    # GK sketch (P6): mergeable per-partition state, exact
+                    # to 1/accuracy — rides the same single-row agg.
+                    add(
+                        col,
+                        "pq",
+                        F.percentile_approx(
+                            c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10_000
+                        ),
+                    )
 
     return StatsPlan(terms=terms, _slots=slots)
 

@@ -28,6 +28,8 @@ __all__ = [
     "DriftReport",
     "Summary",
     "ContractViolationError",
+    "ColumnProfile",
+    "TableProfile",
     "Histogram",
     "TableContract",
     "ForeignKeyRule",
@@ -228,6 +230,42 @@ class ContractViolationError(AssertionError):
     Documented-but-unimplemented in the reference (types.py:11,143-146);
     implemented here as the CI gate helper.
     """
+
+
+# ---------------------------------------------------------------------------
+# Profile (P6 — engine-level, BASELINE.json north star)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ColumnProfile:
+    """Full profile statistics for one column (superset of ColumnRule).
+
+    Carries the P6 engine statistics the reference never computes:
+    approx-distinct (HyperLogLog++) and p25/p50/p75 quantiles
+    (Greenwald-Khanna sketch, or exact when requested).
+    """
+
+    dtype: str
+    null_frac: float = 0.0
+    non_null_count: int = 0
+    approx_distinct: Optional[int] = None
+    min_value: Optional[float] = None
+    max_value: Optional[float] = None
+    quantiles: Optional[Tuple[float, float, float]] = None  # p25, p50, p75
+    allowed_values: Optional[Set[str]] = None
+
+
+@dataclass(frozen=True)
+class TableProfile:
+    """Output of ``infer_profile``: the inferred contract plus the full
+    per-column statistics it was derived from (one fused scan + one
+    guarded domain scan — the user sees every number the pass computed,
+    not just the rule fields)."""
+
+    contract: Contract
+    columns: Dict[str, ColumnProfile] = field(default_factory=dict)
+    n_rows: int = 0
 
 
 # ---------------------------------------------------------------------------

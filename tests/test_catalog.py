@@ -1,0 +1,45 @@
+"""Catalog-table path of sources.load_table (VERDICT r1 item 8).
+
+No Iceberg jar ships in this sandbox, so these tests exercise the
+``spark.table()`` branch through Spark's built-in session catalog — the
+exact code path an Iceberg catalog table takes (load_table is identical
+either way; Iceberg is spark-submit configuration, sources/tables.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import dsci_524_g26_data_validation_spark as dv
+from dsci_524_g26_data_validation_spark.sources.tables import load_table
+
+
+def test_load_table_temp_view_branch(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("dv_docs_view")
+    got = load_table(spark, "dv_docs_view")
+    assert got.count() == docs.count()
+    assert got.schema == docs.schema
+
+
+def test_load_table_catalog_db_table_validates(spark, sf_dir, tmp_path):
+    """db.table through the session catalog: write a managed table, load
+    it by qualified name, run the real engine on it."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS dv_cat_test")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    try:
+        docs.write.mode("overwrite").saveAsTable("dv_cat_test.docs")
+        tbl = load_table(spark, "dv_cat_test.docs")
+        assert "/" not in "dv_cat_test.docs"  # catalog branch, not parquet
+        contract = dv.infer_contract(tbl)
+        assert set(contract.columns) == set(docs.columns)
+        res = dv.validate_contract(tbl, contract)
+        assert res.ok  # a table always conforms to its own inferred contract
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dv_cat_test.docs")
+        spark.sql("DROP DATABASE IF EXISTS dv_cat_test")
+
+
+def test_load_table_path_branch(spark, sf_dir):
+    got = load_table(spark, f"{sf_dir}/documents.parquet")
+    assert got.count() > 0

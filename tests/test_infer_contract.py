@@ -95,3 +95,45 @@ def test_all_null_string_gets_empty_domain(spark):
     c = infer_contract(df)
     assert c.columns["s"].allowed_values == set()
     assert c.columns["s"].max_missing_frac == 1.0
+
+
+# -- infer_profile (P6 surfaced in the public profile path) -------------------
+
+
+def test_infer_profile_quantiles_and_stats(spark):
+    from dsci_524_g26_data_validation_spark import infer_profile
+
+    df = spark.range(1, 101).selectExpr(
+        "id as v", "cast(id as string) as s"
+    )
+    prof = infer_profile(df, exact_quantiles=True)
+    assert prof.n_rows == 100
+    v = prof.columns["v"]
+    # exact interpolated percentiles of 1..100
+    assert v.quantiles == (25.75, 50.5, 75.25)
+    assert v.min_value == 1.0 and v.max_value == 100.0
+    assert v.non_null_count == 100
+    # HLL estimate within its ~2% error band
+    assert abs(v.approx_distinct - 100) <= 5
+    s = prof.columns["s"]
+    assert s.quantiles is None
+    assert s.allowed_values is not None and len(s.allowed_values) == 100
+
+
+def test_infer_profile_gk_mode_returns_data_values(spark):
+    from dsci_524_g26_data_validation_spark import infer_profile
+
+    df = spark.range(1, 1001).selectExpr("id as v")
+    prof = infer_profile(df)  # GK sketch (default at-scale mode)
+    q = prof.columns["v"].quantiles
+    assert q is not None
+    # percentile_approx returns actual data values near the true ranks
+    assert abs(q[0] - 250) <= 5 and abs(q[1] - 500) <= 5 and abs(q[2] - 750) <= 5
+    assert q[0] <= q[1] <= q[2]
+
+
+def test_infer_profile_contract_matches_infer_contract(spark, sf_dir):
+    from dsci_524_g26_data_validation_spark import infer_contract, infer_profile
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert infer_profile(df).contract == infer_contract(df)

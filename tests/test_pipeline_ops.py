@@ -251,3 +251,98 @@ def test_key_checks_survive_hot_key_skew(spark):
     kc = key_integrity_counts(df, ref)
     assert kc["dup_keys"] == 1
     assert kc["surplus_rows"] == n // 2 - 1
+
+
+def test_minhash_degenerate_bucket_cap(spark):
+    """5k identical docs: the capped path must produce O(n) star pairs
+    (anchored at the min id), not the quadratic all-pairs blowup."""
+    n = 5000
+    df = spark.range(0, n, 1, 8).select(
+        F.col("id").alias("doc_id"),
+        F.lit("boilerplate terms of service text repeated verbatim many times").alias(
+            "text"
+        ),
+    )
+    cand = dedup.minhash_lsh_candidates(
+        df, num_hashes=16, bands=8, max_bucket_size=100
+    )
+    rows = cand.collect()
+    # star topology: every non-anchor doc pairs with doc 0, once
+    assert len(rows) == n - 1
+    assert all(r["id_a"] == 0 for r in rows)
+    assert all(r["n_bands"] == 8 for r in rows)
+    assert {r["id_b"] for r in rows} == set(range(1, n))
+
+
+def test_minhash_cap_neutral_on_small_buckets(dup_docs):
+    """With every bucket under the cap, capped and uncapped outputs are
+    identical — the cap only changes behavior where the blowup is."""
+    capped = {
+        (r["id_a"], r["id_b"], r["n_bands"])
+        for r in dedup.minhash_lsh_candidates(
+            dup_docs, num_hashes=32, bands=16, max_bucket_size=1000
+        ).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"], r["n_bands"])
+        for r in dedup.minhash_lsh_candidates(
+            dup_docs, num_hashes=32, bands=16, max_bucket_size=None
+        ).collect()
+    }
+    assert capped == uncapped
+
+
+def test_embedding_near_dup_recall_vs_bruteforce(spark):
+    """Planted near-dup pairs: LSH recall >= 0.95 against brute-force
+    ground truth at threshold 0.95 (VERDICT r1 item 2)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim, n_base, n_dups = 16, 200, 60
+    base = rng.normal(size=(n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # copies of the first n_dups vectors with small angular noise
+    noisy = base[:n_dups] + rng.normal(scale=0.04, size=(n_dups, dim))
+    noisy /= np.linalg.norm(noisy, axis=1, keepdims=True)
+    all_vecs = np.vstack([base, noisy])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(all_vecs)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    sims = all_vecs @ all_vecs.T
+    gt = {
+        (i, j)
+        for i in range(len(all_vecs))
+        for j in range(i + 1, len(all_vecs))
+        if sims[i, j] >= 0.95
+    }
+    assert len(gt) >= n_dups  # the plant worked
+
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_duplicates(df, threshold=0.95).collect()
+    }
+    assert found <= gt  # exact verification: no false positives
+    recall = len(found & gt) / len(gt)
+    assert recall >= 0.95, f"recall {recall:.3f} < 0.95 (found {len(found)}/{len(gt)})"
+
+
+def test_lsh_buckets_udf_tolerates_dirty_vectors(spark):
+    """NULL or wrong-dimension embeddings get NULL buckets (silently
+    excluded from bucketed search) instead of crashing the Arrow batch."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, None),
+        (3, [1.0, 0.0]),  # wrong dim
+        (4, [0.9, 0.1, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = similarity.with_lsh_buckets(df, dim=4, n_planes=4, n_tables=2)
+    got = {r["vec_id"]: r["lsh_buckets"] for r in out.collect()}
+    assert got[2] is None and got[3] is None
+    assert got[1] is not None and len(got[1]) == 2
+    # bucketed top-k over the dirty table must not crash and must only
+    # rank the valid vectors
+    top = similarity.cosine_topk_lsh(
+        df, [1.0, 0.0, 0.0, 0.0], k=4, n_planes=4, n_tables=2
+    ).collect()
+    assert {r["vec_id"] for r in top} <= {1, 4}

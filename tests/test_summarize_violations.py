@@ -155,3 +155,51 @@ def test_distributed_summary_matches_in_memory(spark):
         ).top_issues
     ]
     assert got == expect
+
+
+def test_distributed_summary_to_summary_matches_in_memory(spark):
+    from dsci_524_g26_data_validation_spark import summarize_violations_distributed
+
+    rows = [
+        ("range", "zebra"),
+        ("range", "apple"),
+        ("range", "apple"),
+        ("missing_column", None),
+        ("dtype", "beta"),
+        ("weird", "gamma"),
+    ]
+    df = spark.createDataFrame(rows, "kind string, column string")
+    issues = [mk(k, c) for k, c in rows]
+    mem = summarize_violations(
+        ValidationResult(ok=False, issues=issues), top_k=3
+    )
+    dist = summarize_violations_distributed(df, top_k=3).to_summary()
+    # M3: counts over ALL issues, not just top-k
+    assert dist.counts_by_kind == mem.counts_by_kind
+    assert dist.ok == mem.ok is False
+    # M4/M5: same ranked (kind, column) head
+    assert [(i.kind, i.column) for i in dist.top_issues] == [
+        (i.kind, i.column) for i in mem.top_issues
+    ]
+
+
+def test_distributed_summary_empty_is_ok(spark):
+    from dsci_524_g26_data_validation_spark import summarize_violations_distributed
+
+    df = spark.createDataFrame([], "kind string, column string")
+    s = summarize_violations_distributed(df).to_summary()
+    assert s.ok is True and s.top_issues == [] and s.counts_by_kind == {}
+
+
+def test_distributed_summary_input_validation(spark):
+    from dsci_524_g26_data_validation_spark import summarize_violations_distributed
+
+    df = spark.createDataFrame([("range", "c")], "kind string, column string")
+    with pytest.raises(TypeError):
+        summarize_violations_distributed(df, top_k="5")
+    with pytest.raises(ValueError):
+        summarize_violations_distributed(df, top_k=0)
+    with pytest.raises(TypeError):
+        summarize_violations_distributed(df, weights=[1])
+    with pytest.raises(ValueError):
+        summarize_violations_distributed(df, weights={"range": 0})
