@@ -5,7 +5,14 @@ Default mode (what the driver runs):
 emits ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {<name>: sec, ...}, "sf": <sf>,
-     "token_pass": {"rows": N, "sec": t, "sequences_per_sec": r}, ...}
+     "token_pass": {"rows": 32000000, "sec": t, "sequences_per_sec": r},
+     "efficiency": <N->4N scaling efficiency>, "scaling": {...}, ...}
+
+The headline token pass runs at 32M rows (the ~4-5 s serial component —
+driver round trips, AQE planning, codegen — amortizes there; BASELINE.md)
+and the default JSON embeds the local[4]→local[16] scaling pair measured
+on that same byte-identical input. Set SPARK_GRAFT_BENCH_SCALING=0 for a
+quick suite-only run.
 
 The headline workload is the north-star "full contract pass" (BASELINE.json)
 over the synthetic tokenized-sequence table (doc_id, tokens:array<int>,
@@ -90,7 +97,9 @@ def write_token_tables(spark, n_rows: int, workdir: str) -> None:
     ).parquet(f"{workdir}/tokens_ref")
 
 
-def token_pass(spark, n_rows: int, workdir: str) -> dict:
+def token_pass(
+    spark, n_rows: int, workdir: str, *, reps: int = 2, warmup: bool = True
+) -> dict:
     """North-star workload: full TableContract pass over a parquet-backed
     token table. Table build/write is NOT timed; the validation pass is."""
     import dsci_524_g26_data_validation_spark as dv
@@ -124,10 +133,12 @@ def token_pass(spark, n_rows: int, workdir: str) -> dict:
     )
     dims = {"sources": dv.source_dim(spark)}
 
-    # one untimed warmup (JIT + codegen compile), then best of 2 timed runs
-    dv.validate_table_contract(dirty, tc, dims=dims, reference=ref)
+    # untimed warmup (JIT + codegen compile), then best of ``reps`` runs
+    if warmup:
+        dv.validate_table_contract(dirty, tc, dims=dims, reference=ref)
     sec = float("inf")
-    for _ in range(2):
+    result = None
+    for _ in range(reps):
         t0 = time.perf_counter()
         result = dv.validate_table_contract(dirty, tc, dims=dims, reference=ref)
         sec = min(sec, time.perf_counter() - t0)
@@ -152,86 +163,65 @@ def run_queries(spark, sf_dir: str) -> dict:
     return times
 
 
-def main_default() -> None:
-    spark = _session(CPUS)
-    spark.sparkContext.setLogLevel("ERROR")
-    workdir = tempfile.mkdtemp(prefix="dv_bench_")
-    try:
-        tp = token_pass(spark, TOKEN_ROWS, workdir)
-        qt = run_queries(spark, SF_DIR)
-        total = round(tp["sec"] + sum(qt.values()), 3)
-        print(
-            json.dumps(
-                {
-                    "metric": "full_contract_pass_plus_query_suite_sec",
-                    "value": total,
-                    "unit": "sec",
-                    "queries": qt,
-                    "sf": SF_DIR.rstrip("/").split("sf")[-1],
-                    "token_pass": tp,
-                    "sequences_per_sec": tp["sequences_per_sec"],
-                    "cpus": CPUS,
-                }
-            )
-        )
-    finally:
-        shutil.rmtree(workdir, ignore_errors=True)
-        spark.stop()
+#: Small-table warmup size: codegen/JIT compilation is row-count
+#: independent (identical plans), so a 2M-row pass in the same JVM warms
+#: the 32M-row timed pass at ~1/16 the cost of a full warmup run.
+WARM_ROWS = 2_000_000
 
 
-def main_token_only() -> None:
-    """Internal: one validation pass; input dir via SPARK_GRAFT_DATA_DIR
-    (pre-generated + shared across parallelism levels when set)."""
-    spark = _session(CPUS)
-    spark.sparkContext.setLogLevel("ERROR")
-    workdir = os.environ.get("SPARK_GRAFT_DATA_DIR")
-    cleanup = workdir is None
-    workdir = workdir or tempfile.mkdtemp(prefix="dv_bench_")
-    try:
-        print(json.dumps(token_pass(spark, TOKEN_ROWS, workdir)))
-    finally:
-        if cleanup:
-            shutil.rmtree(workdir, ignore_errors=True)
-        spark.stop()
+def _measure_scaling(n_rows: int, pair, reps: int) -> dict:
+    """N vs 4N evidence (north rule, sandbox proxy): the SAME
+    byte-identical parquet input validated at local[N] and local[4N],
+    fresh subprocess per rep, best-of-reps per level to damp external
+    host load.
 
+    Default pair is 4→16 (not 8→32): this sandbox shares its 32 cores
+    with other tenants at a persistent load average of ~10-13, so a
+    local[32] run oversubscribes the machine and measures contention,
+    not the engine. 16 + external load still fits; the N→4N criterion is
+    the same. Override with SPARK_GRAFT_SCALING_PAIR=8,32.
 
-def main_scaling() -> None:
-    """N vs 4N evidence (north rule, sandbox proxy): the SAME byte-identical
-    parquet input validated at local[N] and local[4N], one fresh subprocess
-    per run, best-of-REPS per level to damp external host load.
-
-    Default pair is 4→16 (not 8→32): this sandbox shares its 32 cores with
-    other tenants at a persistent load average of ~10-13, so a local[32]
-    run oversubscribes the machine and measures contention, not the
-    engine. 16 + external load still fits; the N→4N criterion is the same.
-    Override with SPARK_GRAFT_SCALING_PAIR=8,32.
+    n_rows defaults to 32M so the ~4-5 s serial component (driver round
+    trips, AQE planning, codegen) amortizes — at 2-8M rows it caps the
+    measurable speedup well below the engine's true scaling (Amdahl).
     """
-    # 32M rows so the ~4-5 s serial component (driver round trips, AQE
-    # planning, codegen) amortizes — at 2-8M rows it caps the measurable
-    # speedup well below the engine's true scaling (Amdahl).
-    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
-    n_rows = int(os.environ.get("SPARK_GRAFT_TOKEN_ROWS", "32000000"))
-    pair = [
-        int(x)
-        for x in os.environ.get("SPARK_GRAFT_SCALING_PAIR", "4,16").split(",")
-    ]
     tmp_parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
     workdir = tempfile.mkdtemp(prefix="dv_scaling_", dir=tmp_parent)
+    warmdir = f"{workdir}/warm"
     try:
-        # generate once (untimed) so both levels read identical files
+        # generate once (untimed) so every level reads identical files
         spark = _session(CPUS)
         spark.sparkContext.setLogLevel("ERROR")
         write_token_tables(spark, n_rows, workdir)
+        write_token_tables(spark, WARM_ROWS, warmdir)
         spark.stop()
+
+        # Bounded quiet-window wait: the sandbox host is shared and its
+        # external load (often 10-13) is what a rep actually measures when
+        # it collides with a spike. Before each rep, wait (within one
+        # global budget) for load1 to drop under the threshold — measuring
+        # the engine, not the neighbors. Waiting is bounded and optional
+        # (SPARK_GRAFT_QUIET_WAIT=0 disables).
+        quiet_budget = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "300"))
+        quiet_load = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "6"))
+
+        def wait_quiet() -> None:
+            nonlocal quiet_budget
+            while quiet_budget > 0 and os.getloadavg()[0] > quiet_load:
+                step = min(10.0, quiet_budget)
+                time.sleep(step)
+                quiet_budget -= step
 
         results = {}
         for cpus in pair:
             best = None
             for _ in range(reps):
+                wait_quiet()
                 env = dict(os.environ)
                 env["SPARK_GRAFT_CPUS"] = str(cpus)
                 env["SPARK_GRAFT_TOKEN_ROWS"] = str(n_rows)
                 env["SPARK_GRAFT_DATA_DIR"] = workdir
+                env["SPARK_GRAFT_WARM_DIR"] = warmdir
                 out = subprocess.run(
                     [sys.executable, __file__, "--token-only"],
                     env=env,
@@ -247,23 +237,115 @@ def main_scaling() -> None:
         t_lo = results[lo]["sequences_per_sec"]
         t_hi = results[hi]["sequences_per_sec"]
         factor = hi / lo
-        print(
-            json.dumps(
-                {
-                    "metric": f"scaling_efficiency_{lo}_to_{hi}_cores",
-                    "value": round((t_hi / t_lo) / factor, 3),
-                    "unit": "efficiency",
-                    "rows": results[hi]["rows"],
-                    f"throughput_local{lo}_seq_per_sec": t_lo,
-                    f"throughput_local{hi}_seq_per_sec": t_hi,
-                    f"sec_local{lo}": results[lo]["sec"],
-                    f"sec_local{hi}": results[hi]["sec"],
-                    "reps": reps,
-                }
-            )
-        )
+        return {
+            "efficiency": round((t_hi / t_lo) / factor, 3),
+            "pair": [lo, hi],
+            "rows": results[hi]["rows"],
+            f"throughput_local{lo}_seq_per_sec": t_lo,
+            f"throughput_local{hi}_seq_per_sec": t_hi,
+            f"sec_local{lo}": results[lo]["sec"],
+            f"sec_local{hi}": results[hi]["sec"],
+            "reps": reps,
+            "token_pass": results[hi],
+        }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def main_default() -> None:
+    """Driver entry: ONE JSON line with the per-query suite at
+    $SPARK_GRAFT_SF_DIR, the headline 32M-row token pass, and the N→4N
+    scaling-efficiency pair measured on that same 32M-row input
+    (VERDICT r1 item 6 — headline where the serial component is
+    amortized, scaling evidence in the same JSON)."""
+    n_rows = int(os.environ.get("SPARK_GRAFT_TOKEN_ROWS", "32000000"))
+    pair = [
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_SCALING_PAIR", "4,16").split(",")
+    ]
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+    scaling = None
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
+        scaling = _measure_scaling(n_rows, pair, reps)
+
+    spark = _session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    workdir = tempfile.mkdtemp(prefix="dv_bench_")
+    try:
+        qt = run_queries(spark, SF_DIR)
+        if scaling is None:  # scaling disabled: in-session small pass
+            tp = token_pass(spark, TOKEN_ROWS, workdir)
+        else:
+            tp = scaling.pop("token_pass")
+        total = round(tp["sec"] + sum(qt.values()), 3)
+        out = {
+            "metric": "full_contract_pass_plus_query_suite_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": qt,
+            "sf": SF_DIR.rstrip("/").split("sf")[-1],
+            "token_pass": tp,
+            "sequences_per_sec": tp["sequences_per_sec"],
+            "cpus": CPUS,
+        }
+        if scaling is not None:
+            out["efficiency"] = scaling["efficiency"]
+            out["scaling"] = scaling
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.stop()
+
+
+def main_token_only() -> None:
+    """Internal: one validation pass; input dir via SPARK_GRAFT_DATA_DIR
+    (pre-generated + shared across parallelism levels when set). When
+    SPARK_GRAFT_WARM_DIR points at small pre-generated tables, a pass
+    over them replaces the full-size warmup run (same plans → same
+    codegen, ~1/16 the cost)."""
+    spark = _session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    workdir = os.environ.get("SPARK_GRAFT_DATA_DIR")
+    warmdir = os.environ.get("SPARK_GRAFT_WARM_DIR")
+    cleanup = workdir is None
+    workdir = workdir or tempfile.mkdtemp(prefix="dv_bench_")
+    try:
+        if warmdir:
+            # small pass warms codegen; best-of-2 timed runs in the warm
+            # JVM damp external-load noise (shared host, BASELINE.md)
+            token_pass(spark, WARM_ROWS, warmdir, reps=1, warmup=False)
+            inner = int(os.environ.get("SPARK_GRAFT_INNER_REPS", "2"))
+            tp = token_pass(spark, TOKEN_ROWS, workdir, reps=inner, warmup=False)
+        else:
+            tp = token_pass(spark, TOKEN_ROWS, workdir)
+        print(json.dumps(tp))
+    finally:
+        if cleanup:
+            shutil.rmtree(workdir, ignore_errors=True)
+        spark.stop()
+
+
+def main_scaling() -> None:
+    """Standalone scaling report (same measurement the default embeds)."""
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+    n_rows = int(os.environ.get("SPARK_GRAFT_TOKEN_ROWS", "32000000"))
+    pair = [
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_SCALING_PAIR", "4,16").split(",")
+    ]
+    s = _measure_scaling(n_rows, pair, reps)
+    s.pop("token_pass", None)
+    lo, hi = s.pop("pair")
+    print(
+        json.dumps(
+            {
+                "metric": f"scaling_efficiency_{lo}_to_{hi}_cores",
+                "value": s.pop("efficiency"),
+                "unit": "efficiency",
+                **s,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -6,6 +6,7 @@
 Commands (input = parquet path or catalog/Iceberg table name):
 
     infer     --input T --output contract.json [--max-categories N]
+              [--profile]   (adds P6 stats to the JSON report)
     validate  --input T --contract contract.json [--no-strict]
               [--violations-out PATH] [--fail]
     table-validate --input T --table-contract tc.json
@@ -31,6 +32,7 @@ from . import (
     contract_from_json,
     contract_to_json,
     infer_contract,
+    infer_profile,
     summarize_violations,
     table_contract_from_json,
     validate_contract,
@@ -74,6 +76,12 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--max-categories", type=int, default=1000)
+    p.add_argument(
+        "--profile",
+        action="store_true",
+        help="include full P6 stats (row count, non-null counts, "
+        "approx-distinct, p25/p50/p75) in the JSON report",
+    )
 
     p = sub.add_parser("validate")
     p.add_argument("--input", required=True)
@@ -117,10 +125,30 @@ def main(argv: Optional[list] = None) -> int:
     df = load_table(spark, args.input)
 
     if args.cmd == "infer":
-        contract = infer_contract(df, max_categories=args.max_categories)
+        if args.profile:
+            prof = infer_profile(df, max_categories=args.max_categories)
+            contract = prof.contract
+        else:
+            prof = None
+            contract = infer_contract(df, max_categories=args.max_categories)
         with open(args.output, "w") as f:
             f.write(contract_to_json(contract, indent=2))
-        print(json.dumps({"written": args.output, "n_columns": len(contract.columns)}))
+        out = {"written": args.output, "n_columns": len(contract.columns)}
+        if prof is not None:
+            out["n_rows"] = prof.n_rows
+            out["profile"] = {
+                col: {
+                    "dtype": p.dtype,
+                    "null_frac": p.null_frac,
+                    "non_null_count": p.non_null_count,
+                    "approx_distinct": p.approx_distinct,
+                    "min": p.min_value,
+                    "max": p.max_value,
+                    "quantiles": list(p.quantiles) if p.quantiles else None,
+                }
+                for col, p in prof.columns.items()
+            }
+        print(json.dumps(out, sort_keys=True))
         return 0
 
     if args.cmd == "validate":

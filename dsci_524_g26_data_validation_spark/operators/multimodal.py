@@ -101,16 +101,19 @@ def decode_images(df: DataFrame, *, real_decode: bool = False) -> DataFrame:
     (NotImplementedError here); the default deterministic fake trusts the
     metadata — the Spark-side contract (schema, batching, partitioning)
     is identical either way.
+
+    The needed meta fields are projected to top-level columns BEFORE
+    ``mapInPandas``, so the Arrow batch arrives fully columnar (a struct
+    column materializes one Python dict per row inside the batch) and
+    the parquet reader prunes the untouched meta fields.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if real_decode:
                 _require_codec("image")
-            # struct column → one columnar frame (no per-row lambdas)
-            meta = pd.DataFrame(list(pdf["meta"]))
-            w = meta["width"].astype("int32")
-            h = meta["height"].astype("int32")
+            w = pdf["width"].astype("int32")
+            h = pdf["height"].astype("int32")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -121,7 +124,13 @@ def decode_images(df: DataFrame, *, real_decode: bool = False) -> DataFrame:
                 }
             )
 
-    return df.filter(F.col("kind") == "image").mapInPandas(batches, _DECODED_SCHEMA)
+    pruned = df.filter(F.col("kind") == "image").select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        "payload",
+    )
+    return pruned.mapInPandas(batches, _DECODED_SCHEMA)
 
 
 _FEATURE_DIM = 16

@@ -76,3 +76,19 @@ def test_cli_table_validate_with_resume(spark, tmp_path, capsys):
                "--resume-manifest", manifest, "--partition-col", "source"])
     assert rc == 0
     assert _last_json(capsys)["partitions_ran"] == {}
+
+
+def test_cli_infer_profile_flag(spark, sf_dir, tmp_path, capsys):
+    import json
+
+    from dsci_524_g26_data_validation_spark.cli import main
+
+    out = str(tmp_path / "c.json")
+    assert main(["infer", "--input", f"{sf_dir}/orders.parquet",
+                 "--output", out, "--profile"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_rows"] > 0
+    tp = rep["profile"]["o_totalprice"]
+    assert tp["quantiles"] is not None and len(tp["quantiles"]) == 3
+    assert tp["min"] <= tp["quantiles"][0] <= tp["quantiles"][2] <= tp["max"]
+    assert rep["profile"]["o_orderpriority"]["quantiles"] is None
