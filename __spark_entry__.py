@@ -428,6 +428,56 @@ def _stream_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    lifetime per-key violation totals. After availableNow drains the
+    source, the final state per key equals the batch aggregation — the
+    DuckDB oracle checks exactly that equivalence."""
+    import tempfile
+
+    from dsci_524_g26_data_validation_spark.streaming import (
+        violation_running_totals,
+    )
+
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    totals = violation_running_totals(
+        stream, _EVENTS_CONTRACT, key_col="event_type"
+    )
+    acc = []
+
+    def _collect(bdf: DataFrame, _bid: int) -> None:
+        acc.extend(bdf.collect())
+
+    q = (
+        totals.writeStream.foreachBatch(_collect)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dv_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    if q.isActive:
+        q.stop()
+        q.awaitTermination(60)
+    last = {}
+    for r in acc:  # update mode: one row per key per batch; keep latest
+        last[r["key"]] = r
+    rows = [
+        (k, r["total_rows"], r["total_violations"])
+        for k, r in sorted(last.items())
+    ]
+    return spark.createDataFrame(
+        rows, "key string, total_rows long, total_violations long"
+    ).withColumn(
+        "violation_rate",
+        F.round(F.col("total_violations") / F.col("total_rows"), 6),
+    )
+
+
 def _stream_batch_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: full fused contract pass per micro-batch
     (foreachBatch); one verdict row per batch. Rows-only check."""
@@ -539,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _embedding_near_dups,
         "minhash_candidates": _minhash_candidates,
         "token_contract_pass": _token_contract_pass,
+        "stream_running_totals": _stream_running_totals,
         # rows-only (no SQL oracle): foreachBatch driver state, stubbed
         # codecs, and deliberately-approximate ANN (recall measured in
         # ANN_RECALL.json / tests instead of an exact oracle)
@@ -824,6 +875,22 @@ def oracle_sql() -> dict[str, str]:
                 ('referential', 'source', '92'),
                 ('uniqueness',  'doc_id', '104')
             ) AS t(kind, "column", observed)
+        """,
+        # stateful streaming totals after draining the source == plain
+        # batch aggregation per key (state-store correctness check)
+        "stream_running_totals": """
+            SELECT event_type AS key, count(*) AS total_rows,
+                   (count(*) FILTER (WHERE value < 0)
+                    + count(*) FILTER (WHERE value > 100)
+                    + count(*) FILTER (WHERE event_type IS NOT NULL
+                        AND event_type NOT IN ('click','view','purchase','signup')))
+                       AS total_violations,
+                   round(CAST(count(*) FILTER (WHERE value < 0)
+                    + count(*) FILTER (WHERE value > 100)
+                    + count(*) FILTER (WHERE event_type IS NOT NULL
+                        AND event_type NOT IN ('click','view','purchase','signup'))
+                       AS DOUBLE) / count(*), 6) AS violation_rate
+            FROM events GROUP BY event_type
         """,
         # windowed streaming aggregation == per-day batch aggregation
         # (Spark 1-day tumbling windows align to epoch days = date_trunc)

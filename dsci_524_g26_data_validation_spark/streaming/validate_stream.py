@@ -31,7 +31,12 @@ from ..plans.rule_compiler import violation_predicates
 from ..types import Contract, ValidationResult
 from ..operators.validate import validate_contract
 
-__all__ = ["violation_counts_stream", "validate_each_batch", "BatchVerdict"]
+__all__ = [
+    "violation_counts_stream",
+    "violation_running_totals",
+    "validate_each_batch",
+    "BatchVerdict",
+]
 
 
 def violation_counts_stream(
@@ -101,6 +106,92 @@ def violation_counts_stream(
             "n_violations",
             "n_rows",
         )
+    )
+
+
+def violation_running_totals(
+    stream_df: DataFrame,
+    contract: Contract,
+    *,
+    key_col: str,
+) -> DataFrame:
+    """Custom stateful operator: cumulative violation totals per key
+    across the whole stream lifetime (``applyInPandasWithState``).
+
+    Windowed counts (:func:`violation_counts_stream`) expire with the
+    watermark; some contracts instead need *lifetime* quality per
+    partition key ("what is the all-time violation rate of source X?").
+    That is unbounded-in-time but bounded-in-keys state — exactly the
+    arbitrary-stateful-processing shape, so the per-key running totals
+    live in Spark's state store (checkpointed, recovered on restart,
+    ~two longs per key).
+
+    Output per key per micro-batch (update mode):
+      (key, batch_rows, batch_violations, total_rows, total_violations,
+       violation_rate) where totals accumulate across batches/restarts.
+
+    Hot path stays cheap: every rule facet is compiled to a Catalyst
+    predicate (same rule compiler as the batch engine) and summed into
+    ONE int column *before* the stateful exchange, so the Python state
+    function only ever sums a pre-computed per-row violation count per
+    Arrow batch — no per-row rule evaluation in Python, and the shuffle
+    carries (key, int) not full rows.
+    """
+    import pandas as pd  # local: Arrow path only
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    preds = violation_predicates(stream_df, contract)
+    viol = None
+    for _col, plist in preds.items():
+        for _kind, p in plist:
+            # NULL predicate (e.g. NULL value vs a range bound) is not a
+            # violation and must not poison the row-wise sum
+            term = F.when(p, F.lit(1)).otherwise(F.lit(0))
+            viol = term if viol is None else viol + term
+    if viol is None:
+        viol = F.lit(0)
+    enriched = stream_df.select(
+        F.col(f"`{key_col}`").cast("string").alias("key"),
+        viol.alias("_v"),
+    )
+
+    out_schema = (
+        "key string, batch_rows long, batch_violations long, "
+        "total_rows long, total_violations long, violation_rate double"
+    )
+    state_schema = "total_rows long, total_violations long"
+
+    def _update(key, pdf_iter, state):
+        batch_rows = 0
+        batch_viols = 0
+        for pdf in pdf_iter:
+            batch_rows += len(pdf)
+            batch_viols += int(pdf["_v"].sum())
+        total_rows, total_viols = state.get if state.exists else (0, 0)
+        total_rows += batch_rows
+        total_viols += batch_viols
+        state.update((total_rows, total_viols))
+        yield pd.DataFrame(
+            [
+                {
+                    "key": key[0],
+                    "batch_rows": batch_rows,
+                    "batch_violations": batch_viols,
+                    "total_rows": total_rows,
+                    "total_violations": total_viols,
+                    "violation_rate": (
+                        total_viols / total_rows if total_rows else 0.0
+                    ),
+                }
+            ]
+        )
+
+    return enriched.groupBy("key").applyInPandasWithState(
+        _update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
     )
 
 

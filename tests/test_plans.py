@@ -103,3 +103,34 @@ def test_topk_plans_take_ordered(spark, sf_dir):
     top = similarity.cosine_topk_bruteforce(e, q, k=5)
     plan = _spark_plan(top)
     assert "TakeOrderedAndProject" in plan  # per-partition heap, no full sort
+
+
+def test_minhash_cap_plan_no_cartesian(spark):
+    from dsci_524_g26_data_validation_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, f"some document number {i} with shared words") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    cand = dedup.minhash_lsh_candidates(df, num_hashes=16, bands=8)
+    plan = _spark_plan(cand)
+    # candidate generation is an equi-join on band digests + a windowed
+    # bucket-size annotation — never an all-pairs product
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_embedding_near_dup_plan_no_cartesian(spark):
+    from dsci_524_g26_data_validation_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.5]) for i in range(20)],
+        "vec_id bigint, embedding array<double>",
+    )
+    pairs = similarity.embedding_near_duplicates(
+        df, threshold=0.95, n_planes=4, n_tables=2
+    )
+    plan = _spark_plan(pairs)
+    # bucket equi-join on (table, bucket) ints; vectors only join back to
+    # the deduplicated candidate pairs
+    assert "CartesianProduct" not in plan

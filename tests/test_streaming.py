@@ -128,3 +128,82 @@ def test_validate_each_batch(spark, event_files, tmp_path):
     )
     query2.awaitTermination(120)
     assert verdicts2 == []
+
+
+def test_violation_running_totals_state_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: per-key totals accumulate across
+    micro-batches AND across query restarts (state store recovery)."""
+    import shutil
+
+    from dsci_524_g26_data_validation_spark.streaming import (
+        violation_running_totals,
+    )
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def make_chunk(start_id, n, bad_every):
+        rows = [
+            (
+                start_id + i,
+                base + dt.timedelta(seconds=i),
+                150.0 if i % bad_every == 0 else 50.0,
+                "click" if (start_id + i) % 2 else "view",
+            )
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, EVENTS_SCHEMA)
+
+    indir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    stage = str(tmp_path / "stage1")
+    make_chunk(0, 100, bad_every=10).coalesce(1).write.parquet(stage)
+
+    def run(name):
+        # foreachBatch sink: unlike the memory sink it supports resuming
+        # from an existing checkpoint (exactly what this test asserts)
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(indir)
+        totals = violation_running_totals(stream, CONTRACT, key_col="event_type")
+        acc = []
+
+        def collect_batch(bdf, _bid):
+            acc.extend(bdf.collect())
+
+        q = (
+            totals.writeStream.foreachBatch(collect_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+            q.awaitTermination(60)
+        # update mode emits one row per key per batch; keep the latest
+        out = {}
+        for r in acc:
+            out[r["key"]] = (r["total_rows"], r["total_violations"])
+        return out
+
+    shutil.copytree(stage, indir)
+    got1 = run("rt1")
+    # chunk 1: 100 rows (50 click / 50 view), 10 bad values (i % 10 == 0,
+    # even i -> alternating start_id parity: i even means id even -> "view")
+    assert got1["click"][0] + got1["view"][0] == 100
+    assert got1["click"][1] + got1["view"][1] == 10
+
+    # second chunk lands; RESTARTED query must resume state from ckpt
+    stage2 = str(tmp_path / "stage2")
+    make_chunk(1000, 60, bad_every=6).coalesce(1).write.parquet(stage2)
+    import glob
+    import os
+
+    for f in glob.glob(f"{stage2}/*.parquet"):
+        shutil.copy(f, os.path.join(indir, "chunk2.parquet"))
+    got2 = run("rt2")
+    assert got2["click"][0] + got2["view"][0] == 160
+    assert got2["click"][1] + got2["view"][1] == 20
+    # per-key totals are monotone across the restart
+    for k in ("click", "view"):
+        assert got2[k][0] >= got1[k][0]
+        assert got2[k][1] >= got1[k][1]
