@@ -192,6 +192,12 @@ def minhash_lsh_candidates(
     full clique, is what downstream consumers need). In practice an
     over-cap bucket is a cluster of near/exact duplicates of one
     document. ``max_bucket_size=None`` disables the cap.
+
+    Plan shape (verified in tests/test_plans.py): the signature +
+    band-explode pipeline is computed ONCE — Spark's ReuseExchange
+    collapses the three references (join side a, join side b, star
+    branch) onto a single (band, digest) shuffle, so the cap costs one
+    windowed count over already-shuffled data, not extra scans.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rpb = num_hashes // bands
@@ -337,6 +343,7 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     block_bits: int = 16,
+    max_block_size: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ max_hamming on SimHash.
 
@@ -344,6 +351,17 @@ def simhash_near_duplicates(
     ``64/block_bits`` blocks; any pair within max_hamming < #blocks must
     agree exactly on ≥1 block, so candidates are found by equi-joining on
     (block_idx, block_value) — a shuffle on small keys, no O(n²) compare.
+
+    **Degenerate-block cap** (same job-killer as MinHash buckets, fixed
+    the same way): a block shared by more than ``max_block_size`` rows —
+    in practice a cluster of identical/near-identical boilerplate — is
+    excluded from the all-pairs join; its members are instead
+    star-linked to the block's min-id anchor (O(n) pairs preserving the
+    connected component), with the true Hamming distance computed
+    against the anchor's full signature (exact-dup clusters pair at
+    Hamming 0; a genuinely heterogeneous over-cap block keeps only
+    anchor-near members — the documented approximation).
+    ``max_block_size=None`` disables the cap.
     """
     n_blocks = 64 // block_bits
     sh = simhash(df, text_col=text_col, id_col=id_col)
@@ -365,11 +383,42 @@ def simhash_near_duplicates(
             )
         ).alias("b"),
     ).select("_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    star = None
+    if max_block_size is not None:
+        w = Window.partitionBy("blk", "val")
+        wo = (
+            Window.partitionBy("blk", "val")
+            .orderBy("_id")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        blocked = blocked.select(
+            "_id",
+            "simhash",
+            "blk",
+            "val",
+            F.count(F.lit(1)).over(w).alias("_bsz"),
+            F.first("_id").over(wo).alias("_anchor"),
+            F.first("simhash").over(wo).alias("_anchor_sim"),
+        )
+        star = (
+            blocked.filter(
+                (F.col("_bsz") > max_block_size)
+                & (F.col("_id") != F.col("_anchor"))
+            )
+            .select(
+                F.col("_anchor").alias("id_a"),
+                F.col("_id").alias("id_b"),
+                F.bit_count(
+                    F.col("_anchor_sim").bitwiseXOR(F.col("simhash"))
+                ).alias("hamming"),
+            )
+        )
+        blocked = blocked.filter(F.col("_bsz") <= max_block_size)
     a, b = blocked.alias("a"), blocked.alias("b")
     popcount = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
@@ -381,6 +430,10 @@ def simhash_near_duplicates(
             F.col("b._id").alias("id_b"),
             popcount.alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
+    )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return (
+        pairs.filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )

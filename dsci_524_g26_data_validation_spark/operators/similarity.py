@@ -303,21 +303,22 @@ def embedding_near_duplicates(
     """
     if bucket_col is None:
         dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
-        base = with_lsh_buckets(
-            df,
-            dim=int(dim_probe["d"]),
-            vec_col=vec_col,
-            bucket_col="_ndb",
-            n_planes=n_planes,
-            n_tables=n_tables,
-            seed=seed,
+        dim = int(dim_probe["d"])
+        all_planes = [
+            hyperplanes(dim, n_planes, seed=seed + 1000 * t)
+            for t in range(n_tables)
+        ]
+        # single projection: posexplode directly over the UDF output, so
+        # exactly ONE ArrowEvalPython per plan branch (a withColumn +
+        # select chain leaves a duplicated eval after UDF extraction)
+        bucket_expr = lsh_buckets_udf(all_planes)(
+            F.col(vec_col).cast("array<double>")
         )
-        bucket_col = "_ndb"
     else:
-        base = df
-    keyed = base.select(
+        bucket_expr = F.col(bucket_col)
+    keyed = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.col(bucket_col)).alias("_t", "_bucket"),
+        F.posexplode(bucket_expr).alias("_t", "_bucket"),
     )
     x, y = keyed.alias("x"), keyed.alias("y")
     cand = (
@@ -330,20 +331,26 @@ def embedding_near_duplicates(
         .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Fetch both pair members' vectors in ONE scan of the table: unpivot
+    # each candidate pair to two (role, id) rows, equi-join against the
+    # vectors once (the tiny candidate side broadcasts; the big table
+    # streams through scan-bound), then regroup per pair. Joining va and
+    # vb separately would scan the embedding column — the bulk of the
+    # table's bytes — twice.
     vecs = df.select(
         F.col(id_col).alias("_vid"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
+    long = cand.selectExpr(
+        "id_a", "id_b", "stack(2, 'a', id_a, 'b', id_b) as (role, _vid)"
+    )
+    fetched = long.join(vecs, "_vid")
+    wide = fetched.groupBy("id_a", "id_b").agg(
+        F.any_value(F.when(F.col("role") == "a", F.col("_v")), True).alias("va"),
+        F.any_value(F.when(F.col("role") == "b", F.col("_v")), True).alias("vb"),
+    )
     cos = cosine_expr(F.col("va"), F.col("vb"))
     return (
-        cand.join(
-            vecs.select(F.col("_vid").alias("id_a"), F.col("_v").alias("va")),
-            "id_a",
-        )
-        .join(
-            vecs.select(F.col("_vid").alias("id_b"), F.col("_v").alias("vb")),
-            "id_b",
-        )
-        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        wide.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

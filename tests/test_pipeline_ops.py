@@ -346,3 +346,31 @@ def test_lsh_buckets_udf_tolerates_dirty_vectors(spark):
         df, [1.0, 0.0, 0.0, 0.0], k=4, n_planes=4, n_tables=2
     ).collect()
     assert {r["vec_id"] for r in top} <= {1, 4}
+
+
+def test_simhash_degenerate_block_cap(spark):
+    """5k identical docs: capped path produces star pairs at Hamming 0,
+    not the quadratic all-pairs block join."""
+    n = 5000
+    df = spark.range(0, n, 1, 8).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical boilerplate text repeated across the whole corpus").alias(
+            "text"
+        ),
+    )
+    pairs = dedup.simhash_near_duplicates(df, max_block_size=100).collect()
+    assert len(pairs) == n - 1
+    assert all(r["id_a"] == 0 and r["hamming"] == 0 for r in pairs)
+    assert {r["id_b"] for r in pairs} == set(range(1, n))
+
+
+def test_simhash_cap_neutral_on_small_blocks(dup_docs):
+    capped = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_near_duplicates(dup_docs, max_block_size=1000).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_near_duplicates(dup_docs, max_block_size=None).collect()
+    }
+    assert capped == uncapped

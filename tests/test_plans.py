@@ -120,6 +120,28 @@ def test_minhash_cap_plan_no_cartesian(spark):
     assert "Window" in plan
 
 
+def test_minhash_cap_signatures_computed_once(spark, tmp_path):
+    """The expensive signature pipeline must run ONCE: ReuseExchange
+    collapses the three derivations (join sides + star branch) onto one
+    (band, digest) shuffle — one parquet scan in the final plan.
+
+    Uses its own parquet file: a cached DataFrame over a shared testdata
+    path (other test modules cache documents.parquet) would swap the
+    scan for an InMemoryRelation and change the plan under test."""
+    from dsci_524_g26_data_validation_spark.operators import dedup
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"document number {i} with overlapping words") for i in range(200)],
+        "doc_id bigint, text string",
+    ).write.parquet(path)
+    d = spark.read.parquet(path)
+    cand = dedup.minhash_lsh_candidates(d, num_hashes=16, bands=8)
+    final = _final_plan(cand).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "ReusedExchange" in final
+
+
 def test_embedding_near_dup_plan_no_cartesian(spark):
     from dsci_524_g26_data_validation_spark.operators import similarity
 
