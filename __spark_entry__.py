@@ -192,6 +192,20 @@ def _token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_stats(_read(spark, sf_dir, "documents"))
 
 
+def _bpe_token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counts per source, with the ratio vs plain
+    whitespace tokens (how much a real token budget exceeds word count)."""
+    d = _read(spark, sf_dir, "documents")
+    n_bpe = text.bpe_token_count_expr("text")
+    n_ws = text.token_count_expr("text")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_bpe).cast("bigint").alias("total_bpe_tokens"),
+        F.max(n_bpe).alias("max_bpe_tokens"),
+        F.round(F.sum(n_bpe) / F.sum(n_ws), 6).alias("bpe_per_word"),
+    )
+
+
 def _quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents")
     q = text.quality_score_expr("text")
@@ -533,6 +547,19 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index partition-completeness check (oracle-checkable): probing
+    ALL cells must recover the exact brute-force top-k — every vector
+    lands in exactly one cell. Pruned-probe recall is measured in
+    ANN_RECALL.json / pytest instead (approximate by design)."""
+    e = _read(spark, sf_dir, "embeddings")
+    query = list(e.filter("vec_id = 7").select("embedding").first()["embedding"])
+    cents = similarity.ivf_centroids(e, n_cells=8, seed=42)
+    return similarity.cosine_topk_ivf(
+        e, query, cents, k=15, n_probe=8
+    ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 def _token_contract_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full engine pass (E1/E2/E5 + column contract) on the synthetic
     dirty token table — issues as rows."""
@@ -573,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_documents_source": _psi_documents_source,
         "dedup_exact_prefix": _dedup_exact_prefix,
         "token_stats_documents": _token_stats_documents,
+        "bpe_token_stats_documents": _bpe_token_stats_documents,
         "quality_by_source": _quality_by_source,
         "langid_documents": _langid_documents,
         "fingerprints_by_source": _fingerprints_by_source,
@@ -597,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pipeline": _media_pipeline,
         "simhash_near_dups": _simhash_near_dups,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
     }
 
 
@@ -613,6 +642,9 @@ round((
   + length(regexp_replace(text,'[^a-zA-Z ]','','g'))*1.0/greatest(length(text),1)
 ) / 3.0, 6)
 """
+
+#: BPE split pattern as a DuckDB SQL string literal (quotes doubled)
+_BPE_RE_SQL = text.BPE_SPLIT_PATTERN.replace("'", "''")
 
 _LANG_HITS = {
     lang: "len(list_filter(string_split(lower(text),' '), t -> list_contains([{}], t)))".format(
@@ -706,6 +738,15 @@ def oracle_sql() -> dict[str, str]:
                    max(len(string_split(text, ' '))) AS max_tokens
             FROM documents GROUP BY source
         """,
+        "bpe_token_stats_documents": f"""
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len(regexp_extract_all(text, '{_BPE_RE_SQL}', 0))) AS BIGINT)
+                       AS total_bpe_tokens,
+                   max(len(regexp_extract_all(text, '{_BPE_RE_SQL}', 0))) AS max_bpe_tokens,
+                   round(CAST(sum(len(regexp_extract_all(text, '{_BPE_RE_SQL}', 0))) AS DOUBLE)
+                         / sum(len(string_split(text, ' '))), 6) AS bpe_per_word
+            FROM documents GROUP BY source
+        """,
         "quality_by_source": f"""
             SELECT source, count(*) AS n_docs,
                    round(avg({_QUALITY_SQL}), 4) AS avg_quality,
@@ -736,6 +777,19 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
                      vec_id ASC
             LIMIT 20
+        """,
+        # exhaustive-probe IVF == exact brute force (partition completeness)
+        "ann_ivf_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                       embedding,
+                       (SELECT embedding FROM embeddings WHERE vec_id = 7)), 4) AS cosine
+            FROM embeddings
+            ORDER BY list_cosine_similarity(
+                       embedding,
+                       (SELECT embedding FROM embeddings WHERE vec_id = 7)) DESC,
+                     vec_id ASC
+            LIMIT 15
         """,
         "embedding_norms": """
             SELECT label, count(*) AS n_vecs,

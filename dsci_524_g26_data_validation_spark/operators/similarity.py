@@ -16,9 +16,17 @@ Random-hyperplane signatures are Charikar's rounding-hyperplane LSH
 (STOC 2002); multi-table amplification and multiprobe (Hamming-1 bucket
 probing) follow Lv et al., VLDB 2007.
 
-An IVF variant (KMeans centroids → probe nearest cells) drops in behind
-the same probe-then-brute-force shape; LSH is the dependency-free choice
-here.
+Two ANN index families behind the same probe-then-brute-force shape:
+
+* hyperplane LSH (data-independent, zero training) — best for
+  high-similarity near-dup workloads;
+* IVF (KMeans coarse quantizer → probe nearest cells, FAISS-style) —
+  data-adaptive cells, the structure real embedding corpora (clustered
+  by topic/modality) reward. Head-to-head on THIS repo's near-uniform
+  random testdata (ANN_RECALL.json) the two families tie at equal scan
+  fractions — random vectors give KMeans no structure either, and
+  neighbors near the noise floor are information-theoretically hard for
+  any partition-based index; use brute force there.
 """
 
 from __future__ import annotations
@@ -43,6 +51,10 @@ __all__ = [
     "with_lsh_buckets",
     "cosine_topk_lsh",
     "embedding_near_duplicates",
+    "ivf_centroids",
+    "ivf_cells_udf",
+    "with_ivf_cells",
+    "cosine_topk_ivf",
 ]
 
 
@@ -353,4 +365,126 @@ def embedding_near_duplicates(
     return (
         wide.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+# -- IVF (inverted-file) ANN --------------------------------------------------
+#
+# The FAISS-style IVF-Flat layout (Jégou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011 — coarse quantizer part): partition
+# the vector space by KMeans centroids, store each vector under its nearest
+# centroid's cell, probe only the n_probe cells nearest the query. The
+# cells adapt to the data distribution — the win on real (clustered)
+# embedding corpora. On this repo's near-uniform random testdata the
+# measured frontier ties hyperplane LSH (ANN_RECALL.json `ivf_sweep`):
+# with no cluster structure both families face the same wall.
+
+
+def ivf_centroids(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    n_cells: int = 64,
+    seed: int = 42,
+    sample_fraction: Optional[float] = None,
+    max_iter: int = 20,
+) -> List[List[float]]:
+    """Fit the coarse quantizer: KMeans over (a sample of) the vectors.
+
+    Training is a one-off index-build step (like with_lsh_buckets);
+    at 100 TB fit on a sample — KMeans quality needs only ~1k vectors
+    per cell. Returns plain ``List[List[float]]`` centroids so query
+    planning needs no ml model object.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    train = train.filter(F.col("_v").isNotNull())
+    if sample_fraction is not None:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    feats = train.select(array_to_vector("_v").alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def ivf_cells_udf(centroids: List[List[float]]):
+    """Vectorized cell assignment: argmin ||v − c||² over all centroids
+    via one BLAS matmul per Arrow batch (argmin(||c||² − 2 v·c); the
+    ||v||² term is constant per row). NULL/wrong-dim vectors get a NULL
+    cell, mirroring :func:`lsh_buckets_udf`."""
+    C = np.asarray(centroids, dtype=np.float64)  # (cells, dim)
+    dim = C.shape[1]
+    c_sq = (C * C).sum(axis=1)  # (cells,)
+
+    @pandas_udf("int")
+    def _cells(vecs: pd.Series) -> pd.Series:
+        vals = vecs.to_numpy(dtype=object)
+        valid = np.fromiter(
+            (v is not None and len(v) == dim for v in vals),
+            dtype=bool,
+            count=len(vals),
+        )
+        zero = np.zeros(dim, dtype=np.float64)
+        x = np.stack(
+            [np.asarray(v, dtype=np.float64) if ok else zero
+             for v, ok in zip(vals, valid)]
+        ) if len(vals) else np.empty((0, dim))
+        cell = np.argmin(c_sq - 2.0 * (x @ C.T), axis=1).astype(np.int32)
+        return pd.Series(
+            [int(c) if ok else None for c, ok in zip(cell, valid)]
+        )
+
+    return _cells
+
+
+def with_ivf_cells(
+    df: DataFrame,
+    centroids: List[List[float]],
+    *,
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Append the persisted cell column — the ingest-time half of the
+    index. At 100 TB, additionally repartition/sort the table by this
+    column on write so a probe prunes whole files (cell min/max stats)."""
+    cells = ivf_cells_udf(centroids)
+    return df.withColumn(cell_col, cells(F.col(vec_col).cast("array<double>")))
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    query: Sequence[float],
+    centroids: List[List[float]],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_probe: int = 4,
+    cell_col: Optional[str] = None,
+) -> DataFrame:
+    """Approximate top-k: probe the ``n_probe`` cells whose centroids are
+    nearest the query, brute-force cosine inside them only.
+
+    Centroid distances are computed on the driver (n_cells tiny); the
+    probe is a Catalyst ``isin`` filter over the persisted (or inline)
+    cell column, so with a cell-partitioned table the query reads
+    ~n_probe/n_cells of the data. Expected scan fraction and recall per
+    (n_cells, n_probe) are measured in ANN_RECALL.json.
+    """
+    C = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(list(query), dtype=np.float64)
+    d2 = ((C * C).sum(axis=1) - 2.0 * (C @ q)).astype(np.float64)
+    probe = [int(i) for i in np.argsort(d2)[:n_probe]]
+    if cell_col is None:
+        cells = ivf_cells_udf(centroids)
+        df = df.withColumn("_ivf", cells(F.col(vec_col).cast("array<double>")))
+        cell_col, drop_after = "_ivf", True
+    else:
+        drop_after = False
+    pruned = df.filter(F.col(cell_col).isin(probe))
+    if drop_after:
+        pruned = pruned.drop("_ivf")
+    return cosine_topk_bruteforce(
+        pruned, query, vec_col=vec_col, id_col=id_col, k=k
     )

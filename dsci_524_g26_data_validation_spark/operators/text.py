@@ -18,6 +18,9 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokens_expr",
     "token_count_expr",
+    "BPE_SPLIT_PATTERN",
+    "bpe_tokens_expr",
+    "bpe_token_count_expr",
     "token_stats",
     "quality_score_expr",
     "quality_by_source",
@@ -41,6 +44,27 @@ def tokens_expr(col: Column | str) -> Column:
 
 def token_count_expr(col: Column | str) -> Column:
     return F.size(tokens_expr(col))
+
+
+#: GPT-2-style pre-tokenizer split (Radford et al. 2019, public spec),
+#: ASCII form: contraction suffixes, space-prefixed letter runs, digit
+#: runs, punctuation runs. Kept to constructs Java regex and RE2 parse
+#: identically, so the DuckDB oracle reproduces it byte-for-byte; swap
+#: in the \p{L}/\p{N} unicode classes for multilingual corpora.
+BPE_SPLIT_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_tokens_expr(col: Column | str) -> Column:
+    """BPE-style pre-tokenization — the unit an LLM tokenizer would merge
+    from; counts with this split track real token budgets far better
+    than whitespace (punctuation, contractions, and numbers separate).
+    Pure Catalyst ``regexp_extract_all``, codegen-friendly."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), 0)
+
+
+def bpe_token_count_expr(col: Column | str) -> Column:
+    return F.size(bpe_tokens_expr(col))
 
 
 def token_stats(df: DataFrame, text_col: str = "text", group_col: str = "source") -> DataFrame:

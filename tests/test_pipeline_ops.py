@@ -374,3 +374,61 @@ def test_simhash_cap_neutral_on_small_blocks(dup_docs):
         for r in dedup.simhash_near_duplicates(dup_docs, max_block_size=None).collect()
     }
     assert capped == uncapped
+
+
+def test_bpe_token_count_matches_python_re(docs):
+    import re
+
+    pat = re.compile(text.BPE_SPLIT_PATTERN)
+    sample = docs.limit(30).select("doc_id", "text").collect()
+    counted = {
+        r["doc_id"]: r["n"]
+        for r in docs.limit(30)
+        .select("doc_id", text.bpe_token_count_expr("text").alias("n"))
+        .collect()
+    }
+    for r in sample:
+        assert counted[r["doc_id"]] == len(pat.findall(r["text"]))
+    # BPE-ish splits always >= whitespace words (punctuation separates)
+    both = docs.limit(200).select(
+        text.token_count_expr("text").alias("w"),
+        text.bpe_token_count_expr("text").alias("b"),
+    ).collect()
+    assert all(r["b"] >= r["w"] for r in both)
+
+
+def test_ivf_topk_recall_and_pruning(emb):
+    """IVF: recall@10 vs brute force at modest probe counts, NULL cells
+    for dirty vectors, persisted-cell parity with inline assignment."""
+    query = list(emb.filter("vec_id = 3").first()["embedding"])
+    cents = similarity.ivf_centroids(emb, n_cells=8, seed=7)
+    truth = [r["vec_id"] for r in similarity.cosine_topk_bruteforce(emb, query, k=10).collect()]
+
+    # probing ALL cells must recover brute force exactly
+    allcells = similarity.cosine_topk_ivf(emb, query, cents, k=10, n_probe=8)
+    assert [r["vec_id"] for r in allcells.collect()] == truth
+
+    # half the cells: decent recall at half the scan
+    half = {r["vec_id"] for r in similarity.cosine_topk_ivf(emb, query, cents, k=10, n_probe=4).collect()}
+    assert len(half & set(truth)) >= 5
+
+    # persisted cell column gives identical results to inline assignment
+    tbl = similarity.with_ivf_cells(emb, cents)
+    persisted = similarity.cosine_topk_ivf(
+        tbl, query, cents, k=10, n_probe=4, cell_col="ivf_cell"
+    )
+    assert {r["vec_id"] for r in persisted.collect()} == half
+
+
+def test_ivf_cells_null_safe(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, None),
+        (3, [1.0]),  # wrong dim
+        (4, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    out = {r["vec_id"]: r["ivf_cell"] for r in similarity.with_ivf_cells(df, cents).collect()}
+    assert out[1] == 0 and out[4] == 1
+    assert out[2] is None and out[3] is None

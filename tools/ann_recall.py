@@ -144,6 +144,40 @@ def main() -> None:
         results.append(row)
         print(row)
 
+    # IVF sweep: data-adaptive cells vs the data-independent hyperplanes
+    dim = len(next(iter(queries.values())))
+    ivf_results = []
+    for n_cells, n_probe in [(8, 1), (8, 2), (8, 4), (16, 2), (16, 4), (16, 8)]:
+        cents = similarity.ivf_centroids(e, n_cells=n_cells, seed=42)
+        tbl = similarity.with_ivf_cells(e, cents).cache()
+        tbl.count()
+        recalls, scanned = [], []
+        C = np.asarray(cents)
+        for qid, q in queries.items():
+            qv = np.asarray(q, dtype=np.float64)
+            d2 = (C * C).sum(axis=1) - 2.0 * (C @ qv)
+            probe = [int(i) for i in np.argsort(d2)[:n_probe]]
+            approx = {
+                r["vec_id"]
+                for r in similarity.cosine_topk_ivf(
+                    tbl, q, cents, k=K, n_probe=n_probe, cell_col="ivf_cell"
+                ).collect()
+            }
+            recalls.append(len(approx & set(truth[qid])) / K)
+            scanned.append(
+                tbl.filter(F.col("ivf_cell").isin(probe)).count() / n_rows
+            )
+        tbl.unpersist()
+        row = {
+            "n_cells": n_cells,
+            "n_probe": n_probe,
+            "recall_at_k": round(sum(recalls) / len(recalls), 4),
+            "min_recall": round(min(recalls), 4),
+            "scan_fraction": round(sum(scanned) / len(scanned), 4),
+        }
+        ivf_results.append(row)
+        print(row)
+
     out = {
         "sf_dir": SF_DIR,
         "k": K,
@@ -158,13 +192,18 @@ def main() -> None:
             f"cosine {min(planted_cos):.3f}-{max(planted_cos):.3f} — the "
             "regime LSH targets — where multi-table recall approaches 1. "
             "Use brute force (cosine_topk_bruteforce) when the similarity "
-            "floor is low; use LSH for near-dup/high-similarity workloads."
+            "floor is low; use LSH for near-dup/high-similarity workloads. "
+            "ivf_sweep: KMeans-cell IVF ties LSH at equal scan fractions on "
+            "this data — near-uniform random vectors give the coarse "
+            "quantizer no cluster structure; IVF's advantage appears on "
+            "real (clustered) embedding corpora."
         ),
         "planted_pair_cosine_range": [
             round(min(planted_cos), 4),
             round(max(planted_cos), 4),
         ],
         "sweep": results,
+        "ivf_sweep": ivf_results,
     }
     (ROOT / "ANN_RECALL.json").write_text(json.dumps(out, indent=2) + "\n")
     print(f"wrote {ROOT / 'ANN_RECALL.json'}")
