@@ -230,6 +230,22 @@ def _fingerprints_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("source").agg(F.countDistinct("fp").alias("n_distinct_fp"))
 
 
+def _winnow_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (MOSS): distinct fingerprint
+    count per source over a 200-char prefix. md5 k-gram hashes so the
+    DuckDB oracle reproduces the winnow byte-for-byte."""
+    d = _read(spark, sf_dir, "documents").select(
+        "source", F.substring("text", 1, 200).alias("t")
+    )
+    kg = text.kgram_hashes_expr("t", k=8, hash_fn="md5")
+    win = text.winnow_expr(kg, window=4)
+    return (
+        d.select("source", F.explode(win).alias("fp"))
+        .groupBy("source")
+        .agg(F.countDistinct("fp").alias("n_fingerprints"))
+    )
+
+
 def _ntok_invariant_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 analog on documents: n_chars == length(text) per-row invariant."""
     d = _read(spark, sf_dir, "documents")
@@ -604,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_by_source": _quality_by_source,
         "langid_documents": _langid_documents,
         "fingerprints_by_source": _fingerprints_by_source,
+        "winnow_fingerprints_documents": _winnow_fingerprints_documents,
         "ntok_invariant_documents": _ntok_invariant_documents,
         "simsearch_topk": _simsearch_topk,
         "embedding_norms": _embedding_norms,
@@ -760,6 +777,23 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints_by_source": """
             SELECT source, count(DISTINCT md5(text)) AS n_distinct_fp
             FROM documents GROUP BY source
+        """,
+        "winnow_fingerprints_documents": """
+            WITH t AS (
+              SELECT source, substr(text, 1, 200) AS s FROM documents
+            ), g AS (
+              SELECT source,
+                     [md5(substr(s, i, 8))
+                      for i in generate_series(1, greatest(length(s)-7, 1))] AS kg
+              FROM t
+            ), w AS (
+              SELECT source,
+                     list_distinct([list_aggregate(kg[j:j+3], 'min')
+                                    for j in generate_series(1, greatest(len(kg)-3, 1))]) AS fps
+              FROM g
+            )
+            SELECT source, count(DISTINCT fp) AS n_fingerprints
+            FROM (SELECT source, unnest(fps) AS fp FROM w) GROUP BY source
         """,
         "ntok_invariant_documents": """
             SELECT source, count(*) AS n_rows,

@@ -29,6 +29,9 @@ __all__ = [
     "language_id",
     "fingerprint_expr",
     "fingerprints",
+    "kgram_hashes_expr",
+    "winnow_expr",
+    "winnowing_fingerprints",
 ]
 
 
@@ -188,4 +191,62 @@ def fingerprints(
         F.col(id_col),
         fingerprint_expr(text_col).alias("fingerprint"),
         fingerprint_expr(text_col, prefix_tokens=16).alias("prefix_fingerprint"),
+    )
+
+
+# -- winnowing (rolling k-gram fingerprints) ---------------------------------
+
+
+def kgram_hashes_expr(
+    col: Column | str, *, k: int = 8, hash_fn: str = "xxhash64"
+) -> Column:
+    """Rolling character k-gram hashes of a document — the MOSS
+    winnowing substrate (Schleimer/Wilkerson/Aiken, SIGMOD 2003). Pure
+    Catalyst: transform over a start-index sequence, one hash per
+    k-gram. ``hash_fn``: ``xxhash64`` (bigint, the fast at-scale
+    default) or ``md5`` (hex string — renders identically in every
+    engine, used by the oracle-checked query)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    h = (lambda s: F.xxhash64(s)) if hash_fn == "xxhash64" else F.md5
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda i: h(c.substr(i, F.lit(k))),
+    )
+
+
+def winnow_expr(kgrams: Column, *, window: int = 4) -> Column:
+    """Winnowing: the minimum hash of every ``window`` consecutive
+    k-gram hashes, deduplicated — guarantees any shared substring of
+    length ≥ k+window−1 between two documents yields a shared
+    fingerprint (the MOSS guarantee). Catalyst transform + array_min
+    over slices; output is a per-document fingerprint set."""
+    m = F.size(kgrams)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(m - window + 1, F.lit(1))),
+            lambda j: F.array_min(F.slice(kgrams, j, window)),
+        )
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, fingerprints: array) — winnowed rolling-hash fingerprints.
+
+    Docs sharing any fingerprint share a ≥ k+window−1 character run —
+    the standard copy-detection candidate generator; join on exploded
+    fingerprints (tiny values, text never shuffled) to find candidates,
+    exactly like the MinHash band join."""
+    kg = kgram_hashes_expr(text_col, k=k, hash_fn=hash_fn)
+    base = df.select(F.col(id_col), kg.alias("_kg"))
+    return base.select(
+        id_col, winnow_expr(F.col("_kg"), window=window).alias("fingerprints")
     )

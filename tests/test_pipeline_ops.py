@@ -432,3 +432,52 @@ def test_ivf_cells_null_safe(spark):
     out = {r["vec_id"]: r["ivf_cell"] for r in similarity.with_ivf_cells(df, cents).collect()}
     assert out[1] == 0 and out[4] == 1
     assert out[2] is None and out[3] is None
+
+
+def _components(n_ids, pairs):
+    parent = list(range(n_ids))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    return frozenset(
+        frozenset(i for i in range(n_ids) if find(i) == r)
+        for r in {find(i) for i in range(n_ids)}
+    )
+
+
+def test_minhash_cap_preserves_connected_components(spark):
+    """The cap's contract: dedup clustering (union-find over candidate
+    pairs) produces IDENTICAL components with and without the cap —
+    star-linking trades clique edges for anchor edges, never
+    connectivity. Mixed over/under-cap groups exercised together."""
+    rows = []
+    for i in range(120):
+        rows.append((i, "huge duplicated boilerplate group alpha text"))
+    for i in range(120, 180):
+        rows.append((i, "second duplicated cluster beta text body here"))
+    for i in range(180, 185):
+        rows.append((i, "tiny duplicate gamma group under the cap limit"))
+    for i in range(185, 200):
+        rows.append((i, f"unique document number {i} about topic {i * 7}"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def pairs(cap):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_lsh_candidates(
+                df, num_hashes=16, bands=8, max_bucket_size=cap
+            ).collect()
+        }
+
+    capped, uncapped = pairs(50), pairs(None)
+    assert capped <= uncapped  # star edges are a subset of clique edges
+    assert len(capped) < len(uncapped)  # the cap actually pruned
+    assert _components(200, capped) == _components(200, uncapped)
