@@ -498,7 +498,9 @@ def _stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         last[r["key"]] = r
     rows = [
         (k, r["total_rows"], r["total_violations"])
-        for k, r in sorted(last.items())
+        # NULL keys form their own group (SQL GROUP BY semantics) and
+        # must not break the sort
+        for k, r in sorted(last.items(), key=lambda kv: (kv[0] is None, kv[0] or ""))
     ]
     return spark.createDataFrame(
         rows, "key string, total_rows long, total_violations long"

@@ -25,11 +25,19 @@ is reported as validated sequences/sec. The per-query section times every
 Scaling evidence (north rule: >=0.8 efficiency N -> 4N executors; sandbox
 proxy = two local parallelism levels on identical input):
     python bench.py --scaling
-runs the token pass in two fresh subprocesses at local[8] and local[32]
-and prints throughput at both plus efficiency = (tput32/tput8)/4.
+runs the token pass in fresh subprocesses at local[4] and local[16]
+(SPARK_GRAFT_SCALING_PAIR to override; see BASELINE.md for why not 8,32
+on this shared host) and prints throughput at both plus
+efficiency = (tput_hi/tput_lo)/(hi/lo). The headline token_pass in the
+default JSON reports its own "cpus" (the high scaling level), distinct
+from the top-level "cpus" the query suite ran at.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_TOKEN_ROWS (default 2_000_000).
+SPARK_GRAFT_CPUS (query suite, default 32), SPARK_GRAFT_TOKEN_ROWS
+(default 32_000_000 in default/--scaling modes; 2_000_000 for the
+suite-only fallback), SPARK_GRAFT_SCALING_REPS, SPARK_GRAFT_QUIET_WAIT /
+SPARK_GRAFT_QUIET_LOAD (bounded wait for a quiet load window),
+SPARK_GRAFT_BENCH_SCALING=0 (skip the scaling/32M phase).
 """
 
 from __future__ import annotations
@@ -232,6 +240,7 @@ def _measure_scaling(n_rows: int, pair, reps: int) -> dict:
                 r = json.loads(out.stdout.strip().splitlines()[-1])
                 if best is None or r["sec"] < best["sec"]:
                     best = r
+            best["cpus"] = cpus  # the cores this pass actually ran at
             results[cpus] = best
         lo, hi = pair
         t_lo = results[lo]["sequences_per_sec"]

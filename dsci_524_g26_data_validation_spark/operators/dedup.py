@@ -385,31 +385,28 @@ def simhash_near_duplicates(
     ).select("_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
     star = None
     if max_block_size is not None:
+        # single UNORDERED window: min over a (_id, simhash) struct gives
+        # the anchor id AND its signature in one pass (an ordered window
+        # would add a sort + second Window operator per block)
         w = Window.partitionBy("blk", "val")
-        wo = (
-            Window.partitionBy("blk", "val")
-            .orderBy("_id")
-            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        )
         blocked = blocked.select(
             "_id",
             "simhash",
             "blk",
             "val",
             F.count(F.lit(1)).over(w).alias("_bsz"),
-            F.first("_id").over(wo).alias("_anchor"),
-            F.first("simhash").over(wo).alias("_anchor_sim"),
+            F.min(F.struct(F.col("_id"), F.col("simhash"))).over(w).alias("_anch"),
         )
         star = (
             blocked.filter(
                 (F.col("_bsz") > max_block_size)
-                & (F.col("_id") != F.col("_anchor"))
+                & (F.col("_id") != F.col("_anch._id"))
             )
             .select(
-                F.col("_anchor").alias("id_a"),
+                F.col("_anch._id").alias("id_a"),
                 F.col("_id").alias("id_b"),
                 F.bit_count(
-                    F.col("_anchor_sim").bitwiseXOR(F.col("simhash"))
+                    F.col("_anch.simhash").bitwiseXOR(F.col("simhash"))
                 ).alias("hamming"),
             )
         )

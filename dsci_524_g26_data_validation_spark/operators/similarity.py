@@ -356,7 +356,12 @@ def embedding_near_duplicates(
     long = cand.selectExpr(
         "id_a", "id_b", "stack(2, 'a', id_a, 'b', id_b) as (role, _vid)"
     )
-    fetched = long.join(vecs, "_vid")
+    # explicit broadcast: planning-time size estimates for a self-join +
+    # dropDuplicates are wildly high, so without the hint Spark plans a
+    # sort-merge join that shuffles the embedding column. Candidates are
+    # a vanishing fraction by design (bucketed LSH); if they ever
+    # weren't, the exact-verification cost itself would dominate first.
+    fetched = F.broadcast(long).join(vecs, "_vid")
     wide = fetched.groupBy("id_a", "id_b").agg(
         F.any_value(F.when(F.col("role") == "a", F.col("_v")), True).alias("va"),
         F.any_value(F.when(F.col("role") == "b", F.col("_v")), True).alias("vb"),
@@ -401,6 +406,14 @@ def ivf_centroids(
 
     train = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
     train = train.filter(F.col("_v").isNotNull())
+    # drop wrong-dimension vectors too — the same dirty rows the query
+    # path (ivf_cells_udf) tolerates would crash KMeans' training
+    # aggregation with a dimension mismatch
+    first = train.select(F.size("_v").alias("d")).first()
+    if first is None:
+        raise ValueError("ivf_centroids: no non-null vectors to train on")
+    dim = int(first["d"])
+    train = train.filter(F.size("_v") == dim)
     if sample_fraction is not None:
         train = train.sample(fraction=sample_fraction, seed=seed)
     feats = train.select(array_to_vector("_v").alias("features"))

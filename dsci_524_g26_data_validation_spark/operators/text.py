@@ -206,6 +206,10 @@ def kgram_hashes_expr(
     k-gram. ``hash_fn``: ``xxhash64`` (bigint, the fast at-scale
     default) or ``md5`` (hex string — renders identically in every
     engine, used by the oracle-checked query)."""
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(
+            f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}"
+        )
     c = F.col(col) if isinstance(col, str) else col
     n = F.length(c)
     h = (lambda s: F.xxhash64(s)) if hash_fn == "xxhash64" else F.md5
