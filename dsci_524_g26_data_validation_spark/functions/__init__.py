@@ -10,11 +10,16 @@ codegen. Operators build on these; users can too:
 """
 
 from ..operators.text import (
+    BPE_SPLIT_PATTERN,
+    bpe_token_count_expr,
+    bpe_tokens_expr,
     fingerprint_expr,
+    kgram_hashes_expr,
     language_scores_expr,
     quality_score_expr,
     token_count_expr,
     tokens_expr,
+    winnow_expr,
 )
 from ..operators.dedup import minhash_signature_expr, shingles_expr
 from ..operators.similarity import (
@@ -29,9 +34,14 @@ from ..plans.rule_compiler import categorical_cast, violation_predicates
 __all__ = [
     "tokens_expr",
     "token_count_expr",
+    "BPE_SPLIT_PATTERN",
+    "bpe_tokens_expr",
+    "bpe_token_count_expr",
     "quality_score_expr",
     "language_scores_expr",
     "fingerprint_expr",
+    "kgram_hashes_expr",
+    "winnow_expr",
     "shingles_expr",
     "minhash_signature_expr",
     "dot_expr",
