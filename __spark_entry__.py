@@ -237,10 +237,15 @@ def _winnow_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFram
     d = _read(spark, sf_dir, "documents").select(
         "source", F.substring("text", 1, 200).alias("t")
     )
-    kg = text.kgram_hashes_expr("t", k=8, hash_fn="md5")
-    win = text.winnow_expr(kg, window=4)
+    # projection barrier: materialize the k-gram array FIRST — winnow's
+    # sliding windows reference it once per position, and an inline
+    # expression would be recomputed per window (~190x per row)
+    base = d.select(
+        "source", text.kgram_hashes_expr("t", k=8, hash_fn="md5").alias("_kg")
+    )
+    win = text.winnow_expr(F.col("_kg"), window=4)
     return (
-        d.select("source", F.explode(win).alias("fp"))
+        base.select("source", F.explode(win).alias("fp"))
         .groupBy("source")
         .agg(F.countDistinct("fp").alias("n_fingerprints"))
     )

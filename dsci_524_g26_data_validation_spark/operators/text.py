@@ -224,7 +224,14 @@ def winnow_expr(kgrams: Column, *, window: int = 4) -> Column:
     k-gram hashes, deduplicated — guarantees any shared substring of
     length ≥ k+window−1 between two documents yields a shared
     fingerprint (the MOSS guarantee). Catalyst transform + array_min
-    over slices; output is a per-document fingerprint set."""
+    over slices; output is a per-document fingerprint set.
+
+    ``kgrams`` MUST be a materialized column reference (select the
+    k-gram array behind a projection barrier first, as
+    :func:`winnowing_fingerprints` does) — an inline
+    :func:`kgram_hashes_expr` expression here is embedded inside the
+    sliding-window lambda and recomputed once per window position
+    (measured ~70x slower at 200-char prefixes)."""
     m = F.size(kgrams)
     return F.array_distinct(
         F.transform(
