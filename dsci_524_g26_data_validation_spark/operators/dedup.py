@@ -16,6 +16,9 @@ block-permutation search of Manku/Jain/Das Sarma (WWW 2007):
                 vectorized Arrow pandas UDF (numpy over flattened buffers).
 * verification — exact shingle-Jaccard via array_intersect/array_union on
                 the candidates only.
+* winnowing   — shared rolling-hash fingerprints (Schleimer et al.,
+                SIGMOD 2003) as a candidate generator; fingerprints from
+                operators.text, same capped self-join shape as MinHash.
 
 Embedding-cosine near-dup lives in operators.similarity.
 """
@@ -41,6 +44,7 @@ __all__ = [
     "jaccard_verify",
     "simhash",
     "simhash_near_duplicates",
+    "winnow_candidates",
 ]
 
 
@@ -433,4 +437,64 @@ def simhash_near_duplicates(
     return (
         pairs.filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# -- winnowing candidates -----------------------------------------------------
+
+
+def winnow_candidates(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via shared winnowing fingerprints
+    (MOSS copy detection end-to-end): any pair sharing ≥ ``min_shared``
+    fingerprints shares that many distinct ≥ k+window−1 character runs.
+
+    Same scale shape as the MinHash band join — the self-join shuffles
+    (fingerprint, id) tuples, never text — including the same
+    degenerate-bucket cap: a fingerprint shared by more than
+    ``max_bucket_size`` docs (boilerplate) star-links its members to the
+    min-id anchor instead of producing quadratic pairs. Returns
+    (id_a, id_b, n_shared).
+    """
+    from .text import kgram_hashes_expr, winnow_expr
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        kgram_hashes_expr(text_col, k=k).alias("_kg"),
+    )
+    exploded = base.select(
+        "_id", F.explode(winnow_expr(F.col("_kg"), window=window)).alias("fp")
+    )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("fp")
+        exploded = exploded.select(
+            "_id",
+            "fp",
+            F.count(F.lit(1)).over(w).alias("_bsz"),
+            F.min("_id").over(w).alias("_anchor"),
+        )
+        small = exploded.filter(F.col("_bsz") <= max_bucket_size)
+        star = exploded.filter(
+            (F.col("_bsz") > max_bucket_size) & (F.col("_id") != F.col("_anchor"))
+        ).select(F.col("_anchor").alias("id_a"), F.col("_id").alias("id_b"))
+    else:
+        small, star = exploded, None
+    a, b = small.alias("a"), small.alias("b")
+    joined = a.join(
+        b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a._id") < F.col("b._id"))
+    ).select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+    if star is not None:
+        joined = joined.unionByName(star)
+    return (
+        joined.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )

@@ -481,3 +481,31 @@ def test_minhash_cap_preserves_connected_components(spark):
     assert capped <= uncapped  # star edges are a subset of clique edges
     assert len(capped) < len(uncapped)  # the cap actually pruned
     assert _components(200, capped) == _components(200, uncapped)
+
+
+def test_winnow_candidates_finds_copy(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "PREFIX the quick brown fox jumps over the lazy dog again and again"),
+        (3, "totally different content discussing spark physical plans instead"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in dedup.winnow_candidates(df, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnow_candidates_degenerate_cap(spark):
+    n = 3000
+    df = spark.range(0, n, 1, 8).select(
+        F.col("id").alias("doc_id"),
+        F.lit("boilerplate legal disclaimer text repeated on every single page").alias(
+            "text"
+        ),
+    )
+    pairs = dedup.winnow_candidates(df, max_bucket_size=100, min_shared=1).collect()
+    assert len(pairs) == n - 1
+    assert all(r["id_a"] == 0 for r in pairs)
