@@ -555,6 +555,25 @@ def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_verify(d, cand, threshold=0.5)
 
 
+def _near_dedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: LSH candidates → exact-jaccard verify →
+    connected components (min-label propagation) → the DROPPED ids (all
+    component members except each component's min). Oracle recomputes
+    components from ground-truth jaccard pairs with a recursive CTE."""
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 120).alias("text")
+    )
+    cand = dedup.jaccard_verify(
+        d,
+        dedup.minhash_lsh_candidates(d, num_hashes=16, bands=8),
+        threshold=0.5,
+    )
+    comp = dedup.resolve_components(cand)
+    return comp.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("doc_id")
+    )
+
+
 def _simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, 120).alias("text")
@@ -642,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": _minhash_candidates,
         "token_contract_pass": _token_contract_pass,
         "stream_running_totals": _stream_running_totals,
+        "near_dedup_dropped": _near_dedup_dropped,
         # rows-only (no SQL oracle): foreachBatch driver state, stubbed
         # codecs, and deliberately-approximate ANN (recall measured in
         # ANN_RECALL.json / tests instead of an exact oracle)
@@ -940,6 +960,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, round(inter*1.0/(na+nb-inter), 6) AS jaccard
             FROM pairs WHERE inter*1.0/(na+nb-inter) >= 0.5
+        """,
+        # components over ground-truth jaccard pairs via recursive CTE;
+        # dropped = every component member except the component min
+        "near_dedup_dropped": """
+            WITH RECURSIVE t AS (
+              SELECT doc_id, string_split(substr(text,1,120), ' ') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(toks[i:i+2], ' ')
+                                    for i in generate_series(1, greatest(len(toks)-2, 1))]) AS sh
+              FROM t
+            ), e AS (
+              SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n FROM s
+            ), cpairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+                     any_value(a.n) AS na, any_value(b.n) AS nb
+              FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), jpairs AS (
+              SELECT id_a, id_b FROM cpairs
+              WHERE inter*1.0/(na+nb-inter) >= 0.5
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM jpairs
+              UNION
+              SELECT id_b, id_a FROM jpairs
+            ), reach(id, r) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e2.src, reach.r FROM edges e2 JOIN reach ON e2.dst = reach.id
+            )
+            SELECT id AS doc_id
+            FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+            WHERE id != comp
         """,
         # All-pairs cosine ground truth over the augmented table (500+10
         # vectors at sf0.01 — tractable in DuckDB). The only pairs at

@@ -45,6 +45,8 @@ __all__ = [
     "simhash",
     "simhash_near_duplicates",
     "winnow_candidates",
+    "resolve_components",
+    "deduplicate_near",
 ]
 
 
@@ -497,4 +499,95 @@ def winnow_candidates(
         joined.groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+# -- component resolution + keep-one near-dedup ------------------------------
+
+
+def resolve_components(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """(id, component) for every id appearing in ``pairs`` — connected
+    components by iterative min-label propagation.
+
+    Each iteration is one join + groupBy over the PAIR graph only (the
+    candidate-connected subset — a vanishing fraction of the corpus),
+    with ``localCheckpoint`` truncating the lineage so plans stay flat.
+    Near-dup graphs are shallow (cliques/stars from bucket joins, short
+    chains from transitive near-dups), so propagation converges in a few
+    iterations; raises RuntimeError if ``max_iter`` passes without
+    convergence rather than silently mislabeling.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["comp"], F.coalesce(nbr["nbr_comp"], labels["comp"])
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"resolve_components did not converge in {max_iter} iterations "
+        "(pair graph deeper than expected — raise max_iter)"
+    )
+
+
+def deduplicate_near(
+    df: DataFrame,
+    candidates: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Keep one survivor (min id) per near-duplicate component.
+
+    ``candidates`` is any pair DataFrame (minhash_lsh_candidates +
+    jaccard_verify, simhash_near_duplicates, winnow_candidates,
+    embedding_near_duplicates…). Rows never appearing in a pair survive
+    untouched; within each connected component only the min id survives.
+    The anti-join ships only the dropped-id set (pairs-sized), never the
+    corpus.
+    """
+    comp = resolve_components(
+        candidates, id_a=id_a, id_b=id_b, max_iter=max_iter
+    )
+    dropped = comp.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("_drop")
+    )
+    return df.join(
+        dropped, df[f"`{id_col}`"] == dropped["_drop"], "left_anti"
     )

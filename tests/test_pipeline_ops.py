@@ -509,3 +509,49 @@ def test_winnow_candidates_degenerate_cap(spark):
     pairs = dedup.winnow_candidates(df, max_bucket_size=100, min_shared=1).collect()
     assert len(pairs) == n - 1
     assert all(r["id_a"] == 0 for r in pairs)
+
+
+def test_resolve_components_chain_and_clique(spark):
+    """Chains (a-b, b-c without a-c) and cliques resolve to one
+    component each; isolated pairs stay separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22), (21, 22)],
+        "id_a bigint, id_b bigint",
+    )
+    comp = {
+        r["id"]: r["comp"] for r in dedup.resolve_components(pairs).collect()
+    }
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == comp[22] == 20
+
+
+def test_deduplicate_near_end_to_end(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (2, "the quick brown fox jumps over the lazy dog again and again today"),
+            (3, "the quick brown fox jumps over the lazy dog again and again tonight"),
+            (4, "completely different content about spark dataframes and shuffles here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    cand = dedup.jaccard_verify(
+        docs, dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=16),
+        threshold=0.5,
+    )
+    kept = dedup.deduplicate_near(docs, cand)
+    ids = {r["doc_id"] for r in kept.collect()}
+    # 1,2,3 form one near-dup component -> min id 1 survives; 4 untouched
+    assert ids == {1, 4}
+
+
+def test_resolve_components_nonconvergence_raises(spark):
+    # a long chain cannot converge in 1 iteration
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a bigint, id_b bigint"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        dedup.resolve_components(pairs, max_iter=1)
