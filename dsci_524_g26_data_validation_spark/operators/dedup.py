@@ -229,28 +229,12 @@ def minhash_lsh_candidates(
             )
         ).alias("bd"),
     ).select("_id", F.col("bd.band").alias("band"), F.col("bd.digest").alias("digest"))
-    if max_bucket_size is not None:
-        # One extra (band, digest)-keyed shuffle annotates every bucket
-        # with its size and anchor (min id) before any pairing happens.
-        w = Window.partitionBy("band", "digest")
-        banded = banded.select(
-            "_id",
-            "band",
-            "digest",
-            F.count(F.lit(1)).over(w).alias("_bsz"),
-            F.min("_id").over(w).alias("_anchor"),
-        )
-        small = banded.filter(F.col("_bsz") <= max_bucket_size)
-        star = (
-            banded.filter(
-                (F.col("_bsz") > max_bucket_size)
-                & (F.col("_id") != F.col("_anchor"))
-            )
-            # anchor = min id, so (anchor, id) is already (id_a < id_b)
-            .select(F.col("_anchor").alias("id_a"), F.col("_id").alias("id_b"))
-        )
-    else:
-        small, star = banded, None
+    # One extra (band, digest)-keyed shuffle annotates every bucket with
+    # its size and anchor (min id) before any pairing happens; anchor =
+    # min id, so star edges are already (id_a < id_b).
+    small, star = _capped_split(
+        banded, ["band", "digest"], max_bucket_size=max_bucket_size
+    )
     a = small.alias("a")
     b = small.alias("b")
     joined = (
@@ -442,6 +426,34 @@ def simhash_near_duplicates(
     )
 
 
+# -- shared degenerate-bucket cap ---------------------------------------------
+
+
+def _capped_split(exploded: DataFrame, key_cols, *, max_bucket_size):
+    """(small, star) split for the degenerate-bucket cap, shared by the
+    MinHash band join and the winnowing fingerprint join (SimHash keeps
+    a specialized variant that also carries the anchor's signature).
+
+    ``exploded`` must have an ``_id`` column plus ``key_cols``; buckets
+    (groups sharing ``key_cols``) larger than ``max_bucket_size`` are
+    removed from ``small`` and returned as (id_a=anchor-min-id, id_b)
+    star edges instead — O(n) per bucket, component-preserving.
+    """
+    if max_bucket_size is None:
+        return exploded, None
+    w = Window.partitionBy(*[F.col(c) for c in key_cols])
+    ann = exploded.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("_bsz"),
+        F.min("_id").over(w).alias("_anchor"),
+    )
+    small = ann.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz", "_anchor")
+    star = ann.filter(
+        (F.col("_bsz") > max_bucket_size) & (F.col("_id") != F.col("_anchor"))
+    ).select(F.col("_anchor").alias("id_a"), F.col("_id").alias("id_b"))
+    return small, star
+
+
 # -- winnowing candidates -----------------------------------------------------
 
 
@@ -454,6 +466,7 @@ def winnow_candidates(
     window: int = 4,
     min_shared: int = 2,
     max_bucket_size: int = 1000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via shared winnowing fingerprints
     (MOSS copy detection end-to-end): any pair sharing ≥ ``min_shared``
@@ -463,42 +476,42 @@ def winnow_candidates(
     (fingerprint, id) tuples, never text — including the same
     degenerate-bucket cap: a fingerprint shared by more than
     ``max_bucket_size`` docs (boilerplate) star-links its members to the
-    min-id anchor instead of producing quadratic pairs. Returns
+    min-id anchor instead of producing quadratic pairs. Star edges
+    BYPASS the ``min_shared`` filter: an over-cap fingerprint is shared
+    by construction, and filtering its star edges could disconnect pairs
+    whose remaining shared fingerprints fall under the threshold
+    (min_shared exists to prune coincidental single-fingerprint matches
+    among ordinary docs, not boilerplate clusters). Returns
     (id_a, id_b, n_shared).
     """
-    from .text import kgram_hashes_expr, winnow_expr
+    from .text import winnowing_fingerprints
 
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        kgram_hashes_expr(text_col, k=k).alias("_kg"),
+    fps = winnowing_fingerprints(
+        df, text_col=text_col, id_col=id_col, k=k, window=window, hash_fn=hash_fn
     )
-    exploded = base.select(
-        "_id", F.explode(winnow_expr(F.col("_kg"), window=window)).alias("fp")
+    exploded = fps.select(
+        F.col(f"`{id_col}`").alias("_id"),
+        F.explode("fingerprints").alias("fp"),
     )
-    if max_bucket_size is not None:
-        w = Window.partitionBy("fp")
-        exploded = exploded.select(
-            "_id",
-            "fp",
-            F.count(F.lit(1)).over(w).alias("_bsz"),
-            F.min("_id").over(w).alias("_anchor"),
-        )
-        small = exploded.filter(F.col("_bsz") <= max_bucket_size)
-        star = exploded.filter(
-            (F.col("_bsz") > max_bucket_size) & (F.col("_id") != F.col("_anchor"))
-        ).select(F.col("_anchor").alias("id_a"), F.col("_id").alias("id_b"))
-    else:
-        small, star = exploded, None
+    small, star = _capped_split(exploded, ["fp"], max_bucket_size=max_bucket_size)
     a, b = small.alias("a"), small.alias("b")
     joined = a.join(
         b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a._id") < F.col("b._id"))
-    ).select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.lit(False).alias("_star"),
+    )
     if star is not None:
-        joined = joined.unionByName(star)
+        joined = joined.unionByName(star.withColumn("_star", F.lit(True)))
     return (
         joined.groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.max("_star").alias("_has_star"),
+        )
+        .filter((F.col("n_shared") >= min_shared) | F.col("_has_star"))
+        .drop("_has_star")
     )
 
 
@@ -513,15 +526,20 @@ def resolve_components(
     max_iter: int = 10,
 ) -> DataFrame:
     """(id, component) for every id appearing in ``pairs`` — connected
-    components by iterative min-label propagation.
+    components by min-label propagation WITH pointer jumping.
 
-    Each iteration is one join + groupBy over the PAIR graph only (the
-    candidate-connected subset — a vanishing fraction of the corpus),
-    with ``localCheckpoint`` truncating the lineage so plans stay flat.
-    Near-dup graphs are shallow (cliques/stars from bucket joins, short
-    chains from transitive near-dups), so propagation converges in a few
-    iterations; raises RuntimeError if ``max_iter`` passes without
-    convergence rather than silently mislabeling.
+    Each iteration does (1) a one-hop neighbor-min propagation and
+    (2) a pointer-jump (``comp ← comp[comp]``, the path-halving step of
+    Kiveris et al.'s "Connected Components in MapReduce", SoCC 2014),
+    so label distance covered roughly doubles per iteration and
+    convergence is O(log diameter) — ``max_iter=10`` safely covers
+    chain diameters in the hundreds (a 12+-doc transitive edit chain,
+    plausible in crawl data, would deadlock a plain one-hop scheme).
+    Every join touches only the PAIR graph (the candidate-connected
+    subset — a vanishing fraction of the corpus), with
+    ``localCheckpoint`` truncating lineage so plans stay flat. Raises
+    RuntimeError if ``max_iter`` passes without convergence rather than
+    silently mislabeling.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges.unionByName(
@@ -539,13 +557,22 @@ def resolve_components(
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        hopped = labels.join(nbr, labels["id"] == nbr["src"], "left").select(
+            labels["id"],
+            F.least(
+                labels["comp"], F.coalesce(nbr["nbr_comp"], labels["comp"])
+            ).alias("comp"),
+        )
+        # pointer jump: comp ← comp[comp]. A comp value is always a node
+        # id of the graph (min over node ids), so the self-join resolves.
+        jump = hopped.select(
+            F.col("id").alias("_jid"), F.col("comp").alias("_jcomp")
+        )
         new_labels = (
-            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            hopped.join(jump, hopped["comp"] == jump["_jid"], "left")
             .select(
-                labels["id"],
-                F.least(
-                    labels["comp"], F.coalesce(nbr["nbr_comp"], labels["comp"])
-                ).alias("comp"),
+                hopped["id"],
+                F.coalesce(jump["_jcomp"], hopped["comp"]).alias("comp"),
             )
             .localCheckpoint()
         )

@@ -551,7 +551,30 @@ def test_resolve_components_nonconvergence_raises(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], "id_a bigint, id_b bigint"
     )
-    import pytest as _pytest
-
-    with _pytest.raises(RuntimeError):
+    with pytest.raises(RuntimeError):
         dedup.resolve_components(pairs, max_iter=1)
+
+
+def test_resolve_components_long_chain_pointer_jumping(spark):
+    """60-node chain (diameter 59) must converge within the default
+    max_iter=10 — pointer jumping gives O(log diameter) convergence."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "id_a bigint, id_b bigint"
+    )
+    comp = {r["id"]: r["comp"] for r in dedup.resolve_components(pairs).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 60
+
+
+def test_winnow_candidates_star_bypasses_min_shared(spark):
+    """Docs in an over-cap boilerplate bucket must stay connected even
+    when min_shared exceeds their star-edge count."""
+    n = 2000
+    df = spark.range(0, n, 1, 8).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical boilerplate body repeated everywhere in this corpus").alias(
+            "text"
+        ),
+    )
+    pairs = dedup.winnow_candidates(df, max_bucket_size=100, min_shared=3).collect()
+    assert len(pairs) == n - 1  # star edges survive the min_shared filter
+    assert all(r["id_a"] == 0 for r in pairs)
