@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 __all__ = [
+    "infer_dim",
     "dot_expr",
     "norm_expr",
     "cosine_expr",
@@ -56,6 +57,26 @@ __all__ = [
     "with_ivf_cells",
     "cosine_topk_ivf",
 ]
+
+
+def infer_dim(df: DataFrame, vec_col: str = "embedding") -> int:
+    """Modal vector length over non-null rows — ONE tiny agg job.
+
+    Robust against dirty leading rows (a NULL or wrong-dimension junk
+    vector as row 1 must not decide the corpus dimensionality — ADVICE
+    r2): the most frequent length wins, ties broken by the smaller
+    length for determinism. Callers that already know ``dim`` should
+    pass it explicitly and skip this job entirely."""
+    row = (
+        df.filter(F.col(vec_col).isNotNull())
+        .groupBy(F.size(F.col(vec_col)).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("d"))
+        .first()
+    )
+    if row is None:
+        raise ValueError(f"infer_dim: no non-null vectors in '{vec_col}'")
+    return int(row["d"])
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -224,9 +245,14 @@ def cosine_topk_lsh(
     """Approximate top-k: multi-table random-hyperplane LSH.
 
     ``n_tables`` independent signatures; a row is scanned iff ANY table
-    puts it in the query's bucket (or a Hamming-≤1 neighbor bucket) —
-    the classic recall amplification 1−(1−p)^L. Brute-force cosine runs
-    only inside the union of probed buckets.
+    puts it in the query's bucket (or a Hamming-≤``probe_hamming``
+    neighbor bucket) — the classic recall amplification 1−(1−p)^L.
+    Brute-force cosine runs only inside the union of probed buckets.
+    ``probe_hamming >= n_planes`` enumerates EVERY bucket — probing the
+    whole index must then equal exact brute force (every valid vector
+    lands in exactly one bucket per table), which is the
+    partition-completeness proof the ``ann_lsh_topk`` driver oracle
+    checks, mirroring the IVF probe-all-cells oracle.
 
     At 100 TB the bucket columns are precomputed/persisted (pure
     functions of the vector), turning every query into a bucket-pruned
@@ -249,6 +275,8 @@ def cosine_topk_lsh(
     Prefer :func:`cosine_topk_bruteforce` when the similarity floor is
     low; LSH pays off for near-dup / high-similarity workloads.
     """
+    from itertools import combinations
+
     dim = len(query)
     all_planes = [
         hyperplanes(dim, n_planes, seed=seed + 1000 * t) for t in range(n_tables)
@@ -257,8 +285,12 @@ def cosine_topk_lsh(
     for planes in all_planes:
         qsig = _signature_py(list(query), planes)
         probe = {qsig}
-        if probe_hamming >= 1:
-            probe |= {qsig ^ (1 << p) for p in range(n_planes)}
+        for h in range(1, min(probe_hamming, n_planes) + 1):
+            for bits in combinations(range(n_planes), h):
+                flip = 0
+                for b in bits:
+                    flip |= 1 << b
+                probe.add(qsig ^ flip)
         probes.append(sorted(probe))
     if bucket_col is None:
         buckets = lsh_buckets_udf(all_planes)
@@ -288,6 +320,8 @@ def embedding_near_duplicates(
     n_tables: int = 8,
     seed: int = 42,
     bucket_col: Optional[str] = None,
+    dim: Optional[int] = None,
+    max_bucket_size: Optional[int] = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
@@ -310,12 +344,30 @@ def embedding_near_duplicates(
       making this query pure Catalyst;
     * the candidate self-join shuffles only (id, table, bucket) int
       tuples — embedding payloads never move;
+    * **degenerate-bucket cap** (same job-killer as MinHash buckets,
+      fixed the same way): a (table, bucket) shared by more than
+      ``max_bucket_size`` vectors — a cluster of identical/boilerplate
+      embeddings — skips the all-pairs join; its members are
+      star-linked to the bucket's min-id anchor (O(n) pairs preserving
+      the connected component). Star pairs still get EXACT cosine
+      verification below, so no unverified pair is ever returned; the
+      approximation is that over-cap bucket members are only verified
+      against the anchor. ``max_bucket_size=None`` disables the cap
+      (and the broadcast hint with it — an uncapped candidate set must
+      not be forced to the driver);
     * vectors are joined back ONLY for the deduplicated candidate
       pairs (a vanishing fraction of rows) for exact verification.
+
+    ``dim``: the embedding dimensionality; pass it when known (callers
+    of :func:`with_lsh_buckets` already do) to skip the one-job modal
+    probe (:func:`infer_dim`) — and never trust row 1, whose NULL or
+    junk length must not crash plane construction (ADVICE r2).
     """
+    from .dedup import _capped_split
+
     if bucket_col is None:
-        dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
-        dim = int(dim_probe["d"])
+        if dim is None:
+            dim = infer_dim(df, vec_col)
         all_planes = [
             hyperplanes(dim, n_planes, seed=seed + 1000 * t)
             for t in range(n_tables)
@@ -332,17 +384,19 @@ def embedding_near_duplicates(
         F.col(id_col).alias("_id"),
         F.posexplode(bucket_expr).alias("_t", "_bucket"),
     )
-    x, y = keyed.alias("x"), keyed.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x._t") == F.col("y._t"))
-            & (F.col("x._bucket") == F.col("y._bucket"))
-            & (F.col("x._id") < F.col("y._id")),
-        )
-        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    small, star = _capped_split(
+        keyed, ["_t", "_bucket"], max_bucket_size=max_bucket_size
     )
+    x, y = small.alias("x"), small.alias("y")
+    cand = x.join(
+        y,
+        (F.col("x._t") == F.col("y._t"))
+        & (F.col("x._bucket") == F.col("y._bucket"))
+        & (F.col("x._id") < F.col("y._id")),
+    ).select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+    if star is not None:
+        cand = cand.unionByName(star)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
     # Fetch both pair members' vectors in ONE scan of the table: unpivot
     # each candidate pair to two (role, id) rows, equi-join against the
     # vectors once (the tiny candidate side broadcasts; the big table
@@ -358,10 +412,14 @@ def embedding_near_duplicates(
     )
     # explicit broadcast: planning-time size estimates for a self-join +
     # dropDuplicates are wildly high, so without the hint Spark plans a
-    # sort-merge join that shuffles the embedding column. Candidates are
-    # a vanishing fraction by design (bucketed LSH); if they ever
-    # weren't, the exact-verification cost itself would dominate first.
-    fetched = F.broadcast(long).join(vecs, "_vid")
+    # sort-merge join that shuffles the embedding column. With the
+    # degenerate-bucket cap active, per-bucket pair counts are bounded
+    # (star-linking caps the worst case at O(n) edges), keeping the
+    # candidate set driver-safe; with the cap disabled the hint is
+    # dropped and AQE decides — an unbounded candidate set must never be
+    # force-collected to the driver (ADVICE r2, medium).
+    hinted = F.broadcast(long) if max_bucket_size is not None else long
+    fetched = hinted.join(vecs, "_vid")
     wide = fetched.groupBy("id_a", "id_b").agg(
         F.any_value(F.when(F.col("role") == "a", F.col("_v")), True).alias("va"),
         F.any_value(F.when(F.col("role") == "b", F.col("_v")), True).alias("vb"),
@@ -408,11 +466,10 @@ def ivf_centroids(
     train = train.filter(F.col("_v").isNotNull())
     # drop wrong-dimension vectors too — the same dirty rows the query
     # path (ivf_cells_udf) tolerates would crash KMeans' training
-    # aggregation with a dimension mismatch
-    first = train.select(F.size("_v").alias("d")).first()
-    if first is None:
-        raise ValueError("ivf_centroids: no non-null vectors to train on")
-    dim = int(first["d"])
+    # aggregation with a dimension mismatch. Modal length, NOT row 1:
+    # a junk-length first vector must not silently filter out the whole
+    # valid corpus before KMeans (ADVICE r2).
+    dim = infer_dim(train, "_v")
     train = train.filter(F.size("_v") == dim)
     if sample_fraction is not None:
         train = train.sample(fraction=sample_fraction, seed=seed)

@@ -270,7 +270,11 @@ def test_minhash_degenerate_bucket_cap(spark):
     # star topology: every non-anchor doc pairs with doc 0, once
     assert len(rows) == n - 1
     assert all(r["id_a"] == 0 for r in rows)
-    assert all(r["n_bands"] == 8 for r in rows)
+    # honest metrics (ADVICE r2): star-derived pairs report n_bands = 0
+    # (no REAL band collision was observed) and carry the star flag —
+    # callers thresholding on n_bands are never fed synthetic counts
+    assert all(r["n_bands"] == 0 for r in rows)
+    assert all(r["star_linked"] for r in rows)
     assert {r["id_b"] for r in rows} == set(range(1, n))
 
 
@@ -578,3 +582,61 @@ def test_winnow_candidates_star_bypasses_min_shared(spark):
     pairs = dedup.winnow_candidates(df, max_bucket_size=100, min_shared=3).collect()
     assert len(pairs) == n - 1  # star edges survive the min_shared filter
     assert all(r["id_a"] == 0 for r in pairs)
+
+
+def test_infer_dim_robust_to_dirty_leading_rows(spark):
+    """A NULL or junk-length vector in row 1 must not decide (or crash)
+    dimension inference — the modal length over non-null rows wins."""
+    rows = [(0, None), (1, [1.0, 2.0])] + [
+        (i, [float(i), 0.0, 1.0, 0.5]) for i in range(2, 40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    assert similarity.infer_dim(df) == 4
+    # end-to-end: near-dup search over the dirty table neither crashes
+    # nor silently drops the valid corpus
+    pairs = similarity.embedding_near_duplicates(
+        df.unionByName(
+            spark.createDataFrame(
+                [(1000, [2.0, 0.0, 1.0, 0.5])],
+                "vec_id bigint, embedding array<double>",
+            )
+        ),
+        threshold=0.99,
+        n_planes=4,
+        n_tables=4,
+    ).collect()
+    assert (2, 1000) in {(r["id_a"], r["id_b"]) for r in pairs}
+
+
+def test_embedding_degenerate_bucket_cap(spark):
+    """3k identical embeddings: the capped path must produce O(n) star
+    pairs (all exact-cosine verified), not the quadratic bucket join."""
+    n = 3000
+    df = spark.range(0, n, 1, 8).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.5), F.lit(0.25), F.lit(0.0)).alias("embedding"),
+    )
+    pairs = similarity.embedding_near_duplicates(
+        df, threshold=0.99, n_planes=4, n_tables=2, dim=4, max_bucket_size=100
+    ).collect()
+    assert len(pairs) == n - 1
+    assert all(r["id_a"] == 0 for r in pairs)
+    assert all(r["cosine"] == 1.0 for r in pairs)
+
+
+def test_lsh_exhaustive_probe_equals_bruteforce(emb):
+    """probe_hamming = n_planes probes EVERY bucket → the 'approximate'
+    search must recover the exact brute-force top-k (partition
+    completeness: each vector is in exactly one bucket per table)."""
+    query = list(emb.filter("vec_id = 3").select("embedding").first()["embedding"])
+    exact = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.cosine_topk_bruteforce(emb, query, k=10).collect()
+    ]
+    probed = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.cosine_topk_lsh(
+            emb, query, k=10, n_planes=6, n_tables=2, probe_hamming=6
+        ).collect()
+    ]
+    assert probed == exact

@@ -156,3 +156,33 @@ def test_embedding_near_dup_plan_no_cartesian(spark):
     # bucket equi-join on (table, bucket) ints; vectors only join back to
     # the deduplicated candidate pairs
     assert "CartesianProduct" not in plan
+
+
+def test_deduplicate_exact_plan_no_payload_shuffle(spark, tmp_path):
+    """Keep-one exact dedup must never shuffle row payloads: the dropped-id
+    computation's exchange carries only (digest, id), and the corpus-side
+    anti-join broadcasts the (tiny) dropped set (VERDICT r2 item 1)."""
+    from dsci_524_g26_data_validation_spark.operators import dedup
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (i, f"text body {i % 50}", f"payload column {i} " * 20)
+            for i in range(500)
+        ],
+        "doc_id bigint, text string, payload string",
+    ).write.parquet(path)
+    d = spark.read.parquet(path)
+    kept = dedup.deduplicate_exact(d, cols=("text",), id_col="doc_id")
+    final = _final_plan(kept).split("== Initial Plan ==")[0]
+    # AQE turns the anti-join into a broadcast (dropped set is tiny)
+    assert "BroadcastHashJoin" in final and "LeftAnti" in final
+    # the dropped-id side scans only (text, doc_id) — the payload column
+    # never enters the window/exchange path
+    schemas = [l for l in final.splitlines() if "ReadSchema" in l]
+    assert any("payload" not in l for l in schemas), schemas
+    # the only exchange in the plan is the (digest, id) hash partitioning
+    # for the window — no exchange ever carries the payload column
+    exchanges = [l for l in final.splitlines() if "Exchange hashpartitioning" in l]
+    assert exchanges and all("payload" not in l for l in exchanges)
+    assert kept.count() == 50  # 50 distinct texts -> 50 survivors
