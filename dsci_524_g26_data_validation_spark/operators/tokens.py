@@ -88,6 +88,7 @@ def token_equality_violations(
     key: str = "doc_id",
     arr_col: str = "tokens",
     verify_with_udf: bool = True,
+    eager: bool = True,
 ) -> DataFrame:
     """Rows of ``df`` whose token array differs from ``reference``'s (E6).
 
@@ -108,8 +109,24 @@ def token_equality_violations(
 
     Inner-join on the key (rows missing from the reference are the
     referential check's job, not this one). NULL-key rows never match and
-    are dropped, same as before. Returns (key, n_tok_observed,
-    n_tok_reference).
+    are dropped, same as before.
+
+    Returns (key, n_tok_observed, n_tok_reference). **Execution
+    contract** (explicit because it differs by mode — ADVICE r2):
+
+    * ``eager=True`` (default): the candidate set and its Arrow-UDF
+      confirmation execute AT CALL TIME (two bounded Spark jobs) and the
+      returned DataFrame is backed by driver-local rows — later actions
+      on it re-trigger nothing. If the candidate count exceeds
+      ``VERIFY_CANDIDATE_CAP`` the (already exact) hash verdicts are
+      returned as a lazy plan instead.
+    * ``eager=False``: nothing executes; the returned DataFrame is a
+      fully lazy distributed plan (hash pre-filter → array fetch →
+      Arrow-UDF confirmation), for callers composing a larger plan who
+      will pay the candidate-side join at action time.
+    * ``verify_with_udf=False``: lazy hash-verdict plan only (exact for
+      every reported row; misses only 2^-64 hash-collision false
+      negatives).
     """
     k, arr = f"`{key}`", f"`{arr_col}`"
     left = df.select(
@@ -133,6 +150,25 @@ def token_equality_violations(
     cand = cand.withColumnRenamed("_k", key)
     if not verify_with_udf:
         return cand
+
+    if not eager:
+        # fully lazy distributed confirmation: join the token arrays of
+        # BOTH sides back to the candidate keys (AQE broadcasts the tiny
+        # candidate side, so the big tables stream through scan-bound)
+        # and re-check with the vectorized UDF. No collect, no driver
+        # round-trip — the whole thing is one composable plan.
+        obs = df.select(F.col(k).alias("_ok"), F.col(arr).alias("_obs_tokens"))
+        ref = reference.select(
+            F.col(k).alias("_rk"), F.col(arr).alias("_ref_tokens")
+        )
+        return (
+            cand.join(obs, cand[f"`{key}`"] == obs["_ok"])
+            .join(ref, cand[f"`{key}`"] == ref["_rk"])
+            .filter(
+                ~arrays_equal_udf(F.col("_obs_tokens"), F.col("_ref_tokens"))
+            )
+            .select(F.col(f"`{key}`"), "n_tok_observed", "n_tok_reference")
+        )
 
     # Phase 2: the candidate key set is tiny in practice (it IS the
     # violation set — a differing hash proves the arrays differ; the only

@@ -247,3 +247,23 @@ def test_profile_quantiles_ride_fused_pass(spark):
     stats = run_stats_pass(df, plan)
     assert stats["v"].quantiles == (250.0, 500.0, 750.0)
     assert stats["v"].non_null_count == 1001
+
+
+def test_token_equality_lazy_matches_eager(spark):
+    """eager=False returns a fully lazy distributed plan with identical
+    results to the eager (collect-confirm) default (ADVICE r2)."""
+    import dsci_524_g26_data_validation_spark as dv
+    from dsci_524_g26_data_validation_spark.operators.tokens import (
+        token_equality_violations,
+    )
+
+    df = dv.token_table(spark, 4000, mutate_frac=0.01, num_partitions=4)
+    ref = dv.token_table(spark, 4000, num_partitions=4)
+    eager = {
+        r["doc_id"]
+        for r in token_equality_violations(df, ref).collect()
+    }
+    lazy_df = token_equality_violations(df, ref, eager=False)
+    assert len(lazy_df.columns) == 3  # (key, n_obs, n_ref) shape kept
+    lazy = {r["doc_id"] for r in lazy_df.collect()}
+    assert lazy == eager and len(eager) > 0

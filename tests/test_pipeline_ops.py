@@ -640,3 +640,24 @@ def test_lsh_exhaustive_probe_equals_bruteforce(emb):
         ).collect()
     ]
     assert probed == exact
+
+
+def test_language_id_ngram(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The theory of the thing is that singing and dancing go hand in hand."),
+            (2, "Le chat est sur la table et la lampe de la maison est belle."),
+            (3, "Der Hund und die Katze sind ein gutes Team in der Schule."),
+            (4, "El perro que vive en la casa de el vecino es un buen amigo."),
+            (5, "zzz qqq"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in text.language_id_ngram(df).collect()}
+    assert got == {1: "en", 2: "fr", 3: "de", 4: "es", 5: "und"}
+    # the expensive steps evaluate once per row: the projection barriers
+    # survive optimization (lower() and the trigram transform each
+    # appear exactly once in the optimized plan)
+    plan = text.language_id_ngram(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("lower(") == 1
+    assert plan.count("transform(") == 1
