@@ -206,6 +206,13 @@ def _bpe_token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _top_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: exact top-5 tokens per source (map-side partial
+    agg on (source, token); windowed top-k over distinct counts only)."""
+    d = _read(spark, sf_dir, "documents")
+    return text.top_tokens(d, k=5)
+
+
 def _quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # projection barrier (VERDICT r2 item 5): materialize the score once
     # per row; avg() and min() reference the materialized column
@@ -663,6 +670,24 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def _contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/Pile 13-gram method, n=8 here for
+    the shorter synthetic docs): a synthetic benchmark is carved from a
+    deterministic slice of every doc_id % 97 == 3 document, so each
+    source doc provably shares word n-grams with 'its' benchmark doc.
+    The oracle recomputes the full overlap join in SQL."""
+    from dsci_524_g26_data_validation_spark.operators import contamination as ct
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter("doc_id % 97 = 3").select(
+        F.col("doc_id").alias("bench_id"),
+        F.substring("text", 30, 400).alias("text"),
+    )
+    return ct.contamination_pairs(d, bench, n=8).select(
+        "doc_id", "bench_id", "n_shared", "bench_coverage"
+    )
+
+
 def _token_contract_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full engine pass (E1/E2/E5 + column contract) on the synthetic
     dirty token table — issues as rows."""
@@ -704,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_prefix": _dedup_exact_prefix,
         "token_stats_documents": _token_stats_documents,
         "bpe_token_stats_documents": _bpe_token_stats_documents,
+        "top_tokens_by_source": _top_tokens_by_source,
         "quality_by_source": _quality_by_source,
         "langid_documents": _langid_documents,
         "langid_ngram_documents": _langid_ngram_documents,
@@ -719,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_verdicts_lineitem": _partition_verdicts_lineitem,
         "violation_summary_lineitem": _violation_summary_lineitem,
         "token_equality_documents": _token_equality_documents,
+        "contamination_documents": _contamination_documents,
         "embedding_near_dups": _embedding_near_dups,
         "minhash_candidates": _minhash_candidates,
         "token_contract_pass": _token_contract_pass,
@@ -873,6 +900,21 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(len(regexp_extract_all(text, '{_BPE_RE_SQL}', 0))) AS DOUBLE)
                          / sum(len(string_split(text, ' '))), 6) AS bpe_per_word
             FROM documents GROUP BY source
+        """,
+        "top_tokens_by_source": """
+            WITH e AS (
+              SELECT source, unnest(string_split(lower(text), ' ')) AS token
+              FROM documents
+            ), c AS (
+              SELECT source, token, count(*) AS n FROM e GROUP BY 1, 2
+            ), r AS (
+              SELECT source, token, n,
+                     CAST(row_number() OVER (
+                       PARTITION BY source ORDER BY n DESC, token ASC
+                     ) AS INT) AS rank
+              FROM c
+            )
+            SELECT source, token, n, rank FROM r WHERE rank <= 5
         """,
         "quality_by_source": f"""
             SELECT source, count(*) AS n_docs,
@@ -1042,6 +1084,35 @@ def oracle_sql() -> dict[str, str]:
                    len(string_split(text, ' ')) + 1 AS n_tok_observed,
                    len(string_split(text, ' ')) AS n_tok_reference
             FROM documents WHERE doc_id % 50 = 0
+        """,
+        # train/test overlap ground truth: distinct word 8-grams on both
+        # sides (benchmark = the same deterministic doc slices), joined on
+        # the n-gram itself (Spark joins xxhash64 of it — identical result)
+        "contamination_documents": """
+            WITH c AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), cg AS (
+              SELECT doc_id,
+                     unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+                       for i in generate_series(1, greatest(len(toks)-7, 1))])) AS g
+              FROM c
+            ), b AS (
+              SELECT doc_id AS bench_id,
+                     string_split(substr(text, 30, 400), ' ') AS toks
+              FROM documents WHERE doc_id % 97 = 3
+            ), bg0 AS (
+              SELECT bench_id,
+                     list_distinct([array_to_string(toks[i:i+7], ' ')
+                       for i in generate_series(1, greatest(len(toks)-7, 1))]) AS gs
+              FROM b
+            ), bg AS (
+              SELECT bench_id, unnest(gs) AS g, len(gs) AS total FROM bg0
+            )
+            SELECT cg.doc_id, bg.bench_id,
+                   count(*) AS n_shared,
+                   round(count(*) * 1.0 / any_value(bg.total), 6) AS bench_coverage
+            FROM cg JOIN bg ON cg.g = bg.g
+            GROUP BY cg.doc_id, bg.bench_id
         """,
         # LSH candidates + exact-jaccard verification vs DuckDB ground
         # truth: an inverted-index shingle join finds EVERY pair with a

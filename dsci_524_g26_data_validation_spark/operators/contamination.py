@@ -1,0 +1,149 @@
+"""Benchmark decontamination — train/test overlap detection for
+training-data pipelines.
+
+The standard method (Brown et al., "Language Models are Few-Shot
+Learners", NeurIPS 2020, appendix C; Gao et al., "The Pile", 2020):
+a training document is contaminated iff it shares at least one word
+``n``-gram (n = 13 in both papers) with any benchmark document. This
+module implements it Spark-first:
+
+* both sides reduce to DISTINCT word n-grams — pure Catalyst
+  (``transform`` over a token-index sequence + ``array_distinct``),
+  hashed to 8-byte ``xxhash64`` values so the join never moves strings;
+* the benchmark side is tiny relative to a 100 TB corpus, so the n-gram
+  join is an explicit **broadcast** hash join: the corpus streams
+  through scan-bound, nothing about the corpus is ever shuffled;
+* overlap metrics (shared n-gram count, fraction of the benchmark doc
+  covered) are one hash aggregation over the (vanishing) hit set.
+
+``decontaminate`` then drops contaminated corpus rows with a broadcast
+anti-join on the hit ids — the same zero-corpus-shuffle shape as
+``deduplicate_exact``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "word_ngrams_expr",
+    "contamination_pairs",
+    "contaminated_ids",
+    "decontaminate",
+]
+
+
+def word_ngrams_expr(text_col: Column | str, *, n: int = 13) -> Column:
+    """Distinct word ``n``-grams of a document (space-joined strings) —
+    Catalyst transform over a token-index sequence; documents shorter
+    than ``n`` tokens yield their whole text as the single n-gram,
+    mirroring :func:`~.dedup.shingles_expr`."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(c, " ")
+    m = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(m - n + 1, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def _exploded_gram_hashes(
+    df: DataFrame, *, text_col: str, id_col: str, n: int, out_id: str
+) -> DataFrame:
+    """(out_id, _g: bigint) — one row per distinct n-gram hash per doc.
+
+    Two-step projection so the token array materializes once per row
+    (the n-gram transform references it per position); the exploded
+    values are 8-byte hashes, never the n-gram strings."""
+    base = df.select(
+        F.col(f"`{id_col}`").alias(out_id),
+        word_ngrams_expr(text_col, n=n).alias("_grams"),
+    )
+    return base.select(
+        out_id,
+        F.explode(
+            F.transform("_grams", lambda g: F.xxhash64(g))
+        ).alias("_g"),
+    )
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    n: int = 13,
+    min_shared: int = 1,
+) -> DataFrame:
+    """(doc_id, bench_id, n_shared, bench_coverage) for every corpus
+    document sharing ≥ ``min_shared`` word n-grams with a benchmark doc.
+
+    ``bench_coverage`` = shared / benchmark-doc distinct n-grams — 1.0
+    means the benchmark document appears wholesale in the training doc.
+
+    Scale shape: the benchmark n-gram table (with per-doc totals riding
+    along) is broadcast; the corpus side streams through one scan with
+    no shuffle until the (tiny) hit set is aggregated. n-gram identity
+    travels as xxhash64 longs (2^-64/pair collision odds — the accepted
+    trade in every published decontamination pipeline, which hash
+    n-grams too).
+    """
+    c = _exploded_gram_hashes(
+        corpus, text_col=text_col, id_col=id_col, n=n, out_id="doc_id"
+    )
+    b = _exploded_gram_hashes(
+        benchmark, text_col=bench_text_col, id_col=bench_id_col, n=n,
+        out_id="bench_id",
+    )
+    # per-benchmark-doc distinct n-gram totals ride the broadcast side,
+    # so coverage needs no second join against the benchmark
+    b = b.withColumn(
+        "_bench_total", F.count(F.lit(1)).over(Window.partitionBy("bench_id"))
+    )
+    hits = c.join(F.broadcast(b), on="_g")
+    return (
+        hits.groupBy("doc_id", "bench_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.round(
+                F.count(F.lit(1)) / F.first("_bench_total"), 6
+            ).alias("bench_coverage"),
+        )
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def contaminated_ids(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """Distinct corpus ids contaminated by any benchmark doc."""
+    return (
+        contamination_pairs(corpus, benchmark, **kwargs)
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Corpus minus contaminated rows — broadcast anti-join on the (tiny)
+    contaminated-id set; the corpus is never shuffled."""
+    bad = contaminated_ids(corpus, benchmark, id_col=id_col, **kwargs)
+    bad = bad.withColumnRenamed("doc_id", "_contaminated")
+    return corpus.join(
+        F.broadcast(bad),
+        corpus[f"`{id_col}`"] == bad["_contaminated"],
+        "left_anti",
+    )

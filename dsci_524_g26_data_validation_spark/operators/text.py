@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -22,6 +22,7 @@ __all__ = [
     "bpe_tokens_expr",
     "bpe_token_count_expr",
     "token_stats",
+    "top_tokens",
     "quality_score_expr",
     "quality_by_source",
     "STOPWORDS",
@@ -87,6 +88,40 @@ def token_stats(df: DataFrame, text_col: str = "text", group_col: str = "source"
             F.round(F.avg(n), 6).alias("avg_tokens"),
             F.max(n).alias("max_tokens"),
         )
+    )
+
+
+def top_tokens(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = 10,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Exact top-``k`` most frequent tokens per group →
+    (group, token, n, rank) — the corpus-quality heavy-hitter report
+    (boilerplate tokens, template artifacts, language drift per source).
+
+    Scale shape: explode → groupBy(group, token) hash-aggregates with
+    map-side partial aggregation, so the shuffle carries one
+    (group, token, partial-count) tuple per distinct token per
+    partition, NOT one row per token occurrence; the windowed top-k then
+    runs over the (much smaller) distinct-token counts, partitioned by
+    group. Deterministic: ties break by token ascending.
+    """
+    toks = tokens_expr(text_col)
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    counts = (
+        df.select(F.col(group_col), F.explode(toks).alias("token"))
+        .groupBy(group_col, "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
     )
 
 

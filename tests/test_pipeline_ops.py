@@ -661,3 +661,74 @@ def test_language_id_ngram(spark):
     plan = text.language_id_ngram(df)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("lower(") == 1
     assert plan.count("transform(") == 1
+
+
+# -- contamination -----------------------------------------------------------
+
+
+def test_contamination_planted_excerpt(spark):
+    from dsci_524_g26_data_validation_spark.operators import contamination as ct
+
+    corpus = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{i}x{j}" for j in range(40)))
+            for i in range(30)
+        ],
+        "doc_id bigint, text string",
+    )
+    # benchmark doc 100 = token-aligned excerpt of corpus doc 5
+    excerpt = " ".join(f"w5x{j}" for j in range(10, 30))
+    bench = spark.createDataFrame(
+        [(100, excerpt), (101, "totally novel benchmark question text here")],
+        "bench_id bigint, text string",
+    )
+    pairs = ct.contamination_pairs(corpus, bench, n=8).collect()
+    hits = {(r["doc_id"], r["bench_id"]): r for r in pairs}
+    assert (5, 100) in hits
+    # token-aligned excerpt: every benchmark n-gram appears in doc 5
+    assert hits[(5, 100)]["bench_coverage"] == 1.0
+    assert all(k[1] != 101 for k in hits)  # novel doc contaminates nothing
+
+    clean = ct.decontaminate(corpus, bench, n=8)
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert kept == set(range(30)) - {5}
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The n-gram join must broadcast the benchmark side — the corpus is
+    never shuffled before the (tiny) hit aggregation."""
+    from dsci_524_g26_data_validation_spark.operators import contamination as ct
+
+    corpus = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("document body "), F.col("id").cast("string")).alias("text"),
+    )
+    bench = spark.createDataFrame(
+        [(1, "document body 7")], "bench_id bigint, text string"
+    )
+    pairs = ct.contamination_pairs(corpus, bench, n=3)
+    plan = pairs._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_top_tokens(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b b c c c", "s1"),
+            (2, "c a a", "s1"),
+            (3, "z z y", "s2"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    rows = text.top_tokens(df, k=2).collect()
+    got = {(r["source"], r["rank"]): (r["token"], r["n"]) for r in rows}
+    assert got == {
+        ("s1", 1): ("c", 4),
+        ("s1", 2): ("a", 3),
+        ("s2", 1): ("z", 2),
+        ("s2", 2): ("y", 1),
+    }
+    # top-k is pushed below the shuffle (per-partition group limit)
+    plan = text.top_tokens(df, k=2)._jdf.queryExecution().sparkPlan().toString()
+    assert "WindowGroupLimit" in plan
