@@ -156,6 +156,27 @@ def _histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ks_drift_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned Kolmogorov-Smirnov drift of o_totalprice vs a uniform
+    10-bin baseline — the location-shift-sensitive member of the drift
+    family (PSI/chi-square are per-bin; KS is cumulative)."""
+    from dsci_524_g26_data_validation_spark.operators.drift import drift_scores
+
+    o = _read(spark, sf_dir, "orders")
+    h = Histogram(
+        labels=tuple(str(i) for i in range(1, 11)),
+        fracs=(0.1,) * 10,
+        kind="numeric",
+        lo=0.0,
+        hi=600000.0,
+        n_bins=10,
+    )
+    s = drift_scores(o, {"o_totalprice": h})["o_totalprice"]
+    return spark.createDataFrame(
+        [("o_totalprice", round(s["ks"], 6))], "col_name string, ks double"
+    )
+
+
 def _psi_documents_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4: per-category observed fraction + PSI term vs uniform baseline."""
     d = _read(spark, sf_dir, "documents")
@@ -285,6 +306,13 @@ def _simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = list(e.filter("vec_id = 0").select("embedding").first()["embedding"])
     top = similarity.cosine_topk_bruteforce(e, query, k=20)
     return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def _vector_stats_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column health report (pre-index check): NULL / wrong-dim /
+    NaN counts + norm min/avg/max, one fused scan."""
+    e = _read(spark, sf_dir, "embeddings")
+    return similarity.vector_stats(e, dim=64)
 
 
 def _embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -725,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniqueness_orders_custkey": _uniqueness_orders_custkey,
         "referential_orders_customer": _referential_orders_customer,
         "histogram_totalprice": _histogram_totalprice,
+        "ks_drift_totalprice": _ks_drift_totalprice,
         "psi_documents_source": _psi_documents_source,
         "dedup_exact_prefix": _dedup_exact_prefix,
         "token_stats_documents": _token_stats_documents,
@@ -737,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints_documents": _winnow_fingerprints_documents,
         "ntok_invariant_documents": _ntok_invariant_documents,
         "simsearch_topk": _simsearch_topk,
+        "vector_stats_embeddings": _vector_stats_embeddings,
         "embedding_norms": _embedding_norms,
         "stream_violation_counts": _stream_violation_counts,
         "infer_profile_documents": _infer_profile_documents,
@@ -873,6 +903,30 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt
             FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
         """,
+        "ks_drift_totalprice": """
+            WITH ob AS (
+              SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                          WHEN o_totalprice >= 600000 THEN 11
+                          ELSE least(floor(o_totalprice / 60000) + 1, 10) END
+                     AS BIGINT) AS bin,
+                     count(*) AS cnt
+              FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+            ), allb AS (
+              SELECT unnest(generate_series(1, 10))::BIGINT AS bin
+              UNION SELECT bin FROM ob
+            ), f AS (
+              SELECT allb.bin,
+                     coalesce(ob.cnt, 0) * 1.0 / (SELECT sum(cnt) FROM ob) AS p,
+                     CASE WHEN allb.bin BETWEEN 1 AND 10 THEN 0.1 ELSE 0.0 END AS q
+              FROM allb LEFT JOIN ob USING (bin)
+            ), c AS (
+              SELECT sum(p) OVER (ORDER BY bin) AS cp,
+                     sum(q) OVER (ORDER BY bin) AS cq
+              FROM f
+            )
+            SELECT 'o_totalprice' AS col_name, round(max(abs(cp - cq)), 6) AS ks
+            FROM c
+        """,
         "psi_documents_source": """
             SELECT source,
                    round(count(*) * 1.0 / (SELECT count(*) FROM documents), 6) AS obs_frac,
@@ -1002,6 +1056,32 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT embedding FROM embeddings WHERE vec_id = 7)) DESC,
                      vec_id ASC
             LIMIT 15
+        """,
+        "vector_stats_embeddings": """
+            SELECT count(*) AS n_rows,
+                   count(*) FILTER (WHERE embedding IS NULL) AS n_null,
+                   count(*) FILTER (WHERE embedding IS NOT NULL
+                       AND len(embedding) != 64) AS n_wrong_dim,
+                   count(*) FILTER (WHERE embedding IS NOT NULL
+                       AND len(embedding) = 64
+                       AND len(list_filter(embedding, x -> isnan(x))) > 0) AS n_nan,
+                   64 AS dim,
+                   round(min(sqrt(list_aggregate(
+                       list_transform(embedding::DOUBLE[], x -> x * x), 'sum')))
+                       FILTER (WHERE embedding IS NOT NULL AND len(embedding) = 64
+                           AND len(list_filter(embedding, x -> isnan(x))) = 0), 6)
+                       AS min_norm,
+                   round(avg(sqrt(list_aggregate(
+                       list_transform(embedding::DOUBLE[], x -> x * x), 'sum')))
+                       FILTER (WHERE embedding IS NOT NULL AND len(embedding) = 64
+                           AND len(list_filter(embedding, x -> isnan(x))) = 0), 6)
+                       AS avg_norm,
+                   round(max(sqrt(list_aggregate(
+                       list_transform(embedding::DOUBLE[], x -> x * x), 'sum')))
+                       FILTER (WHERE embedding IS NOT NULL AND len(embedding) = 64
+                           AND len(list_filter(embedding, x -> isnan(x))) = 0), 6)
+                       AS max_norm
+            FROM embeddings
         """,
         "embedding_norms": """
             SELECT label, count(*) AS n_vecs,

@@ -33,6 +33,7 @@ __all__ = [
     "drift_scores_from_counts",
     "chi_square",
     "psi",
+    "ks",
     "drift_scores",
 ]
 
@@ -162,6 +163,38 @@ def psi(baseline: Histogram, observed_counts: Mapping[str, int], *, eps: float =
     return val
 
 
+def ks(baseline: Histogram, observed_counts: Mapping[str, int]) -> float:
+    """Kolmogorov-Smirnov statistic (binned): max |CDF_obs − CDF_base|.
+
+    Complements PSI/chi-square — KS is sensitive to LOCATION shifts
+    (mean/median drift) that spread mass to adjacent bins, which
+    per-bin divergences under-weight. Numeric histograms order bins by
+    index (underflow 0 … overflow n+1); for categorical histograms
+    (no natural order) this degrades to the L∞ distance
+    max |p_i − q_i| — still a valid, bounded [0,1] drift signal.
+    Conventional read: two-sample KS at α=0.05 rejects around
+    1.36·√(2/n_per_bin-ish); for drift monitoring treat >0.1 as
+    moderate, >0.25 as major (same bands as PSI in practice).
+    """
+    labels, p, q, total = _align(baseline, observed_counts)
+    if total == 0:
+        return 0.0
+    if baseline.kind == "numeric":
+        def key(lab: str):
+            s = lab.lstrip("-")
+            return (0, int(lab)) if s.isdigit() else (1, 0)  # novel last
+
+        order = sorted(range(len(labels)), key=lambda i: key(labels[i]))
+        cum_p = cum_q = 0.0
+        stat = 0.0
+        for i in order:
+            cum_p += p[i]
+            cum_q += q[i]
+            stat = max(stat, abs(cum_p - cum_q))
+        return stat
+    return max((abs(pi - qi) for pi, qi in zip(p, q)), default=0.0)
+
+
 def fused_drift_terms(df: DataFrame, baselines: Mapping[str, Histogram]):
     """Compile observed-histogram capture into flat ``count_if`` aggregate
     terms so drift rides the SAME single-row fused aggregation as the
@@ -225,6 +258,7 @@ def drift_scores_from_counts(
         out[c] = {
             "chi_square": chi_square(h, counts),
             "psi": psi(h, counts),
+            "ks": ks(h, counts),
             "total": float(non_null),
         }
     return out

@@ -42,6 +42,7 @@ from pyspark.sql.functions import pandas_udf
 
 __all__ = [
     "infer_dim",
+    "vector_stats",
     "dot_expr",
     "norm_expr",
     "cosine_expr",
@@ -77,6 +78,42 @@ def infer_dim(df: DataFrame, vec_col: str = "embedding") -> int:
     if row is None:
         raise ValueError(f"infer_dim: no non-null vectors in '{vec_col}'")
     return int(row["d"])
+
+
+def vector_stats(
+    df: DataFrame, *, vec_col: str = "embedding", dim: Optional[int] = None
+) -> DataFrame:
+    """One-row health report of an embedding column — the vector-typed
+    analog of the engine's fused column stats: NULL count, wrong-dim
+    count, NaN-containing count, and norm min/avg/max over clean rows.
+    Pure Catalyst (size/exists/aggregate HOFs) in ONE scan + one-row agg;
+    the dirty-row categories mirror exactly what the bucketing UDFs
+    (:func:`lsh_buckets_udf`, :func:`ivf_cells_udf`) tolerate, so this
+    is the check to run before building an index.
+
+    ``dim``: expected dimensionality; default = modal observed
+    (:func:`infer_dim`, one extra tiny job).
+    """
+    if dim is None:
+        dim = infer_dim(df, vec_col)
+    v = F.col(f"`{vec_col}`")
+    vd = v.cast("array<double>")
+    is_null = v.isNull()
+    wrong = ~is_null & (F.size(v) != F.lit(dim))
+    valid = ~is_null & ~wrong
+    has_nan = valid & F.exists(vd, lambda x: F.isnan(x))
+    clean = valid & ~has_nan
+    norm = F.when(clean, norm_expr(vd))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(is_null).alias("n_null"),
+        F.count_if(wrong).alias("n_wrong_dim"),
+        F.count_if(has_nan).alias("n_nan"),
+        F.lit(dim).alias("dim"),
+        F.round(F.min(norm), 6).alias("min_norm"),
+        F.round(F.avg(norm), 6).alias("avg_norm"),
+        F.round(F.max(norm), 6).alias("max_norm"),
+    )
 
 
 def dot_expr(a: Column, b: Column) -> Column:

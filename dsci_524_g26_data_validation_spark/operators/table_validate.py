@@ -54,11 +54,18 @@ INLINE_DIM_CAP = 10_000
 
 
 class DriftThresholds:
-    """PSI / chi-square alert levels (PSI 0.25 = conventional 'major shift')."""
+    """PSI / chi-square / KS alert levels (PSI 0.25 = conventional
+    'major shift'; KS uses the same practical bands)."""
 
-    def __init__(self, psi: float = 0.25, chi_square: Optional[float] = None):
+    def __init__(
+        self,
+        psi: float = 0.25,
+        chi_square: Optional[float] = None,
+        ks: Optional[float] = None,
+    ):
         self.psi = psi
         self.chi_square = chi_square
+        self.ks = ks
 
 
 def _collect_small_dim(dim: DataFrame, key: str) -> Optional[list]:
@@ -268,6 +275,16 @@ def validate_table_contract(
                         column=col,
                         observed=s["chi_square"],
                         expected=thr.chi_square,
+                    )
+                )
+            if thr.ks is not None and s["ks"] > thr.ks:
+                issues.append(
+                    Issue(
+                        kind="drift_ks",
+                        message=f"{col}: KS {s['ks']:.4f} exceeds {thr.ks}",
+                        column=col,
+                        observed=s["ks"],
+                        expected=thr.ks,
                     )
                 )
 

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import pytest
 
+import dsci_524_g26_data_validation_spark as dv
+
 from dsci_524_g26_data_validation_spark import (
     ColumnRule,
     Contract,
@@ -23,6 +25,7 @@ from dsci_524_g26_data_validation_spark.operators.referential import (
     referential_violations,
 )
 from dsci_524_g26_data_validation_spark.operators.table_validate import (
+    DriftThresholds,
     run_resumable_validation,
     validate_table_contract,
 )
@@ -267,3 +270,77 @@ def test_token_equality_lazy_matches_eager(spark):
     assert len(lazy_df.columns) == 3  # (key, n_obs, n_ref) shape kept
     lazy = {r["doc_id"] for r in lazy_df.collect()}
     assert lazy == eager and len(eager) > 0
+
+
+def test_ks_drift_statistic(spark):
+    """Binned KS: identical distributions -> 0; full location shift -> ~1;
+    a mean shift KS catches clearly even when per-bin PSI is moderate."""
+    from dsci_524_g26_data_validation_spark.operators.drift import drift_scores
+    from dsci_524_g26_data_validation_spark.types import Histogram
+    from pyspark.sql import functions as F
+
+    h = Histogram(
+        labels=tuple(str(i) for i in range(1, 11)),
+        fracs=(0.1,) * 10,
+        kind="numeric",
+        lo=0.0,
+        hi=100.0,
+        n_bins=10,
+    )
+    uniform = spark.range(0, 1000).select((F.col("id") % 100).cast("double").alias("x"))
+    s = drift_scores(uniform, {"x": h})["x"]
+    assert s["ks"] == pytest.approx(0.0, abs=1e-9)
+    # all mass in the top half: CDF gap at the midpoint = 0.5
+    shifted = spark.range(0, 1000).select(
+        (50.0 + (F.col("id") % 50).cast("double")).alias("x")
+    )
+    s2 = drift_scores(shifted, {"x": h})["x"]
+    assert s2["ks"] == pytest.approx(0.5, abs=1e-6)
+    # categorical fallback: L-infinity distance
+    hc = Histogram(labels=("a", "b"), fracs=(0.5, 0.5), kind="categorical")
+    skewed = spark.createDataFrame([("a",)] * 9 + [("b",)], "x string")
+    s3 = drift_scores(skewed, {"x": hc})["x"]
+    assert s3["ks"] == pytest.approx(0.4, abs=1e-9)
+
+
+def test_ks_threshold_fires_issue(spark):
+    from dsci_524_g26_data_validation_spark.types import Histogram
+    from pyspark.sql import functions as F
+
+    h = Histogram(
+        labels=tuple(str(i) for i in range(1, 11)),
+        fracs=(0.1,) * 10,
+        kind="numeric",
+        lo=0.0,
+        hi=100.0,
+        n_bins=10,
+    )
+    shifted = spark.range(0, 1000).select(
+        (50.0 + (F.col("id") % 50).cast("double")).alias("x")
+    )
+    tc = dv.TableContract(
+        contract=dv.Contract(columns={"x": dv.ColumnRule(dtype="double")}),
+        histograms={"x": h},
+    )
+    res = validate_table_contract(
+        shifted, tc, drift_thresholds=DriftThresholds(psi=1e9, ks=0.25)
+    )
+    kinds = {i.kind for i in res.issues}
+    assert "drift_ks" in kinds and "drift_psi" not in kinds
+
+
+def test_vector_stats_dirty_rows(spark):
+    from dsci_524_g26_data_validation_spark.operators import similarity
+
+    rows = [
+        (1, [3.0, 4.0]),
+        (2, None),
+        (3, [1.0]),               # wrong dim
+        (4, [float("nan"), 1.0]), # NaN
+        (5, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    r = similarity.vector_stats(df, dim=2).collect()[0]
+    assert (r["n_rows"], r["n_null"], r["n_wrong_dim"], r["n_nan"]) == (5, 1, 1, 1)
+    assert r["dim"] == 2
+    assert r["min_norm"] == 1.0 and r["max_norm"] == 5.0 and r["avg_norm"] == 3.0
