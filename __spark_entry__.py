@@ -618,6 +618,42 @@ def _stream_batch_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup (dropDuplicatesWithinWatermark): first
+    event per user_id survives; output cardinality must equal the batch
+    COUNT(DISTINCT user_id) — the oracle checks exactly that."""
+    import tempfile
+    import uuid
+
+    from dsci_524_g26_data_validation_spark.streaming import deduplicate_stream
+
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    deduped = deduplicate_stream(
+        stream, id_cols=("user_id",), time_col="ts", watermark_delay="3650 days"
+    )
+    name = f"sd_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dv_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    if q.isActive:
+        q.stop()
+        q.awaitTermination(60)
+    return spark.table(name).agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.countDistinct("user_id").alias("n_distinct_users"),
+    )
+
+
 # -- non-SQL-expressible (rows-only checks) ----------------------------------
 
 
@@ -783,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup_dropped": _near_dedup_dropped,
         "near_dedup_kept": _near_dedup_kept,
         "stream_batch_verdicts": _stream_batch_verdicts,
+        "stream_dedup_events": _stream_dedup_events,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         # rows-only (no SQL oracle): stubbed codecs (sandbox has no image
@@ -1336,6 +1373,13 @@ def oracle_sql() -> dict[str, str]:
                        AS has_category_issue,
                    true AS matches_batch_replay
             FROM events
+        """,
+        # streaming first-arrival dedup == batch distinct (NULL user_id
+        # forms its own dedup key, matching count(*) over the group-by)
+        "stream_dedup_events": """
+            SELECT count(*) AS n_survivors,
+                   count(DISTINCT user_id) AS n_distinct_users
+            FROM (SELECT user_id FROM events GROUP BY user_id)
         """,
         # stateful streaming totals after draining the source == plain
         # batch aggregation per key (state-store correctness check)

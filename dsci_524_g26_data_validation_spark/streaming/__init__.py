@@ -1,5 +1,6 @@
 """Structured Streaming surface of the validation engine."""
 
+from .dedup_stream import deduplicate_stream, deduplicate_stream_by_content
 from .validate_stream import (
     BatchVerdict,
     validate_each_batch,
@@ -9,6 +10,8 @@ from .validate_stream import (
 
 __all__ = [
     "BatchVerdict",
+    "deduplicate_stream",
+    "deduplicate_stream_by_content",
     "validate_each_batch",
     "violation_counts_stream",
     "violation_running_totals",

@@ -207,3 +207,78 @@ def test_violation_running_totals_state_across_restarts(spark, tmp_path):
     for k in ("click", "view"):
         assert got2[k][0] >= got1[k][0]
         assert got2[k][1] >= got1[k][1]
+
+
+def test_deduplicate_stream_drops_redelivered_keys(spark, tmp_path):
+    """At-least-once ingest: the same doc_id re-delivered across
+    micro-batch files must survive exactly once (first arrival wins),
+    with state bounded by the watermark."""
+    import uuid
+
+    from dsci_524_g26_data_validation_spark.streaming import deduplicate_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "doc_id bigint, ts timestamp, text string"
+    spark.createDataFrame(
+        [(i, dt.datetime(2026, 1, 1, 10, 0, i % 60), f"doc {i}") for i in range(50)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    # second file re-delivers ids 0..24 plus 25 new ids
+    spark.createDataFrame(
+        [(i, dt.datetime(2026, 1, 1, 10, 1, i % 60), f"doc {i}") for i in range(25)]
+        + [(i, dt.datetime(2026, 1, 1, 10, 1, i % 60), f"doc {i}") for i in range(50, 75)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    deduped = deduplicate_stream(
+        stream, id_cols=("doc_id",), time_col="ts", watermark_delay="1 hour"
+    )
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table(name).select("doc_id").collect()
+    ids = [r["doc_id"] for r in got]
+    assert sorted(ids) == sorted(set(ids)) == list(range(75))
+
+
+def test_deduplicate_stream_by_content(spark, tmp_path):
+    import uuid
+
+    from dsci_524_g26_data_validation_spark.streaming import (
+        deduplicate_stream_by_content,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "doc_id bigint, ts timestamp, text string"
+    # distinct ids but only 10 distinct bodies
+    spark.createDataFrame(
+        [(i, dt.datetime(2026, 1, 1, 12, 0, i % 60), f"body {i % 10}") for i in range(40)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    deduped = deduplicate_stream_by_content(
+        stream, content_cols=("text",), time_col="ts", watermark_delay="1 hour"
+    )
+    name = f"dc_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.table(name).collect()
+    assert len(rows) == 10
+    assert len({r["content_digest"] for r in rows}) == 10
