@@ -200,3 +200,25 @@ def test_quality_by_source_single_eval(spark, sf_dir):
     # regexp_replace is the score's most expensive node; exactly one
     # occurrence means the whole tree is shared by avg() and min()
     assert plan.count("regexp_replace") == 1
+
+
+def test_ivf_cell_partitioned_probe_prunes_files(spark, sf_dir, tmp_path):
+    """The ingest-time IVF layout claim, proven on disk: write the table
+    partitioned by ivf_cell, and a probe's cell filter must reach the
+    scan as a PartitionFilter (only the probed cells' directories are
+    read) — the ~n_probe/n_cells I/O story at 100 TB."""
+    from dsci_524_g26_data_validation_spark.operators import similarity
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.ivf_centroids(e, n_cells=4, seed=1)
+    path = str(tmp_path / "emb_ivf")
+    similarity.with_ivf_cells(e, cents).write.partitionBy("ivf_cell").parquet(path)
+    indexed = spark.read.parquet(path)
+    q = list(e.filter("vec_id = 2").first()["embedding"])
+    top = similarity.cosine_topk_ivf(
+        indexed, q, cents, k=5, n_probe=1, cell_col="ivf_cell"
+    )
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "ivf_cell" in pf  # probe prunes whole directories
+    assert top.count() == 5
