@@ -191,7 +191,14 @@ def run_queries(spark, sf_dir: str) -> dict:
     for name, fn in entrymod.queries().items():
         wait_quiet()
         t0 = time.perf_counter()
-        _force(fn(spark, sf_dir))
+        try:
+            _force(fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001 — one broken query must not
+            # discard the whole run's JSON (incl. the ~25-min scaling
+            # measurement, which only prints at the end)
+            print(f"query {name} failed: {e}", file=sys.stderr)
+            times[name] = -1.0
+            continue
         times[name] = round(time.perf_counter() - t0, 3)
     return times
 
