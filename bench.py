@@ -311,11 +311,16 @@ def main_default() -> None:
             tp = token_pass(spark, TOKEN_ROWS, workdir)
         else:
             tp = scaling.pop("token_pass")
-        total = round(tp["sec"] + sum(qt.values()), 3)
+        # failed queries carry the -1.0 sentinel: exclude them from the
+        # headline sum (don't let a failure make the run look FASTER)
+        # and surface them explicitly
+        failed = sorted(k for k, v in qt.items() if v < 0)
+        total = round(tp["sec"] + sum(v for v in qt.values() if v >= 0), 3)
         out = {
             "metric": "full_contract_pass_plus_query_suite_sec",
             "value": total,
             "unit": "sec",
+            **({"failed_queries": failed} if failed else {}),
             "queries": qt,
             "sf": SF_DIR.rstrip("/").split("sf")[-1],
             "token_pass": tp,

@@ -35,18 +35,14 @@ __all__ = [
 
 
 def word_ngrams_expr(text_col: Column | str, *, n: int = 13) -> Column:
-    """Distinct word ``n``-grams of a document (space-joined strings) —
-    Catalyst transform over a token-index sequence; documents shorter
-    than ``n`` tokens yield their whole text as the single n-gram,
-    mirroring :func:`~.dedup.shingles_expr`."""
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.split(c, " ")
-    m = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(m - n + 1, F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
-    return F.array_distinct(grams)
+    """Distinct word ``n``-grams of a document (space-joined strings):
+    the same expression tree as :func:`~.dedup.shingles_expr` (word
+    shingles ARE word n-grams), re-exported under the decontamination
+    vocabulary with the GPT-3/Pile default of n=13. Delegates rather
+    than duplicates, so shingle-construction fixes apply everywhere."""
+    from .dedup import shingles_expr
+
+    return shingles_expr(text_col, size=n)
 
 
 def _exploded_gram_hashes(

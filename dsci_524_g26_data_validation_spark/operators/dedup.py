@@ -104,8 +104,16 @@ def deduplicate_exact(
     ``groupBy(digest).agg(min_by(payload))`` form moved the whole corpus
     through one exchange — VERDICT r2 "what's wrong" #1).
 
-    Requires ``id_col`` to uniquely identify rows (it is the canonical
-    keep-one key; duplicated ids are the uniqueness check's job)."""
+    Requires ``id_col`` to be a NON-NULL unique row identifier — it is
+    the canonical keep-one key. Rows with a NULL id ALWAYS survive: a
+    NULL never equals anything, so neither the window's min-id
+    comparison nor the id-keyed anti-join can address them (r3
+    code-review finding; the previous min_by formulation picked an
+    arbitrary survivor for all-NULL groups, which was no better, just
+    quieter). This engine ships the checks that make the precondition
+    checkable: run missingness + uniqueness on ``id_col`` first, and
+    mint surrogate ids (e.g. ``xxhash64`` of content + position) for
+    corpora without stable ids."""
     dropped = exact_dropped_ids(df, cols=cols, id_col=id_col).withColumnRenamed(
         id_col, "_drop"
     )

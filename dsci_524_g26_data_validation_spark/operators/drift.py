@@ -221,6 +221,18 @@ def fused_drift_terms(df: DataFrame, baselines: Mapping[str, Histogram]):
             col = categorical_cast(col, schema[c])
         label = _bucket_label(col, h)
         labels = list(h.labels)
+        # numeric histograms: underflow ("0") and overflow ("n+1") get
+        # their OWN counters even when absent from the baseline labels —
+        # collapsing them into __other__ would place out-of-range mass at
+        # the END of the KS cumulative ordering (novel-last) instead of
+        # its true position, making the fused path's KS disagree with
+        # drift_scores() on the same data (r3 code-review finding #1).
+        # For numeric bucketing these are also the ONLY possible novel
+        # labels, so after this the __other__ counter is exactly zero.
+        if h.kind == "numeric":
+            for edge in ("0", str(int(h.n_bins) + 1)):
+                if edge not in labels:
+                    labels.append(edge)
         aliases: Dict[str, str] = {}
         for j, lab in enumerate(labels):
             a = f"hg{i}_{j}"
@@ -232,6 +244,8 @@ def fused_drift_terms(df: DataFrame, baselines: Mapping[str, Histogram]):
         aliases[OTHER_LABEL] = other
         spec[c] = aliases
 
+    base_labels = {c: set(h.labels) for c, h in baselines.items()}
+
     def decode(extras: Mapping[str, object]) -> Dict[str, Dict[str, int]]:
         out: Dict[str, Dict[str, int]] = {}
         for c, aliases in spec.items():
@@ -239,8 +253,13 @@ def fused_drift_terms(df: DataFrame, baselines: Mapping[str, Histogram]):
                 lab: int(extras[a] or 0)
                 for lab, a in aliases.items()
             }
-            if counts.get(OTHER_LABEL) == 0:
-                counts.pop(OTHER_LABEL, None)
+            # zero-count labels outside the baseline (the edge bins and
+            # __other__) are dropped so the fused counts are exactly what
+            # the groupBy path (observed_histogram_df) would emit — the
+            # two paths must feed chi²/PSI/KS identical inputs
+            for lab in list(counts):
+                if counts[lab] == 0 and lab not in base_labels[c]:
+                    counts.pop(lab)
             out[c] = counts
         return out
 

@@ -385,13 +385,24 @@ def embedding_near_duplicates(
       fixed the same way): a (table, bucket) shared by more than
       ``max_bucket_size`` vectors — a cluster of identical/boilerplate
       embeddings — skips the all-pairs join; its members are
-      star-linked to the bucket's min-id anchor (O(n) pairs preserving
-      the connected component). Star pairs still get EXACT cosine
-      verification below, so no unverified pair is ever returned; the
-      approximation is that over-cap bucket members are only verified
-      against the anchor. ``max_bucket_size=None`` disables the cap
-      (and the broadcast hint with it — an uncapped candidate set must
-      not be forced to the driver);
+      star-linked to the bucket's min-id anchor (O(n) pairs). Star
+      pairs still get EXACT cosine verification below, so no unverified
+      pair is ever returned. **Recall contract of the cap**: a true
+      near-dup pair BOTH of whose members sit inside an over-cap bucket
+      is only seen there via its anchor edges, which the threshold
+      filter may legitimately kill (the members need not be near the
+      anchor) — such a pair is recovered iff some OTHER table separates
+      it from the bulk. That rescue is the design: a pair with
+      per-table collision probability p is missed in all remaining
+      tables with probability (1−p)^(L−1) — at the defaults (10 planes,
+      8 tables) ≈5 % for cosine-0.95 pairs and ≈0.4 % at 0.99, and only
+      when the pair co-buckets with unrelated boilerplate mass in the
+      first place (~2^−n_planes per table). Within a genuinely
+      homogeneous over-cap bucket (the actual boilerplate case) anchor
+      edges pass verification and the component survives intact.
+      ``max_bucket_size=None`` restores exhaustive per-bucket pairing
+      (and drops the broadcast hint with it — an uncapped candidate set
+      must not be forced to the driver);
     * vectors are joined back ONLY for the deduplicated candidate
       pairs (a vanishing fraction of rows) for exact verification.
 

@@ -344,3 +344,39 @@ def test_vector_stats_dirty_rows(spark):
     assert (r["n_rows"], r["n_null"], r["n_wrong_dim"], r["n_nan"]) == (5, 1, 1, 1)
     assert r["dim"] == 2
     assert r["min_norm"] == 1.0 and r["max_norm"] == 5.0 and r["avg_norm"] == 3.0
+
+
+def test_ks_fused_path_matches_direct_path(spark):
+    """r3 code-review finding #1: out-of-range mass must occupy its true
+    position in the KS cumulative ordering on the FUSED path too — the
+    fused pass and drift_scores() must agree on the same data."""
+    from pyspark.sql import functions as F
+
+    from dsci_524_g26_data_validation_spark.operators.drift import (
+        drift_scores,
+        drift_scores_from_counts,
+        fused_drift_terms,
+    )
+    from dsci_524_g26_data_validation_spark.types import Histogram
+
+    h = Histogram(
+        labels=tuple(str(i) for i in range(1, 11)),
+        fracs=(0.1,) * 10,
+        kind="numeric",
+        lo=0.0,
+        hi=100.0,
+        n_bins=10,
+    )
+    # 30% underflow (-5), 70% high bin (95): underflow sits FIRST in the
+    # CDF; collapsing it into a trailing __other__ bucket gave 0.9
+    # instead of the true 0.6 on the fused path before the fix
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") % 10 < 3, -5.0).otherwise(95.0).alias("x")
+    )
+    direct = drift_scores(df, {"x": h})["x"]
+    terms, decode = fused_drift_terms(df, {"x": h})
+    row = df.agg(*terms).collect()[0].asDict()
+    fused = drift_scores_from_counts({"x": h}, decode(row))["x"]
+    for stat in ("ks", "psi", "chi_square"):
+        assert fused[stat] == pytest.approx(direct[stat], rel=1e-9), stat
+    assert direct["ks"] == pytest.approx(0.6, abs=1e-9)

@@ -732,3 +732,16 @@ def test_top_tokens(spark):
     # top-k is pushed below the shuffle (per-partition group limit)
     plan = text.top_tokens(df, k=2)._jdf.queryExecution().sparkPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_deduplicate_exact_null_id_contract(spark):
+    """Documented contract: NULL-id rows are unaddressable by the
+    id-keyed anti-join and always survive; non-null groups still dedup
+    to their min id."""
+    df = spark.createDataFrame(
+        [(None, "same text"), (None, "same text"), (1, "same text"), (2, "same text")],
+        "doc_id bigint, text string",
+    )
+    kept = dedup.deduplicate_exact(df).collect()
+    ids = sorted((r["doc_id"] for r in kept), key=lambda x: (x is None, x))
+    assert ids == [1, None, None]
