@@ -366,6 +366,24 @@ def _quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _group_quantiles_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n_chars quantiles (grouped P6): exact mode for the
+    oracle; the operator's default is one GK sketch per group."""
+    g = dv.group_quantiles(
+        _read(spark, sf_dir, "documents"),
+        "n_chars",
+        "source",
+        quantiles=(0.25, 0.5, 0.95),
+        exact=True,
+    )
+    return g.select(
+        "source",
+        F.round("q_25", 4).alias("q_25"),
+        F.round("q_50", 4).alias("q_50"),
+        F.round("q_95", 4).alias("q_95"),
+    )
+
+
 def _dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     """deduplicate_exact: one surviving row (min doc_id) per identical
     40-char text prefix — single min_by shuffle, no self-join."""
@@ -807,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_violation_counts": _stream_violation_counts,
         "infer_profile_documents": _infer_profile_documents,
         "quantiles_orders": _quantiles_orders,
+        "group_quantiles_documents": _group_quantiles_documents,
         "dedup_keep_one": _dedup_keep_one,
         "partition_verdicts_lineitem": _partition_verdicts_lineitem,
         "violation_summary_lineitem": _violation_summary_lineitem,
@@ -1169,6 +1188,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT '0.5', round(quantile_cont(o_totalprice, 0.5), 4) FROM orders
             UNION ALL
             SELECT '0.75', round(quantile_cont(o_totalprice, 0.75), 4) FROM orders
+        """,
+        "group_quantiles_documents": """
+            SELECT source,
+                   round(quantile_cont(n_chars, 0.25), 4) AS q_25,
+                   round(quantile_cont(n_chars, 0.5), 4) AS q_50,
+                   round(quantile_cont(n_chars, 0.95), 4) AS q_95
+            FROM documents GROUP BY source
         """,
         "dedup_keep_one": """
             SELECT min(doc_id) AS doc_id

@@ -32,7 +32,7 @@ from .types import (
     dtypes_equivalent,
     normalize_dtype,
 )
-from .operators.infer import infer_contract, infer_profile
+from .operators.infer import group_quantiles, infer_contract, infer_profile
 from .operators.validate import (
     partition_verdicts,
     validate_and_fail,
@@ -88,6 +88,7 @@ __all__ = [
     "table_contract_to_json",
     "dtypes_equivalent",
     "normalize_dtype",
+    "group_quantiles",
     "infer_contract",
     "infer_profile",
     "validate_contract",

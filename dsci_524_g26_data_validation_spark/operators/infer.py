@@ -36,7 +36,7 @@ from ..plans.rule_compiler import (
 )
 from ..types import ColumnProfile, ColumnRule, Contract, TableProfile
 
-__all__ = ["infer_contract", "infer_profile", "DEFAULT_MAX_CATEGORIES"]
+__all__ = ["infer_contract", "infer_profile", "group_quantiles", "DEFAULT_MAX_CATEGORIES"]
 
 #: Above this estimated cardinality a column is treated as free-text, not
 #: categorical: allowed_values stays None instead of OOM-ing the driver.
@@ -233,3 +233,39 @@ def infer_profile(
         columns=profiles,
         n_rows=n_rows,
     )
+
+
+def group_quantiles(
+    df,
+    value_col: str,
+    group_col: str,
+    *,
+    quantiles=(0.25, 0.5, 0.75),
+    exact: bool = False,
+    accuracy: int = 10000,
+):
+    """Per-group quantiles of ``value_col`` → (group, q_<xx> columns...)
+    — the grouped counterpart of the profile's P6 quantiles (sequence
+    length per source, score percentiles per shard, ...).
+
+    Default is ``percentile_approx`` — one GK sketch per group riding a
+    single hash aggregation, the only shape that survives 10^12 rows
+    (exact per-group percentiles sort every group). ``exact=True``
+    switches to ``percentile`` for oracle-checkable output at test
+    scale. Column naming: q=0.25 → ``q_25``; trailing zeros trimmed
+    (0.5 → ``q_50``, 0.999 → ``q_99_9``).
+    """
+    from pyspark.sql import functions as F
+
+    fn = "percentile" if exact else "percentile_approx"
+
+    def _name(q: float) -> str:
+        pct = f"{q * 100:.6f}".rstrip("0").rstrip(".")
+        return "q_" + pct.replace(".", "_")
+
+    extra = "" if exact else f", {accuracy}"
+    aggs = [
+        F.expr(f"{fn}(`{value_col}`, {q}{extra})").alias(_name(q))
+        for q in quantiles
+    ]
+    return df.groupBy(group_col).agg(*aggs)

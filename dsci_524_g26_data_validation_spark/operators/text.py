@@ -263,7 +263,8 @@ def ngram_profile_hits_expr(trigrams: Column) -> Dict[str, Column]:
 
 
 def language_id_ngram(
-    df: DataFrame, text_col: str = "text", *, min_hits: int = 2
+    df: DataFrame, text_col: str = "text", *, min_hits: int = 2,
+    max_chars: Optional[int] = None,
 ) -> DataFrame:
     """Append ``lang_pred``: argmax language by character-trigram profile
     hits, ``und`` below ``min_hits``. Ties break alphabetically.
@@ -274,8 +275,18 @@ def language_id_ngram(
     lowered text, then the trigram array, then the per-language hit
     counts — so the text is lowered once, trigrams materialize once per
     row, and the argmax references plain int columns.
+
+    Cost is linear in text length and dominated by trigram
+    materialization (measured: the 4 profile filters are nearly free on
+    top of it). ``max_chars`` is the scale lever: language ID on a
+     512-1024 char prefix is statistically equivalent for whole-document
+    labels (the standard sampling trick in production detectors) and
+    cuts the per-row cost proportionally on long documents.
     """
-    lowered = df.select("*", F.lower(F.col(text_col)).alias("_lt"))
+    src = F.col(text_col)
+    if max_chars is not None:
+        src = F.substring(src, 1, max_chars)
+    lowered = df.select("*", F.lower(src).alias("_lt"))
     with_tri = lowered.select(
         "*", char_trigrams_expr("_lt").alias("_tri")
     ).drop("_lt")

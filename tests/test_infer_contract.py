@@ -137,3 +137,29 @@ def test_infer_profile_contract_matches_infer_contract(spark, sf_dir):
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert infer_profile(df).contract == infer_contract(df)
+
+
+def test_group_quantiles_exact_and_approx(spark):
+    from pyspark.sql import functions as F
+
+    import dsci_524_g26_data_validation_spark as dv
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        F.col("id").cast("double").alias("v"),
+    )
+    exact = {
+        r["g"]: (r["q_25"], r["q_50"], r["q_99_9"])
+        for r in dv.group_quantiles(
+            df, "v", "g", quantiles=(0.25, 0.5, 0.999), exact=True
+        ).collect()
+    }
+    assert len(exact) == 4
+    # group '0' holds 0,4,...,996: exact interpolated p50 = 498
+    assert exact["0"][1] == 498.0
+    approx = {
+        r["g"]: r["q_50"]
+        for r in dv.group_quantiles(df, "v", "g", quantiles=(0.5,)).collect()
+    }
+    for g, q50 in approx.items():
+        assert abs(q50 - exact[g][1]) <= 8  # GK sketch within accuracy
