@@ -13,6 +13,10 @@ Commands (input = parquet path or catalog/Iceberg table name):
               [--reference T2] [--dim name=T ...]
               [--resume-manifest DIR --partition-col COL --run-id ID]
     compare   --old a.json --new b.json
+    dedup     --input T --output PATH [--method exact|near]
+              [--text-col C] [--id-col C] [--threshold F]
+    decontaminate --input T --benchmark T2 --output PATH
+              [--ngram N] [--text-col C] [--id-col C]
 
 Every command prints ONE JSON report to stdout (machine-parseable; logs
 go to stderr) and exits 0/1 per the verdict when --fail is given.
@@ -105,6 +109,24 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--old", required=True)
     p.add_argument("--new", required=True)
 
+    p = sub.add_parser("dedup")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--method", choices=("exact", "near"), default="exact")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--threshold", type=float, default=0.7)
+
+    p = sub.add_parser("decontaminate")
+    p.add_argument("--input", required=True)
+    p.add_argument("--benchmark", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--ngram", type=int, default=13)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--bench-text-col", default="text")
+    p.add_argument("--bench-id-col", default="bench_id")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "compare":  # driver-only: no SparkSession needed
@@ -165,6 +187,52 @@ def main(argv: Optional[list] = None) -> int:
             out["violations_path"] = args.violations_out
         print(json.dumps(out, sort_keys=True))
         return 0 if (result.ok or not args.fail) else 1
+
+    if args.cmd == "dedup":
+        from .operators import dedup as dd
+
+        n_in = df.count()
+        if args.method == "exact":
+            kept = dd.deduplicate_exact(
+                df, cols=(args.text_col,), id_col=args.id_col
+            )
+        else:
+            cand = dd.jaccard_verify(
+                df,
+                dd.minhash_lsh_candidates(
+                    df, text_col=args.text_col, id_col=args.id_col
+                ),
+                text_col=args.text_col,
+                id_col=args.id_col,
+                threshold=args.threshold,
+            )
+            kept = dd.deduplicate_near(df, cand, id_col=args.id_col)
+        kept.write.mode("overwrite").parquet(args.output)
+        n_out = spark.read.parquet(args.output).count()
+        print(json.dumps({
+            "method": args.method, "rows_in": n_in, "rows_out": n_out,
+            "rows_dropped": n_in - n_out, "written": args.output,
+        }, sort_keys=True))
+        return 0
+
+    if args.cmd == "decontaminate":
+        from .operators import contamination as ct
+
+        bench = load_table(spark, args.benchmark)
+        n_in = df.count()
+        clean = ct.decontaminate(
+            df, bench, text_col=args.text_col, id_col=args.id_col,
+            bench_text_col=args.bench_text_col,
+            bench_id_col=args.bench_id_col, n=args.ngram,
+        )
+        clean.write.mode("overwrite").parquet(args.output)
+        n_out = spark.read.parquet(args.output).count()
+        print(json.dumps({
+            "rows_in": n_in, "rows_out": n_out,
+            "rows_contaminated": n_in - n_out, "ngram": args.ngram,
+            "written": args.output,
+        }, sort_keys=True))
+        return 0
 
     # table-validate
     with open(args.table_contract) as f:

@@ -92,3 +92,35 @@ def test_cli_infer_profile_flag(spark, sf_dir, tmp_path, capsys):
     assert tp["quantiles"] is not None and len(tp["quantiles"]) == 3
     assert tp["min"] <= tp["quantiles"][0] <= tp["quantiles"][2] <= tp["max"]
     assert rep["profile"]["o_orderpriority"]["quantiles"] is None
+
+
+def test_cli_dedup_and_decontaminate(spark, tmp_path, capsys):
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, f"document body {'x' if i < 90 else 'y'} {i % 45}") for i in range(100)],
+        "doc_id bigint, text string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "deduped")
+    assert main(["dedup", "--input", src, "--output", out]) == 0
+    rep = _last_json(capsys)
+    # ids 0..89 share 45 bodies (2 each), 90..99 share 45.. distinct mix:
+    # exact groups = distinct texts
+    n_distinct = spark.read.parquet(src).select("text").distinct().count()
+    assert rep["rows_out"] == n_distinct
+    assert rep["rows_in"] == 100 and rep["rows_dropped"] == 100 - n_distinct
+
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(1, "document body x 7")], "bench_id bigint, text string"
+    ).write.parquet(bench)
+    clean = str(tmp_path / "clean")
+    assert main([
+        "decontaminate", "--input", src, "--benchmark", bench,
+        "--output", clean, "--ngram", "4",
+    ]) == 0
+    rep = _last_json(capsys)
+    assert rep["rows_in"] == 100
+    assert rep["rows_contaminated"] >= 1
+    kept = spark.read.parquet(clean)
+    assert kept.filter("text = 'document body x 7'").count() == 0
