@@ -246,6 +246,36 @@ def _quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _repetition_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics rolled up per source: duplicate-
+    word fraction and most-frequent word-2/3-gram occupancy. Row-local
+    sort+fold mode counts (text.max_run_expr) — zero shuffles before the
+    final per-source hash agg, zero UDFs."""
+    d = _read(spark, sf_dir, "documents")
+    return text.repetition_by_group(d)
+
+
+def _js_drift_documents_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon drift of the source distribution vs a uniform
+    baseline, emitted as per-category terms (their sum is the JS
+    divergence, base 2) — the bounded/symmetric member of the drift
+    family next to PSI (same shape as _psi_documents_source; the js()
+    scalar API is pinned by pytest)."""
+    d = _read(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    q = F.lit(0.05)
+    p = F.col("cnt") / F.col("total")
+    m = (p + q) / F.lit(2.0)
+    return counts.crossJoin(F.broadcast(total)).select(
+        "source",
+        F.round(p, 6).alias("obs_frac"),
+        F.round(
+            F.lit(0.5) * p * F.log2(p / m) + F.lit(0.5) * q * F.log2(q / m), 6
+        ).alias("js_term"),
+    )
+
+
 def _langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents")
     return text.language_id(d).groupBy("lang_pred").agg(
@@ -809,6 +839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_totalprice": _histogram_totalprice,
         "ks_drift_totalprice": _ks_drift_totalprice,
         "psi_documents_source": _psi_documents_source,
+        "js_drift_documents_source": _js_drift_documents_source,
+        "repetition_by_source": _repetition_by_source,
         "dedup_exact_prefix": _dedup_exact_prefix,
         "token_stats_documents": _token_stats_documents,
         "bpe_token_stats_documents": _bpe_token_stats_documents,
@@ -989,6 +1021,65 @@ def oracle_sql() -> dict[str, str]:
                    round((count(*) * 1.0 / (SELECT count(*) FROM documents) - 0.05)
                          * ln((count(*) * 1.0 / (SELECT count(*) FROM documents)) / 0.05), 6) AS psi_term
             FROM documents GROUP BY source
+        """,
+        "js_drift_documents_source": """
+            WITH c AS (
+              SELECT source, count(*) AS cnt FROM documents GROUP BY source
+            ), t AS (
+              SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c
+            ), f AS (
+              SELECT source, CAST(cnt AS DOUBLE) / total AS p,
+                     CAST(0.05 AS DOUBLE) AS q
+              FROM c, t
+            )
+            SELECT source, round(p, 6) AS obs_frac,
+                   round(0.5 * p * log2(p / ((p + q) / 2))
+                         + 0.5 * q * log2(q / ((p + q) / 2)), 6) AS js_term
+            FROM f
+        """,
+        "repetition_by_source": """
+            WITH t AS (
+              SELECT row_number() OVER () AS rid, source,
+                     string_split(text, ' ') AS w
+              FROM documents
+            ), m AS (
+              SELECT rid, source, len(w) AS n_words,
+                     len(list_distinct(w)) AS nd,
+                     CASE WHEN len(w) >= 2
+                          THEN [w[i-1] || ' ' || w[i]
+                                for i in generate_series(2, len(w))]
+                          ELSE [] END AS bg,
+                     CASE WHEN len(w) >= 3
+                          THEN [w[i-2] || ' ' || w[i-1] || ' ' || w[i]
+                                for i in generate_series(3, len(w))]
+                          ELSE [] END AS tg
+              FROM t
+            ), bgm AS (
+              SELECT rid, max(c) AS mx FROM (
+                SELECT rid, g, count(*) AS c
+                FROM (SELECT rid, unnest(bg) AS g FROM m) GROUP BY rid, g
+              ) GROUP BY rid
+            ), tgm AS (
+              SELECT rid, max(c) AS mx FROM (
+                SELECT rid, g, count(*) AS c
+                FROM (SELECT rid, unnest(tg) AS g FROM m) GROUP BY rid, g
+              ) GROUP BY rid
+            ), d AS (
+              SELECT m.source,
+                     round(CAST(1 AS DOUBLE)
+                           - CAST(nd AS DOUBLE) / greatest(n_words, 1), 6) AS dwf,
+                     round(coalesce(CAST(bgm.mx AS DOUBLE) / nullif(len(bg), 0),
+                                    CAST(0 AS DOUBLE)), 6) AS tbf,
+                     round(coalesce(CAST(tgm.mx AS DOUBLE) / nullif(len(tg), 0),
+                                    CAST(0 AS DOUBLE)), 6) AS ttf
+              FROM m LEFT JOIN bgm USING (rid) LEFT JOIN tgm USING (rid)
+            )
+            SELECT source, count(*) AS n_docs,
+                   round(avg(dwf), 4) AS avg_dup_word_frac,
+                   round(avg(tbf), 4) AS avg_top_bigram_frac,
+                   round(max(tbf), 6) AS max_top_bigram_frac,
+                   round(avg(ttf), 4) AS avg_top_trigram_frac
+            FROM d GROUP BY source
         """,
         "dedup_exact_prefix": """
             SELECT sha256(substr(text, 1, 40)) AS content_hash,

@@ -48,7 +48,7 @@ from .operators.summarize import (
 )
 from .operators.uniqueness import duplicate_keys, uniqueness_violation_count
 from .operators.referential import referential_violations
-from .operators.drift import capture_histograms, chi_square, drift_scores, ks, psi
+from .operators.drift import capture_histograms, chi_square, drift_scores, js, ks, psi
 from .operators.tokens import (
     key_integrity_counts,
     arrays_equal_udf,
@@ -106,6 +106,7 @@ __all__ = [
     "referential_violations",
     "capture_histograms",
     "chi_square",
+    "js",
     "ks",
     "psi",
     "drift_scores",

@@ -13,13 +13,17 @@ from ..operators.text import (
     BPE_SPLIT_PATTERN,
     bpe_token_count_expr,
     bpe_tokens_expr,
+    char_trigrams_expr,
     fingerprint_expr,
     kgram_hashes_expr,
     language_scores_expr,
+    max_run_expr,
+    ngram_profile_hits_expr,
     quality_score_expr,
     token_count_expr,
     tokens_expr,
     winnow_expr,
+    word_ngrams_expr,
 )
 from ..operators.dedup import minhash_signature_expr, shingles_expr
 from ..operators.similarity import (
@@ -39,6 +43,10 @@ __all__ = [
     "bpe_token_count_expr",
     "quality_score_expr",
     "language_scores_expr",
+    "char_trigrams_expr",
+    "ngram_profile_hits_expr",
+    "word_ngrams_expr",
+    "max_run_expr",
     "fingerprint_expr",
     "kgram_hashes_expr",
     "winnow_expr",

@@ -34,6 +34,7 @@ __all__ = [
     "chi_square",
     "psi",
     "ks",
+    "js",
     "drift_scores",
 ]
 
@@ -195,6 +196,29 @@ def ks(baseline: Histogram, observed_counts: Mapping[str, int]) -> float:
     return max((abs(pi - qi) for pi, qi in zip(p, q)), default=0.0)
 
 
+def js(baseline: Histogram, observed_counts: Mapping[str, int]) -> float:
+    """Jensen-Shannon divergence (base-2): ½KL(p‖m) + ½KL(q‖m), m=(p+q)/2.
+
+    The bounded, symmetric member of the drift family — always in
+    [0, 1], defined even when a bin has zero mass on one side (where
+    PSI needs eps-smoothing and KL is infinite), and symmetric in
+    (baseline, observed) so A-vs-B equals B-vs-A. No smoothing needed:
+    0·log(0/m) ≡ 0 and m > 0 whenever either side has mass.
+    Practical bands: <0.02 stable, 0.02–0.1 moderate, >0.1 major.
+    """
+    _, p, q, total = _align(baseline, observed_counts)
+    if total == 0:
+        return 0.0
+    val = 0.0
+    for pi, qi in zip(p, q):
+        m = (pi + qi) / 2.0
+        if pi > 0.0:
+            val += 0.5 * pi * math.log2(pi / m)
+        if qi > 0.0:
+            val += 0.5 * qi * math.log2(qi / m)
+    return val
+
+
 def fused_drift_terms(df: DataFrame, baselines: Mapping[str, Histogram]):
     """Compile observed-histogram capture into flat ``count_if`` aggregate
     terms so drift rides the SAME single-row fused aggregation as the
@@ -278,6 +302,7 @@ def drift_scores_from_counts(
             "chi_square": chi_square(h, counts),
             "psi": psi(h, counts),
             "ks": ks(h, counts),
+            "js": js(h, counts),
             "total": float(non_null),
         }
     return out

@@ -54,18 +54,21 @@ INLINE_DIM_CAP = 10_000
 
 
 class DriftThresholds:
-    """PSI / chi-square / KS alert levels (PSI 0.25 = conventional
-    'major shift'; KS uses the same practical bands)."""
+    """PSI / chi-square / KS / JS alert levels (PSI 0.25 = conventional
+    'major shift'; KS uses the same practical bands; JS is bounded [0,1]
+    base-2, >0.1 = major)."""
 
     def __init__(
         self,
         psi: float = 0.25,
         chi_square: Optional[float] = None,
         ks: Optional[float] = None,
+        js: Optional[float] = None,
     ):
         self.psi = psi
         self.chi_square = chi_square
         self.ks = ks
+        self.js = js
 
 
 def _collect_small_dim(dim: DataFrame, key: str) -> Optional[list]:
@@ -285,6 +288,16 @@ def validate_table_contract(
                         column=col,
                         observed=s["ks"],
                         expected=thr.ks,
+                    )
+                )
+            if thr.js is not None and s["js"] > thr.js:
+                issues.append(
+                    Issue(
+                        kind="drift_js",
+                        message=f"{col}: JS {s['js']:.4f} exceeds {thr.js}",
+                        column=col,
+                        observed=s["js"],
+                        expected=thr.js,
                     )
                 )
 

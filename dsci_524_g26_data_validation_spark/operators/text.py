@@ -25,6 +25,11 @@ __all__ = [
     "top_tokens",
     "quality_score_expr",
     "quality_by_source",
+    "word_ngrams_expr",
+    "max_run_expr",
+    "repetition_metrics",
+    "repetitive_docs",
+    "repetition_by_group",
     "STOPWORDS",
     "language_scores_expr",
     "language_id",
@@ -162,6 +167,140 @@ def quality_by_source(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("_q"), 6).alias("avg_quality"),
         F.round(F.min("_q"), 6).alias("min_quality"),
+    )
+
+
+# -- repetition / boilerplate detection (Gopher-style) -----------------------
+
+
+def word_ngrams_expr(toks: Column, n: int = 2) -> Column:
+    """Word ``n``-grams of a token array, joined with single spaces —
+    pure Catalyst (transform over an index sequence + element_at).
+
+    ``toks`` MUST be a materialized column reference (select the token
+    array behind a projection barrier first): an inline
+    :func:`tokens_expr` here would sit inside the per-position lambda
+    and re-split the text once per n-gram (the CollapseProject/lambda
+    trap — see :func:`winnow_expr`). Arrays shorter than ``n`` yield an
+    empty n-gram array (NOT a descending index sequence — Spark's
+    ``sequence(n, size)`` counts DOWN when size < n, so the short case
+    is guarded explicitly)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, i - F.lit(n - 1 - j)) for j in range(n)]
+    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(n), F.size(toks)), gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def max_run_expr(sorted_arr: Column) -> Column:
+    """Count of the most frequent element of a SORTED array = the longest
+    run of equal adjacent elements — one ``aggregate`` fold with a tiny
+    (prev, run, max) struct state, O(m) per row after the O(m log m)
+    ``array_sort``.
+
+    This is the row-local way to compute a per-document mode count: no
+    explode, no (doc, gram) shuffle — the 100 TB-safe shape, since
+    per-document work never leaves the row. Empty array → 0."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("mx"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["mx"], run).alias("mx"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["mx"])
+
+
+def repetition_metrics(
+    df: DataFrame, *, text_col: str = "text", keep: tuple = ("doc_id",)
+) -> DataFrame:
+    """Per-document repetition metrics — the Gopher/MassiveText
+    repetition filters (Rae et al. 2021, "Scaling Language Models",
+    public) in their occurrence-count form:
+
+    - ``dup_word_frac``: 1 − distinct/total words (0 for empty docs);
+    - ``top_bigram_frac`` / ``top_trigram_frac``: fraction of word
+      n-gram occurrences claimed by the single most frequent n-gram.
+
+    Boilerplate, templated spam, and degenerate generations score high;
+    natural text stays low. All pure Catalyst: tokens materialize once
+    behind a projection barrier, each n-gram array materializes once,
+    and the per-doc mode count is a row-local sort+fold
+    (:func:`max_run_expr`) — zero shuffles, zero UDFs, so the plan is a
+    single whole-stage-codegen map at any scale."""
+    base = df.select(*[F.col(c) for c in keep], tokens_expr(text_col).alias("_t"))
+    with_ng = base.select(
+        *keep,
+        F.size("_t").alias("n_words"),
+        F.size(F.array_distinct("_t")).alias("_nd"),
+        word_ngrams_expr(F.col("_t"), 2).alias("_bg"),
+        word_ngrams_expr(F.col("_t"), 3).alias("_tg"),
+    )
+
+    def top_frac(ng: Column) -> Column:
+        return F.when(
+            F.size(ng) > 0,
+            max_run_expr(F.array_sort(ng)).cast("double")
+            / F.size(ng).cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    return with_ng.select(
+        *keep,
+        "n_words",
+        F.round(
+            F.lit(1.0)
+            - F.col("_nd").cast("double")
+            / F.greatest(F.col("n_words"), F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_word_frac"),
+        F.round(top_frac(F.col("_bg")), 6).alias("top_bigram_frac"),
+        F.round(top_frac(F.col("_tg")), 6).alias("top_trigram_frac"),
+    )
+
+
+def repetitive_docs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    keep: tuple = ("doc_id",),
+    max_dup_word_frac: float = 0.30,
+    max_top_bigram_frac: float = 0.20,
+    max_top_trigram_frac: float = 0.18,
+) -> DataFrame:
+    """Documents failing any repetition threshold (defaults follow the
+    published Gopher bands) — the filter stage of a cleaning pipeline;
+    feed the complement to training."""
+    m = repetition_metrics(df, text_col=text_col, keep=keep)
+    return m.filter(
+        (F.col("dup_word_frac") > max_dup_word_frac)
+        | (F.col("top_bigram_frac") > max_top_bigram_frac)
+        | (F.col("top_trigram_frac") > max_top_trigram_frac)
+    )
+
+
+def repetition_by_group(
+    df: DataFrame, *, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Per-group rollup of :func:`repetition_metrics` — the corpus
+    health report (which sources ship templated/repetitive text)."""
+    m = repetition_metrics(df, text_col=text_col, keep=(group_col,))
+    return m.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("dup_word_frac"), 4).alias("avg_dup_word_frac"),
+        F.round(F.avg("top_bigram_frac"), 4).alias("avg_top_bigram_frac"),
+        F.round(F.max("top_bigram_frac"), 6).alias("max_top_bigram_frac"),
+        F.round(F.avg("top_trigram_frac"), 4).alias("avg_top_trigram_frac"),
     )
 
 

@@ -22,20 +22,57 @@ jar, so tests use parquet paths; the engine code is identical either way
 
 from __future__ import annotations
 
+from typing import Mapping, Optional
+
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["load_table"]
 
+#: extension → Spark DataSource format for filesystem paths. Parquet is
+#: the default for bare directories (the lake layout this engine targets).
+_EXT_FORMATS = {
+    ".parquet": "parquet",
+    ".orc": "orc",
+    ".csv": "csv",
+    ".json": "json",
+    ".jsonl": "json",
+}
 
-def load_table(spark: SparkSession, source: str) -> DataFrame:
+#: CSV needs a header row to produce named columns; contracts are by
+#: column name. Explicit ``options`` override these defaults.
+_FORMAT_DEFAULTS = {"csv": {"header": "true", "inferSchema": "true"}}
+
+
+def load_table(
+    spark: SparkSession,
+    source: str,
+    *,
+    fmt: Optional[str] = None,
+    options: Optional[Mapping[str, str]] = None,
+) -> DataFrame:
     """Load a dataset by catalog table name or filesystem path.
 
     * ``"catalog.db.table"`` / ``"db.table"`` → ``spark.table`` — works
       for Iceberg, Hive, or any configured catalog; time travel via
       ``VERSION AS OF`` is available through ``spark.sql`` on top.
-    * ``"/path/to/dir"`` or ``"...parquet"`` → parquet reader (dev/test).
+    * ``"/path/to/dir"`` or ``"...parquet"`` → parquet reader (columnar
+      scan, the dev/test stand-in for Iceberg).
+    * ``"....orc" / "....csv" / "....json(l)"`` → the matching reader —
+      raw-landing-zone validation before data ever reaches the lake.
+      CSV defaults to ``header=true, inferSchema=true`` (contracts are
+      by column name); pass ``options`` to override, ``fmt`` to force a
+      format regardless of extension.
     """
-    looks_like_path = "/" in source or source.endswith(".parquet")
-    if looks_like_path:
-        return spark.read.parquet(source)
-    return spark.table(source)
+    looks_like_path = "/" in source or any(
+        source.endswith(ext) for ext in _EXT_FORMATS
+    )
+    if not looks_like_path and fmt is None:
+        return spark.table(source)
+    if fmt is None:
+        fmt = next(
+            (f for ext, f in _EXT_FORMATS.items() if source.endswith(ext)),
+            "parquet",
+        )
+    opts = dict(_FORMAT_DEFAULTS.get(fmt, {}))
+    opts.update(options or {})
+    return spark.read.format(fmt).options(**opts).load(source)

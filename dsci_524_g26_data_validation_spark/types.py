@@ -161,7 +161,8 @@ class Issue:
 
     kind ∈ {missing_column, extra_column, dtype, missingness, range,
     category} for contract checks, plus engine-level kinds
-    {uniqueness, referential, invariant, drift_chi2, drift_psi}.
+    {uniqueness, referential, invariant, drift_chi2, drift_psi,
+    drift_ks, drift_js, token_equality}.
     ``column is None`` marks a dataset-level issue.
     """
 

@@ -43,3 +43,34 @@ def test_load_table_catalog_db_table_validates(spark, sf_dir, tmp_path):
 def test_load_table_path_branch(spark, sf_dir):
     got = load_table(spark, f"{sf_dir}/documents.parquet")
     assert got.count() > 0
+
+
+def test_load_table_csv_json_landing_zone(spark, tmp_path):
+    """Raw landing-zone formats: CSV (header + inferred schema) and JSON
+    lines, loaded by extension, validated by the real engine."""
+    df = spark.createDataFrame(
+        [(1, "alice", 10.5), (2, "bob", 99.0)], "id bigint, name string, score double"
+    )
+    csv_dir = str(tmp_path / "in.csv")
+    json_dir = str(tmp_path / "in.json")
+    df.write.option("header", "true").csv(csv_dir)
+    df.write.json(json_dir)
+
+    got_csv = load_table(spark, csv_dir)
+    assert set(got_csv.columns) == {"id", "name", "score"}
+    assert got_csv.count() == 2
+    contract = dv.Contract(
+        columns={"score": dv.ColumnRule(dtype="double", max_value=50.0)}
+    )
+    res = dv.validate_contract(got_csv, contract, strict=False)
+    assert not res.ok and res.issues[0].kind == "range"  # 99 > 50 survived CSV
+
+    got_json = load_table(spark, json_dir)
+    assert got_json.count() == 2
+    assert not dv.validate_contract(got_json, contract, strict=False).ok
+
+    # fmt= forces the reader when the path has no telling extension
+    plain = str(tmp_path / "plain_dir")
+    df.write.option("header", "true").csv(plain)
+    got_forced = load_table(spark, plain, fmt="csv")
+    assert got_forced.count() == 2 and "score" in got_forced.columns

@@ -124,3 +124,82 @@ def test_cli_dedup_and_decontaminate(spark, tmp_path, capsys):
     assert rep["rows_contaminated"] >= 1
     kept = spark.read.parquet(clean)
     assert kept.filter("text = 'document body x 7'").count() == 0
+
+
+def test_spark_submit_py_files_end_to_end(tmp_path):
+    """The north rule's deployment path, actually exercised: build the
+    --py-files artifact (tools/make_pyfiles.py), then ``spark-submit
+    --py-files dist/dv_engine.zip job.py`` in a FRESH JVM whose cwd and
+    PYTHONPATH point away from the repo — so the engine imports from the
+    zip alone — and run a real contract validation plus an Arrow UDF
+    (executors must deserialize engine code shipped via --py-files)."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    import pytest
+
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    if not os.path.exists(spark_submit):
+        pytest.skip("spark-submit not installed")
+    repo = Path(__file__).resolve().parent.parent
+    subprocess.run(
+        [sys.executable, str(repo / "tools" / "make_pyfiles.py")],
+        check=True,
+        capture_output=True,
+        cwd=str(repo),
+    )
+    zip_path = repo / "dist" / "dv_engine.zip"
+    assert zip_path.exists()
+
+    job = tmp_path / "job.py"
+    job.write_text(
+        "import json\n"
+        "from pyspark.sql import SparkSession\n"
+        "import dsci_524_g26_data_validation_spark as dv\n"
+        "from dsci_524_g26_data_validation_spark import functions as dvf\n"
+        "spark = SparkSession.builder.getOrCreate()\n"
+        "df = spark.createDataFrame([(1, 10.0), (2, 99.0), (3, None)],\n"
+        "                           'id bigint, score double')\n"
+        "contract = dv.Contract(columns={\n"
+        "    'id': dv.ColumnRule(dtype='bigint', min_value=0),\n"
+        "    'score': dv.ColumnRule(dtype='double', max_value=50.0,\n"
+        "                           max_missing_frac=0.5),\n"
+        "})\n"
+        "res = dv.validate_contract(df, contract)\n"
+        "tdf = spark.createDataFrame([([1, 2], [1, 2]), ([1, 2], [1, 3])],\n"
+        "                            'a array<int>, b array<int>')\n"
+        "n_eq = tdf.select(dvf.arrays_equal_udf('a', 'b').alias('e'))\\\n"
+        "          .filter('e').count()\n"
+        "print('DV_RESULT ' + json.dumps({\n"
+        "    'ok': res.ok,\n"
+        "    'kinds': sorted(i.kind for i in res.issues),\n"
+        "    'n_eq': n_eq,\n"
+        "}))\n"
+        "spark.stop()\n"
+    )
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # the zip must be the only import path
+    r = subprocess.run(
+        [
+            spark_submit,
+            "--master",
+            "local[2]",
+            "--py-files",
+            str(zip_path),
+            str(job),
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+        env=env,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("DV_RESULT ")][-1]
+    rep = json.loads(line[len("DV_RESULT "):])
+    # score max 99 > 50 -> range issue; 1/3 missing <= 0.5 -> no
+    # missingness issue; the Arrow UDF found exactly one equal pair
+    assert rep == {"ok": False, "kinds": ["range"], "n_eq": 1}

@@ -303,6 +303,42 @@ def test_ks_drift_statistic(spark):
     assert s3["ks"] == pytest.approx(0.4, abs=1e-9)
 
 
+def test_js_divergence(spark):
+    """JS: 0 for identical, 1 for disjoint supports (base 2), symmetric
+    in (baseline, observed) — the properties PSI/KL lack."""
+    from dsci_524_g26_data_validation_spark.operators.drift import drift_scores, js
+    from dsci_524_g26_data_validation_spark.types import Histogram
+
+    hc = Histogram(labels=("a", "b"), fracs=(0.5, 0.5), kind="categorical")
+    even = spark.createDataFrame([("a",)] * 5 + [("b",)] * 5, "x string")
+    assert drift_scores(even, {"x": hc})["x"]["js"] == pytest.approx(0.0, abs=1e-12)
+    # disjoint support: JS = 1 bit exactly (no eps smoothing distortion)
+    disjoint = spark.createDataFrame([("c",)] * 4, "x string")
+    assert drift_scores(disjoint, {"x": hc})["x"]["js"] == pytest.approx(1.0, abs=1e-12)
+    # symmetry
+    h1 = Histogram(labels=("a", "b"), fracs=(0.9, 0.1), kind="categorical")
+    h2 = Histogram(labels=("a", "b"), fracs=(0.1, 0.9), kind="categorical")
+    assert js(h1, {"a": 1, "b": 9}) == pytest.approx(js(h2, {"a": 9, "b": 1}))
+    # bounded well below the PSI blowup on a vanishing bin
+    assert 0.0 < js(h1, {"a": 5, "b": 5}) < 1.0
+
+
+def test_js_threshold_fires_issue(spark):
+    from dsci_524_g26_data_validation_spark.types import Histogram
+
+    hc = Histogram(labels=("a", "b"), fracs=(0.5, 0.5), kind="categorical")
+    skewed = spark.createDataFrame([("a",)] * 9 + [("b",)], "x string")
+    tc = dv.TableContract(
+        contract=dv.Contract(columns={"x": dv.ColumnRule(dtype="string")}),
+        histograms={"x": hc},
+    )
+    res = validate_table_contract(
+        skewed, tc, drift_thresholds=DriftThresholds(psi=1e9, js=0.05)
+    )
+    kinds = {i.kind for i in res.issues}
+    assert "drift_js" in kinds and "drift_psi" not in kinds
+
+
 def test_ks_threshold_fires_issue(spark):
     from dsci_524_g26_data_validation_spark.types import Histogram
     from pyspark.sql import functions as F

@@ -49,6 +49,70 @@ def test_quality_score_bounds(docs):
     assert all(0.0 <= r["q"] <= 1.0 for r in rows)
 
 
+def test_repetition_metrics_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a a a a a"),
+            (2, "one two three four five six seven eight"),
+            (3, "spam ham spam ham spam ham spam ham"),
+            (4, "solo"),
+            (5, "two words"),
+        ],
+        "doc_id int, text string",
+    )
+    m = {r["doc_id"]: r for r in text.repetition_metrics(df).collect()}
+    # doc 1: 8 words, 1 distinct; every bigram/trigram identical
+    assert m[1]["dup_word_frac"] == pytest.approx(1 - 1 / 8, abs=1e-6)
+    assert m[1]["top_bigram_frac"] == 1.0
+    assert m[1]["top_trigram_frac"] == 1.0
+    # doc 2: all distinct words; 7 distinct bigrams -> mode frac 1/7
+    assert m[2]["dup_word_frac"] == 0.0
+    assert m[2]["top_bigram_frac"] == pytest.approx(1 / 7, abs=1e-6)
+    # doc 3: "spam ham" claims 4 of 7 bigram slots
+    assert m[3]["top_bigram_frac"] == pytest.approx(4 / 7, abs=1e-6)
+    # doc 4: a single word has no bigrams (and must NOT hit Spark's
+    # descending-sequence trap) -> 0.0, not an error
+    assert m[4]["n_words"] == 1
+    assert m[4]["top_bigram_frac"] == 0.0 and m[4]["top_trigram_frac"] == 0.0
+    # doc 5: exactly one bigram -> 1.0; no trigram -> 0.0
+    assert m[5]["top_bigram_frac"] == 1.0 and m[5]["top_trigram_frac"] == 0.0
+
+
+def test_repetitive_docs_filter(spark):
+    df = spark.createDataFrame(
+        [
+            (1, ("buy now " * 20).strip()),
+            (2, "a genuinely varied sentence holding many different interesting words"),
+        ],
+        "doc_id int, text string",
+    )
+    flagged = {r["doc_id"] for r in text.repetitive_docs(df).collect()}
+    assert flagged == {1}
+
+
+def test_repetition_by_group(docs):
+    rows = text.repetition_by_group(docs).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["n_docs"] > 0
+        assert 0.0 <= r["avg_dup_word_frac"] <= 1.0
+        assert 0.0 < r["avg_top_bigram_frac"] <= 1.0
+        assert r["avg_top_bigram_frac"] <= r["max_top_bigram_frac"] <= 1.0
+
+
+def test_max_run_expr_mode_count(spark):
+    df = spark.createDataFrame(
+        [(["a", "a", "b"],), (["z"],), ([],)], "arr array<string>"
+    )
+    got = sorted(
+        r["mx"]
+        for r in df.select(
+            text.max_run_expr(F.array_sort(F.col("arr"))).alias("mx")
+        ).collect()
+    )
+    assert got == [0, 1, 2]
+
+
 def test_language_id(spark):
     df = spark.createDataFrame(
         [

@@ -202,6 +202,32 @@ def test_quality_by_source_single_eval(spark, sf_dir):
     assert plan.count("regexp_replace") == 1
 
 
+def test_repetition_metrics_row_local(spark, sf_dir):
+    """Repetition metrics must be a pure row-local map — no Exchange at
+    all per-document (the mode count is a sort+fold inside the row, not
+    an explode+groupBy) — and tokenization must evaluate once per row
+    (projection barrier), so the per-group rollup plans exactly one
+    shuffle: the final hash aggregate."""
+    from dsci_524_g26_data_validation_spark.operators import text
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_doc = text.repetition_metrics(d)
+    plan = _spark_plan(per_doc)
+    assert "Exchange" not in plan
+    opt = per_doc._jdf.queryExecution().optimizedPlan().toString()
+    # the token split feeds n_words/distinct/bigrams/trigrams but must
+    # materialize once behind the barrier
+    assert opt.count("split(text") == 1
+    # On a multi-partition input the per-group rollup plans exactly one
+    # hash-partitioned shuffle (the tiny test file is a single split, so
+    # Spark rightly elides even that — force partitions to see the agg).
+    rollup = text.repetition_by_group(d.repartition(4))
+    # executedPlan (post-EnsureRequirements; sparkPlan() is pre-exchange)
+    agg_plan = rollup._jdf.queryExecution().executedPlan().toString()
+    assert agg_plan.count("Exchange hashpartitioning") == 1
+    assert "Generate" not in agg_plan  # no explode anywhere
+
+
 def test_ivf_cell_partitioned_probe_prunes_files(spark, sf_dir, tmp_path):
     """The ingest-time IVF layout claim, proven on disk: write the table
     partitioned by ivf_cell, and a probe's cell filter must reach the
