@@ -276,6 +276,98 @@ def _js_drift_documents_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_planted(d: DataFrame) -> DataFrame:
+    """Amend each document with deterministically planted PII (the
+    synthetic corpus has none): an email on every row, an IPv4 on
+    doc_id%7==0, a phone on %5==0, an SSN-shaped id on %11==0. The same
+    amendment runs in the oracle SQL, so detection counts are a real
+    cross-engine proof of the regex semantics."""
+    return d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@mail.com"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" ip 10.0.0.1")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit(" call 555-123-4567")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit(" id 123-45-6789")
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+def _pii_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII screening rolled up per source over planted documents — pure
+    Catalyst regexp_count, row-local, one tiny hash agg."""
+    d = _read(spark, sf_dir, "documents")
+    return dv.pii_by_group(_pii_planted(d))
+
+
+def _pii_redacted_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip proof: after redact_pii, re-detection finds ZERO PII
+    and every placeholder token appears the expected number of times."""
+    d = _read(spark, sf_dir, "documents")
+    red = dv.redact_pii(_pii_planted(d))
+    return red.agg(
+        F.sum(F.regexp_count("text", F.lit(r"<EMAIL>"))).alias("n_email_ph"),
+        F.sum(F.regexp_count("text", F.lit(r"<IP>"))).alias("n_ip_ph"),
+        F.sum(F.regexp_count("text", F.lit(r"<PHONE>"))).alias("n_phone_ph"),
+        F.sum(F.regexp_count("text", F.lit(r"<SSN>"))).alias("n_ssn_ph"),
+        F.sum(
+            F.regexp_count(
+                "text",
+                F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+            )
+        ).alias("n_email_left"),
+    )
+
+
+def _pack_chunks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing per source shard (budget 256):
+    one window + one reused-exchange aggregate."""
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(F.split("text", " "))
+    )
+    return dv.packing_summary(d, budget=256)
+
+
+def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (10-minute gap) of the events table:
+    per-session start/end/count/duration via one shuffle on user_id."""
+    e = _read(spark, sf_dir, "events")
+    return dv.session_stats(e, gap_seconds=600)
+
+
+def _vocab_violations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-bounds invariant on a derived int-token column (word
+    lengths as token ids, vocab_size=8) — row-local array HOFs."""
+    d = _read(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.transform(F.split("text", " "), lambda w: F.length(w)).alias("tokens"),
+    )
+    v = dv.vocab_violations(toks, vocab_size=8)
+    return v.select(
+        "doc_id",
+        F.col("n_bad").cast("bigint").alias("n_bad"),
+        F.col("min_token").cast("bigint").alias("min_token"),
+        F.col("max_token").cast("bigint").alias("max_token"),
+    )
+
+
+def _skew_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew report for orders.o_custkey: top-10 heavy keys with
+    share + skew factor (sizes the salt fan-out for the E1/E2 joins)."""
+    o = _read(spark, sf_dir, "orders")
+    return dv.key_skew_report(o, "o_custkey", top_k=10)
+
+
 def _langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents")
     return text.language_id(d).groupBy("lang_pred").agg(
@@ -841,6 +933,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_documents_source": _psi_documents_source,
         "js_drift_documents_source": _js_drift_documents_source,
         "repetition_by_source": _repetition_by_source,
+        "pii_by_source": _pii_by_source,
+        "pii_redacted_check": _pii_redacted_check,
+        "pack_chunks_documents": _pack_chunks_documents,
+        "sessionize_events": _sessionize_events,
+        "vocab_violations_documents": _vocab_violations_documents,
+        "skew_report_orders": _skew_report_orders,
         "dedup_exact_prefix": _dedup_exact_prefix,
         "token_stats_documents": _token_stats_documents,
         "bpe_token_stats_documents": _bpe_token_stats_documents,
@@ -1080,6 +1178,144 @@ def oracle_sql() -> dict[str, str]:
                    round(max(tbf), 6) AS max_top_bigram_frac,
                    round(avg(ttf), 4) AS avg_top_trigram_frac
             FROM d GROUP BY source
+        """,
+        "pii_by_source": """
+            WITH planted AS (
+              SELECT source,
+                     concat(text, ' contact user', doc_id, '@mail.com',
+                            CASE WHEN doc_id % 7 = 0 THEN ' ip 10.0.0.1' ELSE '' END,
+                            CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END,
+                            CASE WHEN doc_id % 11 = 0 THEN ' id 123-45-6789' ELSE '' END
+                     ) AS text
+              FROM documents
+            ), counted AS (
+              SELECT source,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS e,
+                     len(regexp_extract_all(text,
+                         '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS i,
+                     len(regexp_extract_all(text,
+                         '\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}')) AS p,
+                     len(regexp_extract_all(text,
+                         '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS s
+              FROM planted
+            )
+            SELECT source, count(*) AS n_docs,
+                   count(*) FILTER (WHERE e + i + p + s > 0) AS n_docs_with_pii,
+                   CAST(sum(e) AS BIGINT) AS total_email,
+                   CAST(sum(i) AS BIGINT) AS total_ipv4,
+                   CAST(sum(p) AS BIGINT) AS total_phone,
+                   CAST(sum(s) AS BIGINT) AS total_ssn
+            FROM counted GROUP BY source
+        """,
+        "pii_redacted_check": """
+            WITH planted AS (
+              SELECT concat(text, ' contact user', doc_id, '@mail.com',
+                            CASE WHEN doc_id % 7 = 0 THEN ' ip 10.0.0.1' ELSE '' END,
+                            CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END,
+                            CASE WHEN doc_id % 11 = 0 THEN ' id 123-45-6789' ELSE '' END
+                     ) AS text
+              FROM documents
+            ), red AS (
+              SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+                       '\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', '<PHONE>', 'g'),
+                       '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g') AS text
+              FROM planted
+            )
+            SELECT sum(len(regexp_extract_all(text, '<EMAIL>'))) AS n_email_ph,
+                   sum(len(regexp_extract_all(text, '<IP>'))) AS n_ip_ph,
+                   sum(len(regexp_extract_all(text, '<PHONE>'))) AS n_phone_ph,
+                   sum(len(regexp_extract_all(text, '<SSN>'))) AS n_ssn_ph,
+                   sum(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS n_email_left
+            FROM red
+        """,
+        "pack_chunks_documents": """
+            WITH t AS (
+              SELECT source, doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              FROM documents
+            ), packed AS (
+              SELECT source, n_tok,
+                     sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tok
+                       AS start_offset
+              FROM t
+            ), chunked AS (
+              SELECT source, n_tok, start_offset,
+                     CAST(floor(start_offset / 256.0) AS BIGINT) AS chunk_id
+              FROM packed
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                   CAST(ceil(sum(n_tok) / 256.0) AS BIGINT) AS n_chunks,
+                   count(*) FILTER (
+                     WHERE CAST(floor((start_offset + n_tok - 1) / 256.0)
+                                AS BIGINT) > chunk_id
+                   ) AS n_spanning_docs,
+                   round(CAST(sum(n_tok) AS DOUBLE)
+                         / (CAST(ceil(sum(n_tok) / 256.0) AS BIGINT) * 256),
+                         6) AS fill_rate
+            FROM chunked GROUP BY source
+        """,
+        "sessionize_events": """
+            WITH ordered AS (
+              SELECT user_id, ts, event_id,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_ts
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ), flagged AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN prev_ts IS NULL
+                            OR date_diff('microsecond', prev_ts, ts) > 600000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM ordered
+            ), numbered AS (
+              SELECT user_id, ts,
+                     CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+              FROM flagged
+            )
+            SELECT user_id, session_seq,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events,
+                   round(date_diff('microsecond', min(ts), max(ts)) / 1000000.0, 6)
+                     AS duration_sec
+            FROM numbered GROUP BY user_id, session_seq
+        """,
+        "vocab_violations_documents": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform(string_split(text, ' '),
+                                    w -> length(w)) AS tokens
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(list_filter(tokens, x -> x < 0 OR x >= 8)) AS BIGINT)
+                     AS n_bad,
+                   CAST(list_min(tokens) AS BIGINT) AS min_token,
+                   CAST(list_max(tokens) AS BIGINT) AS max_token
+            FROM t
+            WHERE len(list_filter(tokens, x -> x < 0 OR x >= 8)) > 0
+        """,
+        "skew_report_orders": """
+            WITH c AS (
+              SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+            ), t AS (
+              SELECT CAST(sum(cnt) AS DOUBLE) AS total,
+                     CAST(count(*) AS DOUBLE) AS nkeys
+              FROM c
+            )
+            SELECT o_custkey, cnt,
+                   round(cnt / total, 6) AS share,
+                   round(cnt * nkeys / total, 4) AS skew_factor
+            FROM c, t
+            ORDER BY cnt DESC, o_custkey ASC NULLS FIRST
+            LIMIT 10
         """,
         "dedup_exact_prefix": """
             SELECT sha256(substr(text, 1, 40)) AS content_hash,

@@ -54,7 +54,12 @@ from .operators.tokens import (
     arrays_equal_udf,
     ntok_invariant_violations,
     token_equality_violations,
+    vocab_violations,
 )
+from .operators.pii import detect_pii, pii_by_group, pii_documents, redact_pii
+from .operators.packing import pack_sequences, packing_summary
+from .operators.sessions import session_stats, sessionize
+from .operators.skew import key_skew_report, suggested_salt
 from .operators.table_validate import (
     DriftThresholds,
     run_resumable_validation,
@@ -113,6 +118,17 @@ __all__ = [
     "arrays_equal_udf",
     "ntok_invariant_violations",
     "token_equality_violations",
+    "vocab_violations",
+    "detect_pii",
+    "pii_by_group",
+    "pii_documents",
+    "redact_pii",
+    "pack_sequences",
+    "packing_summary",
+    "sessionize",
+    "session_stats",
+    "key_skew_report",
+    "suggested_salt",
     "DriftThresholds",
     "validate_table_contract",
     "run_resumable_validation",

@@ -22,6 +22,7 @@ from pyspark.sql.types import BooleanType
 
 __all__ = [
     "ntok_invariant_violations",
+    "vocab_violations",
     "arrays_equal_udf",
     "token_equality_violations",
     "token_equality_report",
@@ -40,6 +41,38 @@ def ntok_invariant_violations(
     NULL array counts as size -1 per Spark semantics, which violates any
     non-negative n_tok, i.e. NULL tokens are flagged (desired)."""
     return df.filter(F.col(n_col) != F.size(F.col(arr_col)))
+
+
+def vocab_violations(
+    df: DataFrame,
+    *,
+    vocab_size: int,
+    arr_col: str = "tokens",
+    keep: tuple = ("doc_id",),
+) -> DataFrame:
+    """Rows whose token array leaves ``[0, vocab_size)`` — the vocabulary
+    bounds invariant of a pre-tokenized sequence table (a token id at or
+    beyond the embedding-table row count corrupts training silently).
+
+    Pure Catalyst array HOFs (filter/size + array_min/max), row-local,
+    zero shuffles: the corpus screens at scan speed and the parquet
+    reader decodes only ``keep + [arr_col]``. Returns per-row diagnostic
+    counts (``n_bad``, observed min/max token); a NULL array yields no
+    row here — E5 (``ntok_invariant_violations``) owns NULL detection.
+    """
+    if vocab_size <= 0:
+        raise ValueError(f"vocab_size must be positive, got {vocab_size}")
+    arr = F.col(arr_col)
+    bad = F.filter(arr, lambda t: (t < 0) | (t >= vocab_size))
+    return (
+        df.select(
+            *[F.col(c) for c in keep],
+            F.size(bad).alias("n_bad"),
+            F.array_min(arr).alias("min_token"),
+            F.array_max(arr).alias("max_token"),
+        )
+        .filter(F.col("n_bad") > 0)
+    )
 
 
 # type instance (not DDL string) so import needs no active SparkSession

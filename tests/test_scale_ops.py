@@ -1,0 +1,231 @@
+"""Tests for the round-3 pipeline/scale operators: PII detection and
+redaction, sequence packing, gap sessionization, vocabulary-bounds
+invariant, and the key-skew report.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+import dsci_524_g26_data_validation_spark as dv
+from dsci_524_g26_data_validation_spark.operators import pii, skew
+
+
+# -- PII ---------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pii_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "mail me at alice@example.org or bob.smith+x@corp.co.uk now"),
+            (2, "server at 192.168.0.1 and 10.0.0.255 refused"),
+            (3, "call +1 555-123-4567 or 555 987 6543"),
+            (4, "ssn 123-45-6789 on file"),
+            (5, "a perfectly clean sentence"),
+        ],
+        "doc_id int, text string",
+    )
+
+
+def test_detect_pii_counts(pii_df):
+    m = {r["doc_id"]: r for r in dv.detect_pii(pii_df).collect()}
+    assert m[1]["n_email"] == 2 and m[1]["pii_total"] == 2
+    assert m[2]["n_ipv4"] == 2
+    # "+1 555-123-4567": the 3-3-4 core matches; "555 987 6543" too
+    assert m[3]["n_phone"] == 2
+    assert m[4]["n_ssn"] == 1
+    assert m[5]["pii_total"] == 0
+    flagged = {r["doc_id"] for r in dv.pii_documents(pii_df).collect()}
+    assert flagged == {1, 2, 3, 4}
+
+
+def test_redact_pii_roundtrip(pii_df):
+    red = dv.redact_pii(pii_df)
+    # redacted corpus re-screens clean
+    assert dv.pii_documents(red).count() == 0
+    texts = {r["doc_id"]: r["text"] for r in red.collect()}
+    assert "<EMAIL>" in texts[1] and "alice" not in texts[1].split("@")[0].split()[-1]
+    assert texts[2].count("<IP>") == 2
+    assert "<SSN>" in texts[4]
+    assert texts[5] == "a perfectly clean sentence"
+    # out_col keeps the original text
+    red2 = dv.redact_pii(pii_df, out_col="clean")
+    row = red2.filter("doc_id = 4").first()
+    assert "123-45-6789" in row["text"] and "<SSN>" in row["clean"]
+
+
+def test_pii_kinds_subset(pii_df):
+    only_email = dv.detect_pii(pii_df, kinds={"email": pii.PII_PATTERNS["email"]})
+    assert only_email.columns == ["doc_id", "n_email", "pii_total"]
+    assert only_email.filter("doc_id = 2").first()["pii_total"] == 0
+
+
+def test_pii_by_group(spark):
+    df = spark.createDataFrame(
+        [("a", "x@y.io here"), ("a", "clean"), ("b", "clean too")],
+        "source string, text string",
+    )
+    rows = {r["source"]: r for r in dv.pii_by_group(df).collect()}
+    assert rows["a"]["n_docs_with_pii"] == 1 and rows["a"]["total_email"] == 1
+    assert rows["b"]["n_docs_with_pii"] == 0
+
+
+# -- sequence packing --------------------------------------------------------
+
+
+def test_pack_sequences_offsets(spark):
+    df = spark.createDataFrame(
+        [("s", 1, 100), ("s", 2, 100), ("s", 3, 100), ("s", 4, 50), ("t", 9, 300)],
+        "source string, doc_id int, n_tok int",
+    )
+    m = {r["doc_id"]: r for r in dv.pack_sequences(df, budget=256).collect()}
+    assert m[1]["start_offset"] == 0 and m[1]["chunk_id"] == 0
+    assert not m[1]["spans_boundary"]
+    # doc 2 occupies [100, 200) — inside chunk 0
+    assert m[2]["chunk_id"] == 0 and not m[2]["spans_boundary"]
+    # doc 3 occupies [200, 300) — starts in chunk 0, crosses into 1
+    assert m[3]["chunk_id"] == 0 and m[3]["spans_boundary"]
+    # doc 4 starts at 300 -> chunk 1
+    assert m[4]["chunk_id"] == 1 and not m[4]["spans_boundary"]
+    # group t independent; 300 tokens span the first boundary
+    assert m[9]["start_offset"] == 0 and m[9]["spans_boundary"]
+
+
+def test_packing_summary_and_validation(spark):
+    df = spark.createDataFrame(
+        [("s", 1, 100), ("s", 2, 200), ("s", 3, None)],
+        "source string, doc_id int, n_tok int",
+    )
+    row = dv.packing_summary(df, budget=256).first()
+    assert row["n_docs"] == 2  # NULL n_tok excluded
+    assert row["total_tokens"] == 300
+    assert row["n_chunks"] == 2
+    assert row["fill_rate"] == pytest.approx(300 / 512, abs=1e-6)
+    with pytest.raises(ValueError, match="budget"):
+        dv.pack_sequences(df, budget=0)
+
+
+# -- sessionization ----------------------------------------------------------
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_sessionize_gap_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 10, _ts(0)),
+            (2, 10, _ts(4)),     # 4 min gap -> same session
+            (3, 10, _ts(20)),    # 16 min gap -> new session
+            (4, 20, _ts(0)),     # other user independent
+            (5, 10, None),       # NULL ts excluded
+            (6, None, _ts(1)),   # NULL user excluded
+        ],
+        "event_id int, user_id int, ts timestamp",
+    )
+    s = dv.sessionize(df, gap_seconds=600)
+    m = {r["event_id"]: r["session_seq"] for r in s.collect()}
+    assert m == {1: 1, 2: 1, 3: 2, 4: 1}
+    stats = {
+        (r["user_id"], r["session_seq"]): r
+        for r in dv.session_stats(df, gap_seconds=600).collect()
+    }
+    assert stats[(10, 1)]["n_events"] == 2
+    assert stats[(10, 1)]["duration_sec"] == pytest.approx(240.0)
+    assert stats[(10, 2)]["n_events"] == 1
+    assert stats[(20, 1)]["n_events"] == 1
+    with pytest.raises(ValueError, match="gap_seconds"):
+        dv.sessionize(df, gap_seconds=0)
+
+
+def test_sessionize_boundary_is_same_session(spark):
+    # gap EXACTLY equal to gap_seconds stays in-session (strict >)
+    df = spark.createDataFrame(
+        [(1, 1, _ts(0)), (2, 1, _ts(10))], "event_id int, user_id int, ts timestamp"
+    )
+    s = dv.sessionize(df, gap_seconds=600)
+    assert {r["session_seq"] for r in s.collect()} == {1}
+
+
+# -- vocabulary bounds -------------------------------------------------------
+
+
+def test_vocab_violations(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [0, 5, 7]),
+            (2, [0, 8]),       # 8 >= vocab
+            (3, [-1, 3]),      # negative
+            (4, None),         # NULL array: E5's job, not flagged here
+            (5, []),
+        ],
+        "doc_id int, tokens array<int>",
+    )
+    rows = {r["doc_id"]: r for r in dv.vocab_violations(df, vocab_size=8).collect()}
+    assert set(rows) == {2, 3}
+    assert rows[2]["n_bad"] == 1 and rows[2]["max_token"] == 8
+    assert rows[3]["n_bad"] == 1 and rows[3]["min_token"] == -1
+    with pytest.raises(ValueError, match="vocab_size"):
+        dv.vocab_violations(df, vocab_size=0)
+
+
+# -- key skew ----------------------------------------------------------------
+
+
+def test_key_skew_report(spark):
+    rows = [("hot",)] * 60 + [("a",)] * 20 + [("b",)] * 10 + [(None,)] * 10
+    df = spark.createDataFrame(rows, "k string")
+    rep = dv.key_skew_report(df, "k", top_k=3).collect()
+    assert [r["k"] for r in rep] == ["hot", "a", None] or [
+        r["k"] for r in rep
+    ] == ["hot", "a", "b"]  # b/NULL tie at 10 broken NULL-first
+    top = rep[0]
+    assert top["cnt"] == 60
+    assert top["share"] == pytest.approx(0.6, abs=1e-6)
+    # 4 keys, 100 rows -> mean 25; hot = 60/25 = 2.4
+    assert top["skew_factor"] == pytest.approx(2.4, abs=1e-4)
+    # NULL keys are ranked like any other key
+    assert any(r["k"] is None for r in dv.key_skew_report(df, "k", top_k=4).collect())
+    with pytest.raises(ValueError, match="top_k"):
+        dv.key_skew_report(df, "k", top_k=0)
+
+
+def test_suggested_salt():
+    assert skew.suggested_salt(1.0) == 1
+    assert skew.suggested_salt(48.3) == 25
+    assert skew.suggested_salt(48.3, target=10.0) == 5
+    with pytest.raises(ValueError, match="target"):
+        skew.suggested_salt(5.0, target=0)
+
+
+# -- plan shapes -------------------------------------------------------------
+
+
+def test_pii_plans_row_local(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    det = dv.detect_pii(d)
+    plan = det._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure scan-project
+    red = dv.redact_pii(d)
+    assert "Exchange" not in red._jdf.queryExecution().executedPlan().toString()
+
+
+def test_packing_single_exchange(spark, sf_dir):
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("n_tok", F.size(F.split("text", " ")))
+        .repartition(4)
+    )
+    plan = (
+        dv.packing_summary(d, budget=256)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the window's hash partitioning on source is reused by the groupBy
+    assert plan.count("Exchange hashpartitioning") == 1
