@@ -842,10 +842,15 @@ def _near_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs in PORTABLE token-hash mode (md5 top-60-bit
+    int): the signature computation, pigeonhole blocking, and Hamming
+    filter are all reproduced in the DuckDB oracle value-for-value —
+    the pipeline-level proof the xxhash64 fast path can't have."""
     d = _read(spark, sf_dir, "documents").select(
-        "doc_id", F.substring("text", 1, 120).alias("text")
+        "doc_id",
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 120).alias("text"),
     )
-    return dedup.simhash_near_duplicates(d, max_hamming=3)
+    return dedup.simhash_near_duplicates(d, max_hamming=3, token_hash="portable")
 
 
 def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1301,6 +1306,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_max(tokens) AS BIGINT) AS max_token
             FROM t
             WHERE len(list_filter(tokens, x -> x < 0 OR x >= 8)) > 0
+        """,
+        "simhash_near_dups": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform(string_split(substr(coalesce(text,''),1,120), ' '),
+                                    w -> CAST(('0x'||substr(md5(w),1,15)) AS BIGINT)) AS hs
+              FROM documents
+            ), sig AS (
+              SELECT doc_id,
+                     CAST(list_sum(list_transform(range(0,64), b ->
+                       CASE WHEN 2*len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
+                            THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+                       AS BIGINT) AS sim
+              FROM t
+            ), blk AS (
+              SELECT doc_id, sim, i.i AS blk, (sim >> (i.i*16)) & 65535 AS val
+              FROM sig, (SELECT unnest(range(0,4)) AS i) i
+            ), pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+              FROM blk a JOIN blk b
+                ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
         """,
         "skew_report_orders": """
             WITH c AS (

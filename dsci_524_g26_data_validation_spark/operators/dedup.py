@@ -358,14 +358,38 @@ def _simhash_from_hashes(hash_arrays: pd.Series) -> pd.Series:
 
 
 def simhash(
-    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
-    """(id, simhash:bigint) — token hashing stays in Catalyst
-    (xxhash64 per token via transform); only the bit-vote crosses to
-    the Arrow UDF."""
-    token_hashes = F.transform(
-        F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)
-    )
+    """(id, simhash:bigint) — token hashing stays in Catalyst; only the
+    bit-vote crosses to the Arrow UDF.
+
+    ``token_hash``:
+
+    * ``"xxhash64"`` (default) — the fastest JVM hash; signatures are
+      Spark-specific (other engines don't ship xxhash64-with-seed).
+    * ``"portable"`` — top 60 bits of md5, renderable identically by any
+      engine (same trick as the fingerprint IDs), so the ENTIRE simhash
+      pipeline is reproducible in ANSI SQL — this is what lets the
+      DuckDB oracle verify simhash near-dup pairs value-for-value.
+      SimHash quality is hash-agnostic (any uniform bits work); the 4
+      always-zero top bits just make one pigeonhole block slightly
+      coarser.
+    """
+    if token_hash == "portable":
+        hash_fn = lambda t: F.conv(  # noqa: E731
+            F.substring(F.md5(t), 1, 15), 16, 10
+        ).cast("bigint")
+    elif token_hash == "xxhash64":
+        hash_fn = lambda t: F.xxhash64(t)  # noqa: E731
+    else:
+        raise ValueError(
+            f"token_hash must be 'xxhash64' or 'portable', got {token_hash!r}"
+        )
+    token_hashes = F.transform(F.split(F.col(text_col), " "), hash_fn)
     return df.select(
         F.col(id_col), _simhash_from_hashes(token_hashes).alias("simhash")
     )
@@ -379,6 +403,7 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     block_bits: int = 16,
     max_block_size: int = 1000,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ max_hamming on SimHash.
 
@@ -399,7 +424,7 @@ def simhash_near_duplicates(
     ``max_block_size=None`` disables the cap.
     """
     n_blocks = 64 // block_bits
-    sh = simhash(df, text_col=text_col, id_col=id_col)
+    sh = simhash(df, text_col=text_col, id_col=id_col, token_hash=token_hash)
     mask = (1 << block_bits) - 1
     blocked = sh.select(
         F.col(id_col).alias("_id"),

@@ -113,6 +113,30 @@ def test_max_run_expr_mode_count(spark):
     assert got == [0, 1, 2]
 
 
+def test_simhash_portable_mode(spark):
+    """Portable (md5-derived) token hashing finds the same planted
+    near-dup structure as the xxhash64 fast path, and signatures are
+    deterministic across calls (the property the oracle relies on)."""
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    df = spark.createDataFrame(
+        [(1, base), (2, base.replace("dog", "cat")), (3, "entirely different words here")],
+        "doc_id int, text string",
+    )
+    for mode in ("xxhash64", "portable"):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.simhash_near_duplicates(
+                df, max_hamming=10, token_hash=mode
+            ).collect()
+        }
+        assert (1, 2) in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+    s1 = dedup.simhash(df, token_hash="portable").collect()
+    s2 = dedup.simhash(df, token_hash="portable").collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+    with pytest.raises(ValueError, match="token_hash"):
+        dedup.simhash(df, token_hash="sha1")
+
+
 def test_language_id(spark):
     df = spark.createDataFrame(
         [
