@@ -9,6 +9,7 @@ checks; see SURVEY.md §2 for the operator inventory.
 """
 
 from .types import (
+    AggregateCheck,
     ColumnProfile,
     ColumnRule,
     Contract,
@@ -56,6 +57,7 @@ from .operators.tokens import (
     token_equality_violations,
     vocab_violations,
 )
+from .operators.checks import aggregate_checks_report
 from .operators.pii import detect_pii, pii_by_group, pii_documents, redact_pii
 from .operators.packing import pack_sequences, packing_summary
 from .operators.sessions import session_stats, sessionize
@@ -71,6 +73,8 @@ from .sources.token_table import source_dim, token_table
 __version__ = "0.1.0"
 
 __all__ = [
+    "AggregateCheck",
+    "aggregate_checks_report",
     "ColumnProfile",
     "ColumnRule",
     "Contract",

@@ -5,6 +5,7 @@ This is the "full contract pass" the north-star metric times
 (BASELINE.json:2 — validated sequences/sec). Job inventory for one run:
 
   job 1  fused scan          column stats + invariant counts (E5) +
+                             table-level aggregate checks +
                              inlined small-dim referential counts (E2) +
                              ALL drift histogram counts (E3/E4)
   job 2  union + groupBy     uniqueness (E1) AND token-hash equality
@@ -41,6 +42,7 @@ from pyspark.sql import functions as F
 
 from ..sources.manifest import FileManifestStore
 from ..types import Issue, TableContract, ValidationResult
+from .checks import aggregate_check_terms, evaluate_aggregate_checks
 from .drift import drift_scores_from_counts, fused_drift_terms
 from .referential import referential_violations
 from .tokens import key_integrity_counts, token_equality_violations
@@ -117,6 +119,7 @@ def validate_table_contract(
     extra_terms = [
         F.count_if(~F.expr(inv)).alias(f"inv{n}") for n, inv in enumerate(tc.invariants)
     ]
+    extra_terms.extend(aggregate_check_terms(tc.checks))
     drift_decode = None
     if tc.histograms:
         hg_terms, drift_decode = fused_drift_terms(df, tc.histograms)
@@ -162,6 +165,9 @@ def validate_table_contract(
                     expected=0,
                 )
             )
+
+    # Table-level aggregate checks (already computed in the fused pass)
+    issues.extend(evaluate_aggregate_checks(extras, tc.checks))
 
     # E1 uniqueness + E6 token equality: when the E6 reference is present
     # and the token key is also a uniqueness key, BOTH ride one fused

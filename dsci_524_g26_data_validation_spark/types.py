@@ -162,7 +162,7 @@ class Issue:
     kind ∈ {missing_column, extra_column, dtype, missingness, range,
     category} for contract checks, plus engine-level kinds
     {uniqueness, referential, invariant, drift_chi2, drift_psi,
-    drift_ks, drift_js, token_equality}.
+    drift_ks, drift_js, token_equality, aggregate_check}.
     ``column is None`` marks a dataset-level issue.
     """
 
@@ -303,14 +303,48 @@ class ForeignKeyRule:
 
 
 @dataclass(frozen=True)
+class AggregateCheck:
+    """Table-level aggregate assertion (Deequ-style "check").
+
+    ``expr`` is any Spark SQL *aggregate* expression evaluated over the
+    whole table — e.g. ``avg(o_totalprice)``,
+    ``count_if(n_tok > 0) / count(*)``, ``approx_count_distinct(doc_id)
+    / count(*)`` — whose value must land in [min_value, max_value]
+    (either bound may be open). Every check rides the SAME fused
+    single-scan aggregation job as the column stats; adding checks
+    never adds a scan.
+
+    A NULL result (e.g. ``avg`` over an empty table) FAILS the check —
+    "couldn't establish the property" is a violation, not a pass.
+    """
+
+    expr: str
+    min_value: Optional[float] = None
+    max_value: Optional[float] = None
+    name: str = ""
+
+    def __post_init__(self):
+        if self.min_value is None and self.max_value is None:
+            raise ValueError(
+                f"AggregateCheck {self.expr!r}: at least one of "
+                "min_value/max_value must be set"
+            )
+
+    @property
+    def label(self) -> str:
+        return self.name or self.expr
+
+
+@dataclass(frozen=True)
 class TableContract:
     """Engine-level table contract = column contract + table-level rules.
 
     Extends the reference model (which has only per-column rules) with
     the north-rule checks: uniqueness keys (E1), referential integrity
-    (E2), baseline histograms for chi-square/PSI drift (E3/E4), and
+    (E2), baseline histograms for chi-square/PSI drift (E3/E4),
     row-level invariant expressions in Spark SQL syntax (E5), e.g.
-    ``n_tok = size(tokens)``.
+    ``n_tok = size(tokens)``, and table-level aggregate assertions
+    (:class:`AggregateCheck`).
     """
 
     contract: Contract
@@ -318,6 +352,7 @@ class TableContract:
     foreign_keys: Tuple[ForeignKeyRule, ...] = ()
     histograms: Mapping[str, Histogram] = field(default_factory=dict)
     invariants: Tuple[str, ...] = ()
+    checks: Tuple[AggregateCheck, ...] = ()
     name: str = "table_contract"
 
 
@@ -395,6 +430,11 @@ def table_contract_to_dict(tc: "TableContract") -> Dict[str, Any]:
             for col, h in tc.histograms.items()
         },
         "invariants": list(tc.invariants),
+        "checks": [
+            {"expr": c.expr, "min_value": c.min_value,
+             "max_value": c.max_value, "name": c.name}
+            for c in tc.checks
+        ],
     }
 
 
@@ -418,6 +458,15 @@ def table_contract_from_dict(data: Mapping[str, Any]) -> "TableContract":
             for col, h in data.get("histograms", {}).items()
         },
         invariants=tuple(data.get("invariants", ())),
+        checks=tuple(
+            AggregateCheck(
+                expr=c["expr"],
+                min_value=c.get("min_value"),
+                max_value=c.get("max_value"),
+                name=c.get("name", ""),
+            )
+            for c in data.get("checks", ())
+        ),
         name=data.get("name", "table_contract"),
     )
 
