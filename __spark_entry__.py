@@ -925,6 +925,110 @@ def _token_contract_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "kind string, column string, observed string")
 
 
+def _portable_token_ids(vocab: int = 4096) -> F.Column:
+    """Word → token-id via top-60-bits-of-md5 mod vocab — the portable
+    hash the DuckDB oracle reproduces bit-for-bit (same trick as the
+    portable simhash mode)."""
+    return F.transform(
+        F.split(F.col("text"), " "),
+        lambda w: F.pmod(
+            F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint"),
+            F.lit(vocab),
+        ).cast("int"),
+    )
+
+
+def _token_drift_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-ID distribution drift between two corpus slices (sources
+    src0,src1,src10..src19 as baseline vs src2..src9 as current): PSI +
+    JS over the 4096-id portable-hash vocabulary, plus novel-token
+    count — the unit-level drift signal for a tokenized corpus."""
+    d = _read(spark, sf_dir, "documents").select(
+        "source", _portable_token_ids().alias("tokens")
+    )
+    base = d.filter(F.col("source") < "src2")
+    cur = d.filter(F.col("source") >= "src2")
+    out = dv.token_distribution_drift(base, cur)
+    return out.select(
+        "total_base",
+        "total_cur",
+        "vocab_base",
+        "vocab_cur",
+        "novel_tokens",
+        F.round("psi", 6).alias("psi"),
+        F.round("js", 6).alias("js"),
+    )
+
+
+def _token_drift_movers_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 token ids by absolute frequency shift between the same two
+    slices — the WHICH-tokens-moved diagnostic."""
+    d = _read(spark, sf_dir, "documents").select(
+        "source", _portable_token_ids().alias("tokens")
+    )
+    base = d.filter(F.col("source") < "src2")
+    cur = d.filter(F.col("source") >= "src2")
+    out = dv.token_drift_movers(base, cur, k=15)
+    return out.select(
+        "token_id",
+        "cnt_base",
+        "cnt_cur",
+        F.round("abs_shift", 6).alias("abs_shift"),
+    )
+
+
+def _aggregate_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style table-level assertions on orders, all riding one fused
+    scan; 'row_floor' is deliberately impossible so a failed check is
+    exercised at every SF."""
+    o = _read(spark, sf_dir, "orders")
+    checks = (
+        dv.AggregateCheck(
+            "avg(o_totalprice)", min_value=100000.0, max_value=400000.0,
+            name="avg_totalprice",
+        ),
+        dv.AggregateCheck(
+            "count_if(o_totalprice > 500000) / count(*)", max_value=0.2,
+            name="high_price_frac",
+        ),
+        dv.AggregateCheck("count(*)", min_value=1e9, name="row_floor"),
+        dv.AggregateCheck("max(o_custkey)", max_value=1e9, name="custkey_cap"),
+    )
+    rep = dv.aggregate_checks_report(o, checks)
+    return rep.select(
+        "check_name", F.round("value", 6).alias("value"), "lo", "hi", "ok"
+    )
+
+
+def _sampled_range_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-bounded violation-rate estimate for 'o_totalprice <=
+    450000' from a deterministic 5% md5-bucket sample of orders — the
+    cheap pre-gate before a full 100 TB pass. Sample membership AND the
+    interval arithmetic are reproduced exactly by the oracle."""
+    o = _read(spark, sf_dir, "orders")
+    return dv.violation_rate_estimate(
+        o, "o_totalprice <= 450000", id_col="o_orderkey", fraction=0.05
+    )
+
+
+def _entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shannon entropy + distinctness for the two categorical
+    document columns in one scan — the distribution-shape profile
+    (near-constant vs near-uniform detector)."""
+    d = _read(spark, sf_dir, "documents")
+    return dv.column_entropies(d, ["lang", "source"])
+
+
+def _anomaly_sources_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clerk-prefix slice monitor: flag order-priority slices whose
+    average total price is a ≥2σ outlier vs the population of slices —
+    the per-slice anomaly gate contract rules can't express."""
+    o = _read(spark, sf_dir, "orders")
+    return dv.group_metric_anomalies(
+        o, group_col="o_orderpriority", metric_expr="avg(o_totalprice)", k=2.0
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_orders": _profile_orders,
@@ -976,6 +1080,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_events": _stream_dedup_events,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
+        "token_drift_sources": _token_drift_sources,
+        "token_drift_movers_sources": _token_drift_movers_sources,
+        "aggregate_checks_orders": _aggregate_checks_orders,
+        "sampled_range_orders": _sampled_range_orders,
+        "anomaly_sources_orders": _anomaly_sources_orders,
+        "entropy_documents": _entropy_documents,
         # rows-only (no SQL oracle): stubbed codecs (sandbox has no image
         # libs) and SimHash (approximate by design; pinned by pytest
         # including the degenerate-block cap instead)
@@ -1797,5 +1907,178 @@ def oracle_sql() -> dict[str, str]:
                        AND event_type NOT IN ('click','view','purchase','signup')),
                    count(*)
             FROM events GROUP BY 1
+        """,
+        # token-ID drift: identical portable hash (top-60-bit md5 mod 4096)
+        # and identical eps/rounding on both engines; the inner round(...,9)
+        # mirrors the operator's own rounding before the query's round(...,6)
+        "token_drift_sources": """
+            WITH tok AS (
+              SELECT source,
+                     CAST(CAST(('0x'||substr(md5(w),1,15)) AS BIGINT) % 4096
+                          AS INTEGER) AS token_id
+              FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+                    FROM documents)
+            ), hb AS (
+              SELECT token_id, count(*) AS cnt_base FROM tok
+              WHERE source < 'src2' GROUP BY 1
+            ), hc AS (
+              SELECT token_id, count(*) AS cnt_cur FROM tok
+              WHERE source >= 'src2' GROUP BY 1
+            ), j AS (
+              SELECT token_id, coalesce(cnt_base, 0) AS cnt_base,
+                     coalesce(cnt_cur, 0) AS cnt_cur
+              FROM hb FULL OUTER JOIN hc USING (token_id)
+            ), tot AS (
+              SELECT CAST(sum(cnt_base) AS DOUBLE) AS tb,
+                     CAST(sum(cnt_cur) AS DOUBLE) AS tc FROM j
+            ), pq AS (
+              SELECT token_id, cnt_base, cnt_cur,
+                     cnt_cur / tc AS p, cnt_base / tb AS q
+              FROM j, tot
+            )
+            SELECT CAST(sum(cnt_base) AS BIGINT) AS total_base,
+                   CAST(sum(cnt_cur) AS BIGINT) AS total_cur,
+                   CAST(count(*) FILTER (WHERE cnt_base > 0) AS BIGINT) AS vocab_base,
+                   CAST(count(*) FILTER (WHERE cnt_cur > 0) AS BIGINT) AS vocab_cur,
+                   CAST(count(*) FILTER (WHERE cnt_cur > 0 AND cnt_base = 0)
+                        AS BIGINT) AS novel_tokens,
+                   round(round(sum((greatest(p, 1e-6) - greatest(q, 1e-6))
+                         * ln(greatest(p, 1e-6) / greatest(q, 1e-6))), 9), 6) AS psi,
+                   round(round(sum(
+                     CASE WHEN p > 0 THEN 0.5*p*log2(p/((p+q)/2.0)) ELSE 0 END
+                   + CASE WHEN q > 0 THEN 0.5*q*log2(q/((p+q)/2.0)) ELSE 0 END
+                   ), 9), 6) AS js
+            FROM pq
+        """,
+        "token_drift_movers_sources": """
+            WITH tok AS (
+              SELECT source,
+                     CAST(CAST(('0x'||substr(md5(w),1,15)) AS BIGINT) % 4096
+                          AS INTEGER) AS token_id
+              FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+                    FROM documents)
+            ), hb AS (
+              SELECT token_id, count(*) AS cnt_base FROM tok
+              WHERE source < 'src2' GROUP BY 1
+            ), hc AS (
+              SELECT token_id, count(*) AS cnt_cur FROM tok
+              WHERE source >= 'src2' GROUP BY 1
+            ), j AS (
+              SELECT token_id, coalesce(cnt_base, 0) AS cnt_base,
+                     coalesce(cnt_cur, 0) AS cnt_cur
+              FROM hb FULL OUTER JOIN hc USING (token_id)
+            ), tot AS (
+              SELECT CAST(sum(cnt_base) AS DOUBLE) AS tb,
+                     CAST(sum(cnt_cur) AS DOUBLE) AS tc FROM j
+            ), pq AS (
+              SELECT token_id, cnt_base, cnt_cur,
+                     round(abs(cnt_cur / tc - cnt_base / tb), 9) AS shift9
+              FROM j, tot
+            )
+            SELECT token_id, cnt_base, cnt_cur, round(shift9, 6) AS abs_shift
+            FROM pq ORDER BY shift9 DESC, token_id LIMIT 15
+        """,
+        "aggregate_checks_orders": """
+            WITH v AS (
+              SELECT CAST(avg(o_totalprice) AS DOUBLE) AS v_avg,
+                     CAST(count(*) FILTER (WHERE o_totalprice > 500000)
+                          AS DOUBLE) / count(*) AS v_frac,
+                     CAST(count(*) AS DOUBLE) AS v_cnt,
+                     CAST(max(o_custkey) AS DOUBLE) AS v_ck
+              FROM orders
+            )
+            SELECT 'avg_totalprice' AS check_name, round(v_avg, 6) AS value,
+                   100000.0 AS lo, 400000.0 AS hi,
+                   (v_avg >= 100000.0 AND v_avg <= 400000.0) AS ok FROM v
+            UNION ALL
+            SELECT 'high_price_frac', round(v_frac, 6),
+                   CAST(NULL AS DOUBLE), 0.2, v_frac <= 0.2 FROM v
+            UNION ALL
+            SELECT 'row_floor', round(v_cnt, 6),
+                   1000000000.0, CAST(NULL AS DOUBLE),
+                   v_cnt >= 1000000000.0 FROM v
+            UNION ALL
+            SELECT 'custkey_cap', round(v_ck, 6),
+                   CAST(NULL AS DOUBLE), 1000000000.0,
+                   v_ck <= 1000000000.0 FROM v
+        """,
+        # deterministic 5% md5-bucket sample + 95% Wilson interval —
+        # membership AND arithmetic replicated literally (z = 1.959964)
+        "sampled_range_orders": """
+            WITH s AS (
+              SELECT o_totalprice FROM orders
+              WHERE CAST(('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)),1,15))
+                         AS BIGINT) % 1000000 < 50000
+            ), a AS (
+              SELECT CAST(count(*) AS BIGINT) AS sample_n,
+                     CAST(count(*) FILTER (WHERE coalesce(
+                           NOT (o_totalprice <= 450000), TRUE))
+                          AS BIGINT) AS violations
+              FROM s
+            )
+            SELECT sample_n, violations,
+                   round(violations / CAST(sample_n AS DOUBLE), 9) AS rate,
+                   round(greatest(
+                     ((violations / CAST(sample_n AS DOUBLE)
+                       + (1.959964*1.959964) / (2.0*sample_n))
+                      / (1.0 + (1.959964*1.959964) / sample_n))
+                     - (1.959964 * sqrt(
+                         (violations / CAST(sample_n AS DOUBLE))
+                         * (1.0 - violations / CAST(sample_n AS DOUBLE))
+                         / sample_n
+                         + (1.959964*1.959964) / (4.0*sample_n*sample_n))
+                        / (1.0 + (1.959964*1.959964) / sample_n)),
+                     0.0), 9) AS rate_lo,
+                   round(least(
+                     ((violations / CAST(sample_n AS DOUBLE)
+                       + (1.959964*1.959964) / (2.0*sample_n))
+                      / (1.0 + (1.959964*1.959964) / sample_n))
+                     + (1.959964 * sqrt(
+                         (violations / CAST(sample_n AS DOUBLE))
+                         * (1.0 - violations / CAST(sample_n AS DOUBLE))
+                         / sample_n
+                         + (1.959964*1.959964) / (4.0*sample_n*sample_n))
+                        / (1.0 + (1.959964*1.959964) / sample_n)),
+                     1.0), 9) AS rate_hi
+            FROM a
+        """,
+        "anomaly_sources_orders": """
+            WITH per AS (
+              SELECT o_orderpriority AS "group",
+                     CAST(avg(o_totalprice) AS DOUBLE) AS m
+              FROM orders GROUP BY 1
+            ), st AS (
+              SELECT avg(m) AS mu, stddev_samp(m) AS sd FROM per
+            )
+            SELECT "group", round(m, 6) AS metric,
+                   round(CASE WHEN m IS NOT NULL AND sd > 0
+                              THEN (m - mu) / sd END, 6) AS z,
+                   (m IS NULL OR coalesce(
+                      abs(CASE WHEN m IS NOT NULL AND sd > 0
+                               THEN (m - mu) / sd END) > 2.0, FALSE))
+                     AS is_anomaly
+            FROM per, st ORDER BY "group"
+        """,
+        "entropy_documents": """
+            WITH pairs AS (
+              SELECT 'lang' AS col_name, CAST(lang AS VARCHAR) AS val
+              FROM documents WHERE lang IS NOT NULL
+              UNION ALL
+              SELECT 'source', CAST(source AS VARCHAR)
+              FROM documents WHERE source IS NOT NULL
+            ), counts AS (
+              SELECT col_name, val, count(*) AS cnt FROM pairs GROUP BY 1, 2
+            ), ent AS (
+              SELECT col_name, CAST(count(*) AS BIGINT) AS n_distinct,
+                     round(log2(CAST(sum(cnt) AS DOUBLE))
+                           - sum(CAST(cnt AS DOUBLE) * log2(CAST(cnt AS DOUBLE)))
+                             / CAST(sum(cnt) AS DOUBLE), 6) AS entropy
+              FROM counts GROUP BY 1
+            )
+            SELECT col_name, n_distinct, entropy,
+                   round(CASE WHEN n_distinct > 1
+                              THEN entropy / log2(CAST(n_distinct AS DOUBLE))
+                         END, 6) AS norm_entropy
+            FROM ent ORDER BY col_name
         """,
     }

@@ -33,7 +33,12 @@ from .types import (
     dtypes_equivalent,
     normalize_dtype,
 )
-from .operators.infer import group_quantiles, infer_contract, infer_profile
+from .operators.infer import (
+    column_entropies,
+    group_quantiles,
+    infer_contract,
+    infer_profile,
+)
 from .operators.validate import (
     partition_verdicts,
     validate_and_fail,
@@ -49,7 +54,19 @@ from .operators.summarize import (
 )
 from .operators.uniqueness import duplicate_keys, uniqueness_violation_count
 from .operators.referential import referential_violations
-from .operators.drift import capture_histograms, chi_square, drift_scores, js, ks, psi
+from .operators.drift import (
+    capture_histograms,
+    chi_square,
+    drift_scores,
+    js,
+    ks,
+    psi,
+    token_distribution_drift,
+    token_drift_movers,
+    token_histogram,
+)
+from .operators.sampling import hash_sample, violation_rate_estimate
+from .operators.anomaly import group_metric_anomalies
 from .operators.tokens import (
     key_integrity_counts,
     arrays_equal_udf,
@@ -118,7 +135,14 @@ __all__ = [
     "js",
     "ks",
     "psi",
+    "column_entropies",
     "drift_scores",
+    "group_metric_anomalies",
+    "hash_sample",
+    "token_distribution_drift",
+    "token_drift_movers",
+    "token_histogram",
+    "violation_rate_estimate",
     "arrays_equal_udf",
     "ntok_invariant_violations",
     "token_equality_violations",

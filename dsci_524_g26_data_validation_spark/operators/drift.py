@@ -36,6 +36,9 @@ __all__ = [
     "ks",
     "js",
     "drift_scores",
+    "token_histogram",
+    "token_distribution_drift",
+    "token_drift_movers",
 ]
 
 NULL_LABEL = "__null__"
@@ -319,3 +322,137 @@ def drift_scores(
     for r in rows:
         by_col.setdefault(r["column"], {})[r["label"]] = int(r["cnt"])
     return drift_scores_from_counts(baselines, by_col)
+
+
+# ---------------------------------------------------------------------------
+# Token-ID distribution drift (LLM-corpus drift over the tokens payload)
+# ---------------------------------------------------------------------------
+
+
+def token_histogram(df: DataFrame, *, tokens_col: str = "tokens") -> DataFrame:
+    """(token_id, cnt) over every element of ``tokens_col``.
+
+    The token-ID histogram is THE unit-level distribution of a
+    pre-tokenized corpus — what the column-level histograms (E3/E4)
+    are to scalar columns. Explode + hash aggregate: partial (map-side)
+    aggregation bounds the shuffle at vocab size per input partition
+    regardless of corpus size, so at 100 TB the exchange carries
+    ~|V| rows per partition (|V| ≈ 10^4-10^5), not one row per token.
+    NULL arrays and NULL elements contribute nothing.
+    """
+    return (
+        df.select(F.explode(F.col(tokens_col)).alias("token_id"))
+        .groupBy("token_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _token_pq(
+    baseline_df: DataFrame,
+    current_df: DataFrame,
+    *,
+    tokens_col: str,
+) -> DataFrame:
+    """Per-token (token_id, cnt_base, cnt_cur, p, q) — q is the baseline
+    fraction, p the current fraction (the drift.psi convention).
+
+    Both histograms are vocab-sized, so the full-outer join and the
+    broadcast of the two one-row totals are trivially cheap next to the
+    two corpus scans.
+    """
+    hb = token_histogram(baseline_df, tokens_col=tokens_col).withColumnRenamed(
+        "cnt", "cnt_base"
+    )
+    hc = token_histogram(current_df, tokens_col=tokens_col).withColumnRenamed(
+        "cnt", "cnt_cur"
+    )
+    joined = hb.join(hc, "token_id", "full_outer").select(
+        "token_id",
+        F.coalesce("cnt_base", F.lit(0)).alias("cnt_base"),
+        F.coalesce("cnt_cur", F.lit(0)).alias("cnt_cur"),
+    )
+    totals = joined.agg(
+        F.sum("cnt_base").alias("total_base"), F.sum("cnt_cur").alias("total_cur")
+    )
+    return joined.crossJoin(F.broadcast(totals)).select(
+        "token_id",
+        "cnt_base",
+        "cnt_cur",
+        (F.col("cnt_cur") / F.col("total_cur")).alias("p"),
+        (F.col("cnt_base") / F.col("total_base")).alias("q"),
+    )
+
+
+def _js_term(p: F.Column, q: F.Column) -> F.Column:
+    """Per-token Jensen-Shannon contribution, 0·log0 ≡ 0 (no smoothing)."""
+    m = (p + q) / F.lit(2.0)
+    left = F.when(p > 0, F.lit(0.5) * p * F.log2(p / m)).otherwise(F.lit(0.0))
+    right = F.when(q > 0, F.lit(0.5) * q * F.log2(q / m)).otherwise(F.lit(0.0))
+    return left + right
+
+
+def token_distribution_drift(
+    baseline_df: DataFrame,
+    current_df: DataFrame,
+    *,
+    tokens_col: str = "tokens",
+    eps: float = 1e-6,
+) -> DataFrame:
+    """ONE-row token-ID drift summary between two corpus slices.
+
+    Columns: ``total_base``/``total_cur`` (token counts),
+    ``vocab_base``/``vocab_cur`` (distinct ids), ``novel_tokens`` (ids in
+    current only — tokenizer-version or contamination tripwire), ``psi``
+    (eps-smoothed, same convention as :func:`psi`) and ``js`` (base-2,
+    bounded [0,1], no smoothing).
+
+    Fully lazy and distributed: two explode+hash-agg scans, a
+    vocab-sized full-outer join, a broadcast of the one-row totals, and
+    a single-row final aggregate — no collect, composable into bigger
+    plans. The same numbers are expressible in ANSI SQL (the driver
+    oracle does), unlike sampled/sketch corpora comparisons.
+    """
+    pq_df = _token_pq(baseline_df, current_df, tokens_col=tokens_col)
+    p = F.col("p")
+    q = F.col("q")
+    pe = F.greatest(p, F.lit(float(eps)))
+    qe = F.greatest(q, F.lit(float(eps)))
+    return pq_df.agg(
+        F.sum("cnt_base").cast("bigint").alias("total_base"),
+        F.sum("cnt_cur").cast("bigint").alias("total_cur"),
+        F.count_if(F.col("cnt_base") > 0).cast("bigint").alias("vocab_base"),
+        F.count_if(F.col("cnt_cur") > 0).cast("bigint").alias("vocab_cur"),
+        F.count_if((F.col("cnt_cur") > 0) & (F.col("cnt_base") == 0))
+        .cast("bigint")
+        .alias("novel_tokens"),
+        F.round(F.sum((pe - qe) * F.log(pe / qe)), 9).alias("psi"),
+        F.round(F.sum(_js_term(p, q)), 9).alias("js"),
+    )
+
+
+def token_drift_movers(
+    baseline_df: DataFrame,
+    current_df: DataFrame,
+    *,
+    tokens_col: str = "tokens",
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` token ids by absolute frequency shift |p − q|.
+
+    The diagnostic companion to :func:`token_distribution_drift`: WHICH
+    tokens moved. Deterministic order (shift desc, token_id asc) so the
+    result is engine-reproducible; TakeOrderedAndProject keeps the
+    top-k selection map-side — only k rows per partition reach the
+    driver-side sort.
+    """
+    pq_df = _token_pq(baseline_df, current_df, tokens_col=tokens_col)
+    return (
+        pq_df.select(
+            "token_id",
+            "cnt_base",
+            "cnt_cur",
+            F.round(F.abs(F.col("p") - F.col("q")), 9).alias("abs_shift"),
+        )
+        .orderBy(F.desc("abs_shift"), F.asc("token_id"))
+        .limit(int(k))
+    )

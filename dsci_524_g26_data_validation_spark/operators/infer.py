@@ -36,7 +36,13 @@ from ..plans.rule_compiler import (
 )
 from ..types import ColumnProfile, ColumnRule, Contract, TableProfile
 
-__all__ = ["infer_contract", "infer_profile", "group_quantiles", "DEFAULT_MAX_CATEGORIES"]
+__all__ = [
+    "infer_contract",
+    "infer_profile",
+    "group_quantiles",
+    "column_entropies",
+    "DEFAULT_MAX_CATEGORIES",
+]
 
 #: Above this estimated cardinality a column is treated as free-text, not
 #: categorical: allowed_values stays None instead of OOM-ing the driver.
@@ -269,3 +275,66 @@ def group_quantiles(
         for q in quantiles
     ]
     return df.groupBy(group_col).agg(*aggs)
+
+
+def column_entropies(df: DataFrame, cols) -> DataFrame:
+    """(col_name, n_distinct, entropy, norm_entropy) — exact Shannon
+    entropy (base 2) and distinct count per column, ALL columns in one
+    scan.
+
+    The distribution-shape profile missing from min/max/missing-frac:
+    entropy ≈ 0 flags a near-constant column (a silently broken
+    extractor), norm_entropy ≈ 1 a near-uniform one (e.g. a hash
+    accidentally exported as a category). ``norm_entropy`` =
+    entropy / log2(n_distinct), NULL for single-valued columns; NULLs
+    are excluded from mass (consistent with the P5 domain rule).
+
+    Plan: one scan emits (col, value-as-string) pairs via the same
+    explode trick as the fused histogram capture; hash-aggregate to
+    per-(col, value) counts (map-side partials bound the shuffle by
+    cardinality, not rows); the identity
+    ``H = log2(N) − Σ c·log2(c) / N`` folds the counts in a single
+    second aggregate — no per-column window, no extra shuffle beyond
+    the (col, value) one. Intended for bounded-cardinality columns —
+    the (col, value) state is O(Σ cardinality), same caveat (and same
+    HLL pre-check remedy) as the categorical-domain profile.
+    """
+    cols = list(cols)
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    entries = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"`{c}`").cast("string").alias("val"),
+        )
+        for c in cols
+    ]
+    counts = (
+        df.select(F.explode(F.array(*entries)).alias("e"))
+        .filter(F.col("e.val").isNotNull())
+        .groupBy(F.col("e.col_name").alias("col_name"), F.col("e.val").alias("val"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n = F.sum("cnt").cast("double")
+    c = F.col("cnt").cast("double")
+    entropy = F.round(F.log2(n) - F.sum(c * F.log2(c)) / n, 6)
+    return (
+        counts.groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            entropy.alias("entropy"),
+        )
+        .select(
+            "col_name",
+            "n_distinct",
+            "entropy",
+            F.round(
+                F.when(
+                    F.col("n_distinct") > 1,
+                    F.col("entropy") / F.log2(F.col("n_distinct").cast("double")),
+                ),
+                6,
+            ).alias("norm_entropy"),
+        )
+        .orderBy("col_name")
+    )

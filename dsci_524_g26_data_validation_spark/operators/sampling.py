@@ -1,0 +1,141 @@
+"""Deterministic hash sampling + bounded violation-rate estimation.
+
+At 100 TB a full contract pass is hours; most pipeline gates only need
+"is the violation rate plausibly below X?" — answerable from a sample
+thousands of times smaller. Two properties a `df.sample()` can't give:
+
+* **Deterministic and engine-portable.** Membership is a pure function
+  of the row's id (top-60-bits-of-md5, the same portable-hash trick the
+  simhash/fingerprint operators use), so the SAME rows are selected on
+  every run, on every engine (the DuckDB oracle reproduces the sample
+  exactly), across retries and resumes — a prerequisite for auditable
+  gating decisions. `sample()` is seed-and-partitioning dependent.
+* **Honest uncertainty.** The estimate comes with a Wilson score
+  interval (the binomial interval that behaves at p≈0, exactly where
+  violation rates live — the normal approximation collapses there), so
+  callers gate on ``rate_hi`` (upper bound), not the point estimate.
+
+100 TB shape: the membership predicate is row-local (no shuffle, no
+state); it evaluates right after the scan so everything downstream sees
+``fraction``·N rows. It cannot push into the parquet reader (md5 of a
+column isn't a min/max-prunable predicate) — the scan still reads the id
+column of every row group, but only sampled rows survive to the first
+exchange, which is where the cost lives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "portable_hash64",
+    "hash_sample",
+    "violation_rate_estimate",
+]
+
+#: Sample-bucket granularity: fraction resolution is 1/_BUCKETS.
+_BUCKETS = 1_000_000
+
+#: z for a 95% two-sided Wilson interval. Fixed (not a parameter forced
+#: through norm.ppf) so the oracle SQL carries the identical literal.
+_Z95 = 1.959964
+
+
+def portable_hash64(col: Column) -> Column:
+    """Top 60 bits of md5 as a non-negative bigint.
+
+    Renderable identically by any engine with md5 — DuckDB spells it
+    ``CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)``. Used instead of
+    the (faster, JVM-only) xxhash64 wherever cross-engine reproducibility
+    is the point.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def hash_sample(
+    df: DataFrame,
+    *,
+    id_col: str,
+    fraction: float,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic ``fraction``-sample: keep rows whose
+    ``portable_hash64(salt || id) mod 1e6`` falls under the cutoff.
+
+    ``salt`` selects an independent sample from the same ids (vary it to
+    draw disjoint audit samples; same salt ⇒ same rows forever). NULL
+    ids hash as the bare salt — all NULL-id rows land in one bucket
+    together, in or out as a unit.
+    """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    cutoff = int(round(fraction * _BUCKETS))
+    if cutoff == 0:
+        raise ValueError(
+            f"fraction {fraction} is below the 1/{_BUCKETS} resolution"
+        )
+    h = portable_hash64(
+        F.concat(F.lit(salt), F.coalesce(F.col(id_col).cast("string"), F.lit("")))
+    )
+    return df.filter(F.pmod(h, F.lit(_BUCKETS)) < F.lit(cutoff))
+
+
+def violation_rate_estimate(
+    df: DataFrame,
+    predicate: str,
+    *,
+    id_col: str,
+    fraction: float,
+    salt: str = "",
+) -> DataFrame:
+    """ONE-row Wilson-bounded estimate of ``fraction-of-rows violating
+    predicate`` from a deterministic hash sample.
+
+    ``predicate`` is a Spark SQL boolean expression naming the
+    VIOLATION (e.g. ``"l_quantity > 45"``); NULL evaluations count as
+    violations ("couldn't establish the property"), matching the
+    engine's check semantics.
+
+    Columns: ``sample_n``, ``violations``, ``rate`` (point estimate),
+    ``rate_lo``/``rate_hi`` (95% Wilson score bounds). Gate on
+    ``rate_hi < budget``: at 0.1% sampling of 10^11 rows the sample is
+    ~10^8 rows, so the interval width is ~1e-4 — tight enough for any
+    realistic violation budget, at 1/1000 the cost of the full pass.
+
+    The whole computation is one row-local filter + a single-row
+    aggregate (count / count_if) + literal arithmetic: fully lazy, no
+    shuffle beyond the one-row final exchange, and every number is
+    reproducible in ANSI SQL (the driver oracle recomputes sample
+    membership AND the interval).
+    """
+    sample = hash_sample(df, id_col=id_col, fraction=fraction, salt=salt)
+    viol = F.coalesce(~F.expr(predicate), F.lit(True))
+    agg = sample.agg(
+        F.count(F.lit(1)).cast("bigint").alias("sample_n"),
+        F.count_if(viol).cast("bigint").alias("violations"),
+    )
+    n = F.col("sample_n").cast("double")
+    z2 = F.lit(_Z95 * _Z95)
+    p = F.col("violations") / n
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (F.lit(2.0) * n)) / denom
+    half = (
+        F.lit(_Z95)
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n))
+        / denom
+    )
+    empty = F.col("sample_n") == 0
+    return agg.select(
+        "sample_n",
+        "violations",
+        F.round(F.when(empty, F.lit(None)).otherwise(p), 9).alias("rate"),
+        F.round(
+            F.when(empty, F.lit(None)).otherwise(F.greatest(center - half, F.lit(0.0))),
+            9,
+        ).alias("rate_lo"),
+        F.round(
+            F.when(empty, F.lit(None)).otherwise(F.least(center + half, F.lit(1.0))),
+            9,
+        ).alias("rate_hi"),
+    )
