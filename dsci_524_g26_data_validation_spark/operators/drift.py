@@ -20,6 +20,7 @@ from typing import Dict, Iterable, Mapping, Optional, Tuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from ..plans.rule_compiler import categorical_cast
 from ..types import Histogram
@@ -371,15 +372,18 @@ def _token_pq(
         F.coalesce("cnt_base", F.lit(0)).alias("cnt_base"),
         F.coalesce("cnt_cur", F.lit(0)).alias("cnt_cur"),
     )
-    totals = joined.agg(
-        F.sum("cnt_base").alias("total_base"), F.sum("cnt_cur").alias("total_cur")
-    )
-    return joined.crossJoin(F.broadcast(totals)).select(
+    # Totals via an unpartitioned window, NOT agg + crossJoin: a self-join
+    # on an aggregate of `joined` would recompute the whole subtree — at
+    # 100 TB that doubles the corpus scans (4 instead of 2, caught by the
+    # r3 plan audit). The single-partition window touches only the
+    # vocab-sized frame (|V| ≈ 10^4-10^5 rows), a trivial single task.
+    w = Window.partitionBy()
+    return joined.select(
         "token_id",
         "cnt_base",
         "cnt_cur",
-        (F.col("cnt_cur") / F.col("total_cur")).alias("p"),
-        (F.col("cnt_base") / F.col("total_base")).alias("q"),
+        (F.col("cnt_cur") / F.sum("cnt_cur").over(w)).alias("p"),
+        (F.col("cnt_base") / F.sum("cnt_base").over(w)).alias("q"),
     )
 
 
@@ -407,8 +411,8 @@ def token_distribution_drift(
     bounded [0,1], no smoothing).
 
     Fully lazy and distributed: two explode+hash-agg scans, a
-    vocab-sized full-outer join, a broadcast of the one-row totals, and
-    a single-row final aggregate — no collect, composable into bigger
+    vocab-sized full-outer join, an unpartitioned window for the totals
+    (vocab-sized, one task), and a single-row final aggregate — no collect, composable into bigger
     plans. The same numbers are expressible in ANSI SQL (the driver
     oracle does), unlike sampled/sketch corpora comparisons.
     """

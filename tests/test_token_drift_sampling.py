@@ -228,8 +228,10 @@ def test_group_anomaly_single_scan(spark):
         .executedPlan()
         .toString()
     )
-    assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") <= 2
-    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    # ONE scan: population stats come from an unpartitioned window over
+    # the group-sized frame, not an agg + crossJoin (which would rescan)
+    assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") == 1
+    assert "Window" in plan and "Join" not in plan
 
 
 # ---------------------------------------------------------------------------
