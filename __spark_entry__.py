@@ -1011,6 +1011,16 @@ def _sampled_range_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fd_violations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency check l_orderkey → l_returnflag: orders
+    whose line items disagree on the flag, with bounded witnesses
+    (distinct-pair shuffle, never a collect_set)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return dv.functional_dependency_violations(
+        li, determinant="l_orderkey", dependent="l_returnflag"
+    )
+
+
 def _entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Shannon entropy + distinctness for the two categorical
     document columns in one scan — the distribution-shape profile
@@ -1086,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_range_orders": _sampled_range_orders,
         "anomaly_sources_orders": _anomaly_sources_orders,
         "entropy_documents": _entropy_documents,
+        "fd_violations_lineitem": _fd_violations_lineitem,
         # rows-only (no SQL oracle): stubbed codecs (sandbox has no image
         # libs) and SimHash (approximate by design; pinned by pytest
         # including the degenerate-block cap instead)
@@ -2080,5 +2091,15 @@ def oracle_sql() -> dict[str, str]:
                               THEN entropy / log2(CAST(n_distinct AS DOUBLE))
                          END, 6) AS norm_entropy
             FROM ent ORDER BY col_name
+        """,
+        "fd_violations_lineitem": """
+            WITH pairs AS (
+              SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem
+            )
+            SELECT l_orderkey,
+                   CAST(count(*) AS BIGINT) AS n_values,
+                   min(l_returnflag) AS witness_min,
+                   max(l_returnflag) AS witness_max
+            FROM pairs GROUP BY l_orderkey HAVING count(*) > 1
         """,
     }

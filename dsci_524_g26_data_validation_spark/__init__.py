@@ -52,7 +52,11 @@ from .operators.summarize import (
     summarize_violations_df,
     summarize_violations_distributed,
 )
-from .operators.uniqueness import duplicate_keys, uniqueness_violation_count
+from .operators.uniqueness import (
+    duplicate_keys,
+    functional_dependency_violations,
+    uniqueness_violation_count,
+)
 from .operators.referential import referential_violations
 from .operators.drift import (
     capture_histograms,
@@ -137,6 +141,7 @@ __all__ = [
     "psi",
     "column_entropies",
     "drift_scores",
+    "functional_dependency_violations",
     "group_metric_anomalies",
     "hash_sample",
     "token_distribution_drift",

@@ -25,7 +25,11 @@ from typing import Sequence, Union
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["duplicate_keys", "uniqueness_violation_count"]
+__all__ = [
+    "duplicate_keys",
+    "uniqueness_violation_count",
+    "functional_dependency_violations",
+]
 
 
 def _keys(key: Union[str, Sequence[str]]):
@@ -64,3 +68,46 @@ def uniqueness_violation_count(df: DataFrame, key: Union[str, Sequence[str]]) ->
         .collect()[0]
     )
     return {"dup_keys": int(row["dup_keys"]), "surplus_rows": int(row["surplus_rows"])}
+
+
+def functional_dependency_violations(
+    df: DataFrame,
+    *,
+    determinant: Union[str, Sequence[str]],
+    dependent: str,
+) -> DataFrame:
+    """Determinant-value groups that map to MORE than one distinct
+    dependent value — violations of the functional dependency
+    ``determinant → dependent`` (e.g. ``zip → city``,
+    ``doc_id → content_hash``, ``order → customer``).
+
+    The cross-column integrity check E1 can't express: uniqueness says
+    "this key appears once"; an FD says "whenever this key appears, the
+    dependent agrees". Returns one row per violating determinant with
+    ``n_values`` (distinct dependent count, NULL counted as a value —
+    {x, NULL} IS an inconsistency) and two bounded witnesses
+    (``witness_min``/``witness_max``, min/max over non-NULL dependents).
+
+    100 TB shape: stage 1 deduplicates (determinant, dependent) PAIRS in
+    a hash aggregate — map-side partials collapse repeats before the
+    shuffle, so the exchange carries distinct pairs, not rows; stage 2
+    aggregates pair-counts per determinant. Witness state is two values
+    per group (min/max), never a collect_set — bounded no matter how
+    badly the FD is broken. Both stages are partial+final hash
+    aggregates; skew note: a determinant value with millions of
+    DISTINCT dependents is itself the pathology this check reports, and
+    stage 1's (det, dep) grouping already spreads it across reducers.
+    """
+    det = _keys(determinant)
+    pairs = df.select(*det, dependent).groupBy(*det, dependent).agg(
+        F.lit(1).alias("_one")
+    )
+    return (
+        pairs.groupBy(*det)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+            F.min(dependent).alias("witness_min"),
+            F.max(dependent).alias("witness_max"),
+        )
+        .filter(F.col("n_values") > 1)
+    )

@@ -277,3 +277,55 @@ def test_column_entropies_empty_cols(spark):
     df = spark.createDataFrame([("a",)], "u string")
     with pytest.raises(ValueError, match="non-empty"):
         dv.column_entropies(df, [])
+
+
+# ---------------------------------------------------------------------------
+# functional_dependency_violations
+# ---------------------------------------------------------------------------
+
+
+def test_fd_violations_basic(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (2, "b"), (3, None), (3, "c"), (4, None)],
+        "k int, v string",
+    )
+    got = {
+        r["k"]: r
+        for r in dv.functional_dependency_violations(
+            df, determinant="k", dependent="v"
+        ).collect()
+    }
+    assert set(got) == {2, 3}  # 1 consistent, 4 single (NULL) value
+    assert got[2]["n_values"] == 2
+    assert {got[2]["witness_min"], got[2]["witness_max"]} == {"a", "b"}
+    # NULL counts as a distinct value; witnesses are the non-null side
+    assert got[3]["n_values"] == 2
+    assert got[3]["witness_min"] == "c" and got[3]["witness_max"] == "c"
+
+
+def test_fd_violations_composite_determinant(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 10), (1, "x", 10), (1, "y", 10), (1, "y", 20)],
+        "a int, b string, c int",
+    )
+    rows = dv.functional_dependency_violations(
+        df, determinant=["a", "b"], dependent="c"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["a"] == 1 and rows[0]["b"] == "y" and rows[0]["n_values"] == 2
+
+
+def test_fd_violations_two_stage_plan(spark):
+    """Witness state is min/max, never a collect_set; shuffles are
+    bounded by distinct pairs (≤2 exchanges, one per stage). Spark may
+    pick SortAggregate for the string min/max buffer — that's fine, the
+    input is already pair-deduplicated."""
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    plan = (
+        dv.functional_dependency_violations(df, determinant="k", dependent="v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "collect_set" not in plan
+    assert plan.count("Exchange") <= 2
