@@ -45,7 +45,11 @@ from .operators.validate import (
     validate_contract,
     violation_rows,
 )
-from .operators.compare import compare_contracts, compare_table_contracts
+from .operators.compare import (
+    compare_contracts,
+    compare_table_contracts,
+    read_compatibility,
+)
 from .operators.summarize import (
     DistributedSummary,
     summarize_violations,
@@ -141,6 +145,7 @@ __all__ = [
     "psi",
     "column_entropies",
     "drift_scores",
+    "read_compatibility",
     "functional_dependency_violations",
     "group_metric_anomalies",
     "hash_sample",

@@ -24,9 +24,16 @@ chi-square/PSI — that path inspects data, not this one.
 
 from __future__ import annotations
 
-from ..types import ColumnRule, Contract, DriftReport
+from ..types import (
+    ColumnRule,
+    Contract,
+    DriftReport,
+    Issue,
+    ValidationResult,
+    normalize_dtype,
+)
 
-__all__ = ["compare_contracts", "compare_table_contracts"]
+__all__ = ["compare_contracts", "compare_table_contracts", "read_compatibility"]
 
 
 def _check_rules(contract: Contract) -> None:
@@ -125,3 +132,142 @@ def compare_table_contracts(tc_a, tc_b) -> dict:
         "invariants_removed": sorted(set(tc_a.invariants) - set(tc_b.invariants)),
         "baseline_psi": baseline_psi,
     }
+
+
+# ---------------------------------------------------------------------------
+# Read compatibility (schema-registry-style, engine extension)
+# ---------------------------------------------------------------------------
+
+#: Avro-style type promotions on NORMALIZED Spark dtypes. The engine's
+#: dtype model (types.normalize_dtype, pinned by the reference's
+#: int64≡bigint equivalence) collapses every integer width to ``bigint``
+#: and float→``double``, so width changes WITHIN a family are already
+#: equivalent engine-wide; the one cross-family promotion is
+#: integer→floating (lossy above 2^53, exactly the promotion Avro
+#: permits for long→double).
+#: Note the normalized space still distinguishes tinyint/smallint/int
+#: (from int8/int16/int32) even though bare "int"/"int64" both map to
+#: bigint — so the ladder is spelled out; unreachable edges are harmless.
+_PROMOTIONS = {
+    "tinyint": {"smallint", "int", "bigint", "float", "double"},
+    "smallint": {"int", "bigint", "float", "double"},
+    "int": {"bigint", "float", "double"},
+    "bigint": {"float", "double"},
+    "float": {"double"},
+}
+
+
+def _readable_as(writer_dtype: str, reader_dtype: str) -> bool:
+    w = normalize_dtype(writer_dtype)
+    r = normalize_dtype(reader_dtype)
+    return w == r or r in _PROMOTIONS.get(w, ())
+
+
+def read_compatibility(writer: Contract, reader: Contract) -> ValidationResult:
+    """Can data WRITTEN under ``writer`` be consumed by code expecting
+    ``reader``? (The schema-registry "can this consumer read that
+    producer" question — `compare_contracts` tells you WHAT changed,
+    this tells you whether the change breaks a consumer.)
+
+    Pure metadata, zero Spark jobs. A reader column is compatible when
+    the writer provides it with an identical-or-promotable dtype
+    (Avro-style promotions: int widening, int→float/double,
+    float→double) AND every writer guarantee is at least as strong as
+    the reader's expectation:
+
+    * missingness: writer.max_missing_frac ≤ reader's tolerance;
+    * range: the writer's [min, max] lies inside the reader's (an
+      unbounded writer side vs a bounded reader side is incompatible);
+    * categories: writer's allowed set ⊆ reader's (an open writer
+      domain vs a closed reader domain is incompatible).
+
+    Writer columns the reader doesn't name are ignored (projection).
+    Returns a :class:`ValidationResult`; each incompatibility is an
+    Issue with kind ∈ {missing_column, dtype, missingness, range,
+    category}.
+    """
+    if not isinstance(writer, Contract) or not isinstance(reader, Contract):
+        raise TypeError("writer and reader must be Contract instances")
+    _check_rules(writer)
+    _check_rules(reader)
+
+    issues = []
+    for column, rr in reader.columns.items():
+        wr = writer.columns.get(column)
+        if wr is None:
+            issues.append(
+                Issue(
+                    kind="missing_column",
+                    message=f"reader requires column '{column}' the writer does not provide",
+                    column=column,
+                    observed=None,
+                    expected=rr.dtype,
+                )
+            )
+            continue
+        if not _readable_as(wr.dtype, rr.dtype):
+            issues.append(
+                Issue(
+                    kind="dtype",
+                    message=(
+                        f"column '{column}': writer dtype {wr.dtype!r} is not "
+                        f"readable as {rr.dtype!r}"
+                    ),
+                    column=column,
+                    observed=wr.dtype,
+                    expected=rr.dtype,
+                )
+            )
+        if wr.max_missing_frac > rr.max_missing_frac:
+            issues.append(
+                Issue(
+                    kind="missingness",
+                    message=(
+                        f"column '{column}': writer permits missing frac "
+                        f"{wr.max_missing_frac} above reader tolerance "
+                        f"{rr.max_missing_frac}"
+                    ),
+                    column=column,
+                    observed=wr.max_missing_frac,
+                    expected=rr.max_missing_frac,
+                )
+            )
+        lo_bad = rr.min_value is not None and (
+            wr.min_value is None or wr.min_value < rr.min_value
+        )
+        hi_bad = rr.max_value is not None and (
+            wr.max_value is None or wr.max_value > rr.max_value
+        )
+        if lo_bad or hi_bad:
+            issues.append(
+                Issue(
+                    kind="range",
+                    message=(
+                        f"column '{column}': writer range "
+                        f"[{wr.min_value}, {wr.max_value}] exceeds reader range "
+                        f"[{rr.min_value}, {rr.max_value}]"
+                    ),
+                    column=column,
+                    observed=(wr.min_value, wr.max_value),
+                    expected=(rr.min_value, rr.max_value),
+                )
+            )
+        if rr.allowed_values is not None and (
+            wr.allowed_values is None
+            or not set(wr.allowed_values) <= set(rr.allowed_values)
+        ):
+            issues.append(
+                Issue(
+                    kind="category",
+                    message=(
+                        f"column '{column}': writer domain "
+                        f"{sorted(wr.allowed_values) if wr.allowed_values else None} "
+                        f"is not contained in reader domain "
+                        f"{sorted(rr.allowed_values)}"
+                    ),
+                    column=column,
+                    observed=wr.allowed_values,
+                    expected=rr.allowed_values,
+                )
+            )
+    return ValidationResult(ok=not issues, issues=issues)
