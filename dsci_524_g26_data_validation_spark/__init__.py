@@ -10,6 +10,7 @@ checks; see SURVEY.md §2 for the operator inventory.
 
 from .types import (
     AggregateCheck,
+    FunctionalDependencyRule,
     ColumnProfile,
     ColumnRule,
     Contract,
@@ -101,6 +102,7 @@ __all__ = [
     "AggregateCheck",
     "aggregate_checks_report",
     "ColumnProfile",
+    "FunctionalDependencyRule",
     "ColumnRule",
     "Contract",
     "ContractViolationError",

@@ -12,6 +12,7 @@ This is the "full contract pass" the north-star metric times
                              (E6) in one shuffle, when the token key is
                              a unique key and a reference is given
   ≤1 two-level agg           per additional uniqueness key        (E1)
+  ≤1 pair-dedup agg           per functional-dependency rule (fds)
   ≤1 anti-join               per foreign key whose dim is too big
                              to inline into job 1                 (E2)
   ≤1 scan                    violation-row materialization (conditional;
@@ -46,7 +47,7 @@ from .checks import aggregate_check_terms, evaluate_aggregate_checks
 from .drift import drift_scores_from_counts, fused_drift_terms
 from .referential import referential_violations
 from .tokens import key_integrity_counts, token_equality_violations
-from .uniqueness import duplicate_keys
+from .uniqueness import duplicate_keys, functional_dependency_violations
 from .validate import validate_contract_fused
 
 __all__ = ["validate_table_contract", "run_resumable_validation", "DriftThresholds"]
@@ -220,6 +221,31 @@ def validate_table_contract(
                         f"{agg['s']} surplus row(s)"
                     ),
                     column=key,
+                    observed=int(agg["k"]),
+                    expected=0,
+                )
+            )
+
+    # Functional dependencies: one pair-deduplicated two-stage agg per
+    # rule (operators.uniqueness.functional_dependency_violations); the
+    # 1-row verdict aggregate keeps driver traffic constant.
+    for fd in tc.fds:
+        viol = functional_dependency_violations(
+            df, determinant=fd.determinant, dependent=fd.dependent
+        )
+        agg = viol.agg(
+            F.count(F.lit(1)).alias("k"),
+            F.coalesce(F.sum(F.col("n_values") - 1), F.lit(0)).alias("s"),
+        ).collect()[0]
+        if int(agg["k"]) > 0:
+            issues.append(
+                Issue(
+                    kind="functional_dependency",
+                    message=(
+                        f"{fd.label}: {agg['k']} determinant value(s) map to "
+                        f"multiple dependents ({agg['s']} surplus pairing(s))"
+                    ),
+                    column=fd.dependent,
                     observed=int(agg["k"]),
                     expected=0,
                 )

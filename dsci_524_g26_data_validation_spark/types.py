@@ -33,6 +33,8 @@ __all__ = [
     "Histogram",
     "TableContract",
     "ForeignKeyRule",
+    "FunctionalDependencyRule",
+    "AggregateCheck",
     "normalize_dtype",
     "dtypes_equivalent",
     "contract_to_dict",
@@ -162,7 +164,8 @@ class Issue:
     kind ∈ {missing_column, extra_column, dtype, missingness, range,
     category} for contract checks, plus engine-level kinds
     {uniqueness, referential, invariant, drift_chi2, drift_psi,
-    drift_ks, drift_js, token_equality, aggregate_check}.
+    drift_ks, drift_js, token_equality, aggregate_check,
+    functional_dependency}.
     ``column is None`` marks a dataset-level issue.
     """
 
@@ -303,6 +306,24 @@ class ForeignKeyRule:
 
 
 @dataclass(frozen=True)
+class FunctionalDependencyRule:
+    """Cross-column integrity: ``determinant`` columns must uniquely
+    determine ``dependent`` (zip → city, doc_id → content digest)."""
+
+    determinant: Tuple[str, ...]
+    dependent: str
+
+    def __post_init__(self):
+        object.__setattr__(self, "determinant", tuple(self.determinant))
+        if not self.determinant:
+            raise ValueError("determinant must name at least one column")
+
+    @property
+    def label(self) -> str:
+        return f"{', '.join(self.determinant)} -> {self.dependent}"
+
+
+@dataclass(frozen=True)
 class AggregateCheck:
     """Table-level aggregate assertion (Deequ-style "check").
 
@@ -353,6 +374,7 @@ class TableContract:
     histograms: Mapping[str, Histogram] = field(default_factory=dict)
     invariants: Tuple[str, ...] = ()
     checks: Tuple[AggregateCheck, ...] = ()
+    fds: Tuple[FunctionalDependencyRule, ...] = ()
     name: str = "table_contract"
 
 
@@ -435,6 +457,10 @@ def table_contract_to_dict(tc: "TableContract") -> Dict[str, Any]:
              "max_value": c.max_value, "name": c.name}
             for c in tc.checks
         ],
+        "fds": [
+            {"determinant": list(r.determinant), "dependent": r.dependent}
+            for r in tc.fds
+        ],
     }
 
 
@@ -466,6 +492,12 @@ def table_contract_from_dict(data: Mapping[str, Any]) -> "TableContract":
                 name=c.get("name", ""),
             )
             for c in data.get("checks", ())
+        ),
+        fds=tuple(
+            FunctionalDependencyRule(
+                determinant=tuple(r["determinant"]), dependent=r["dependent"]
+            )
+            for r in data.get("fds", ())
         ),
         name=data.get("name", "table_contract"),
     )

@@ -107,3 +107,41 @@ def test_single_scan_plan(spark, df):
     )
     assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") <= 1
     assert "Exchange" not in plan or plan.count("Exchange") <= 1
+
+
+def test_fd_rule_in_table_contract(spark):
+    df = spark.createDataFrame(
+        [(1, "x", "a"), (1, "y", "a"), (2, "x", "b"), (2, "x", "c")],
+        "k int, u string, v string",
+    )
+    tc = dv.TableContract(
+        contract=dv.infer_contract(df),
+        fds=(
+            dv.FunctionalDependencyRule(determinant=("k",), dependent="v"),
+            dv.FunctionalDependencyRule(determinant=("k",), dependent="u"),
+        ),
+    )
+    res = dv.validate_table_contract(df, tc)
+    fd_issues = {i.column: i for i in res.issues if i.kind == "functional_dependency"}
+    # k -> v broken by k=2 ({b, c}); k -> u broken by k=1 ({x, y})
+    assert set(fd_issues) == {"v", "u"} and not res.ok
+    assert fd_issues["v"].observed == 1
+    # JSON round-trip carries the rules
+    tc2 = dv.table_contract_from_json(dv.table_contract_to_json(tc))
+    assert tc2.fds == tc.fds
+    # clean FD produces no issue
+    tc3 = dv.TableContract(
+        contract=dv.infer_contract(df),
+        fds=(dv.FunctionalDependencyRule(determinant=("u", "v"), dependent="k"),),
+    )
+    assert not any(
+        i.kind == "functional_dependency"
+        for i in dv.validate_table_contract(df, tc3).issues
+    )
+
+
+def test_fd_rule_requires_determinant():
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="determinant"):
+        dv.FunctionalDependencyRule(determinant=(), dependent="v")
