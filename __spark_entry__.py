@@ -177,6 +177,28 @@ def _ks_drift_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emd_drift_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned Wasserstein-1 (earth mover's) drift of o_totalprice vs a
+    uniform 10-bin baseline — the magnitude member of the drift family:
+    KS reports the largest CDF gap, EMD integrates all of them × bin
+    width, so the statistic reads in dollars of mass transport."""
+    from dsci_524_g26_data_validation_spark.operators.drift import drift_scores
+
+    o = _read(spark, sf_dir, "orders")
+    h = Histogram(
+        labels=tuple(str(i) for i in range(1, 11)),
+        fracs=(0.1,) * 10,
+        kind="numeric",
+        lo=0.0,
+        hi=600000.0,
+        n_bins=10,
+    )
+    s = drift_scores(o, {"o_totalprice": h})["o_totalprice"]
+    return spark.createDataFrame(
+        [("o_totalprice", round(s["emd"], 6))], "col_name string, emd double"
+    )
+
+
 def _psi_documents_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4: per-category observed fraction + PSI term vs uniform baseline."""
     d = _read(spark, sf_dir, "documents")
@@ -1049,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_orders_customer": _referential_orders_customer,
         "histogram_totalprice": _histogram_totalprice,
         "ks_drift_totalprice": _ks_drift_totalprice,
+        "emd_drift_totalprice": _emd_drift_totalprice,
         "psi_documents_source": _psi_documents_source,
         "js_drift_documents_source": _js_drift_documents_source,
         "repetition_by_source": _repetition_by_source,
@@ -1237,6 +1260,31 @@ def oracle_sql() -> dict[str, str]:
               FROM f
             )
             SELECT 'o_totalprice' AS col_name, round(max(abs(cp - cq)), 6) AS ks
+            FROM c
+        """,
+        "emd_drift_totalprice": """
+            WITH ob AS (
+              SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                          WHEN o_totalprice >= 600000 THEN 11
+                          ELSE least(floor(o_totalprice / 60000) + 1, 10) END
+                     AS BIGINT) AS bin,
+                     count(*) AS cnt
+              FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+            ), allb AS (
+              SELECT unnest(generate_series(1, 10))::BIGINT AS bin
+              UNION SELECT bin FROM ob
+            ), f AS (
+              SELECT allb.bin,
+                     coalesce(ob.cnt, 0) * 1.0 / (SELECT sum(cnt) FROM ob) AS p,
+                     CASE WHEN allb.bin BETWEEN 1 AND 10 THEN 0.1 ELSE 0.0 END AS q
+              FROM allb LEFT JOIN ob USING (bin)
+            ), c AS (
+              SELECT sum(p) OVER (ORDER BY bin) AS cp,
+                     sum(q) OVER (ORDER BY bin) AS cq
+              FROM f
+            )
+            SELECT 'o_totalprice' AS col_name,
+                   round(sum(abs(cp - cq)) * 60000, 6) AS emd
             FROM c
         """,
         "psi_documents_source": """

@@ -67,6 +67,7 @@ from .operators.drift import (
     capture_histograms,
     chi_square,
     drift_scores,
+    emd,
     js,
     ks,
     psi,
@@ -142,6 +143,7 @@ __all__ = [
     "referential_violations",
     "capture_histograms",
     "chi_square",
+    "emd",
     "js",
     "ks",
     "psi",

@@ -36,6 +36,7 @@ __all__ = [
     "psi",
     "ks",
     "js",
+    "emd",
     "drift_scores",
     "token_histogram",
     "token_distribution_drift",
@@ -223,6 +224,48 @@ def js(baseline: Histogram, observed_counts: Mapping[str, int]) -> float:
     return val
 
 
+def emd(baseline: Histogram, observed_counts: Mapping[str, int]) -> float:
+    """Earth mover's distance (binned Wasserstein-1): Σ |CDF_p − CDF_q|·Δx.
+
+    The MAGNITUDE member of the drift family — KS reports the largest
+    single CDF gap (how *confident* the shift is), EMD integrates every
+    gap (how *far* the mass moved, in the column's own units): a uniform
+    +1-bin shift of all mass gives EMD = one bin width while KS saturates
+    the same as a tiny local spill. Numeric histograms use the KS bin
+    ordering (underflow 0 … overflow n+1, novel last) and scale by the
+    equi-width bin size, so the result reads in value units (dollars,
+    token counts, …) under the histogram's piecewise approximation.
+    Categorical histograms have no transport metric, so this degrades to
+    total variation distance ½·Σ|p−q| ∈ [0,1] — the EMD under the
+    discrete 0/1 ground metric.
+    """
+    labels, p, q, total = _align(baseline, observed_counts)
+    if total == 0:
+        return 0.0
+    if baseline.kind == "numeric":
+        def key(lab: str):
+            s = lab.lstrip("-")
+            return (0, int(lab)) if s.isdigit() else (1, 0)  # novel last
+
+        order = sorted(range(len(labels)), key=lambda i: key(labels[i]))
+        width = (
+            (float(baseline.hi) - float(baseline.lo)) / int(baseline.n_bins)
+            if baseline.hi is not None
+            and baseline.lo is not None
+            and float(baseline.hi) > float(baseline.lo)
+            else 1.0
+        )
+        cum = 0.0
+        stat = 0.0
+        for i in order:
+            cum += p[i] - q[i]
+            stat += abs(cum)
+        # the final cumulative term is |1 − 1| = 0, so summing over every
+        # position (instead of gaps only) adds nothing spurious
+        return stat * width
+    return 0.5 * sum(abs(pi - qi) for pi, qi in zip(p, q))
+
+
 def fused_drift_terms(df: DataFrame, baselines: Mapping[str, Histogram]):
     """Compile observed-histogram capture into flat ``count_if`` aggregate
     terms so drift rides the SAME single-row fused aggregation as the
@@ -307,6 +350,7 @@ def drift_scores_from_counts(
             "psi": psi(h, counts),
             "ks": ks(h, counts),
             "js": js(h, counts),
+            "emd": emd(h, counts),
             "total": float(non_null),
         }
     return out

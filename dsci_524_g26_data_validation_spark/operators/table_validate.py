@@ -57,9 +57,11 @@ INLINE_DIM_CAP = 10_000
 
 
 class DriftThresholds:
-    """PSI / chi-square / KS / JS alert levels (PSI 0.25 = conventional
-    'major shift'; KS uses the same practical bands; JS is bounded [0,1]
-    base-2, >0.1 = major)."""
+    """PSI / chi-square / KS / JS / EMD alert levels (PSI 0.25 =
+    conventional 'major shift'; KS uses the same practical bands; JS is
+    bounded [0,1] base-2, >0.1 = major; EMD is in the column's own value
+    units for numeric histograms — pick a threshold on the column's
+    scale — and total-variation [0,1] for categorical)."""
 
     def __init__(
         self,
@@ -67,11 +69,13 @@ class DriftThresholds:
         chi_square: Optional[float] = None,
         ks: Optional[float] = None,
         js: Optional[float] = None,
+        emd: Optional[float] = None,
     ):
         self.psi = psi
         self.chi_square = chi_square
         self.ks = ks
         self.js = js
+        self.emd = emd
 
 
 def _collect_small_dim(dim: DataFrame, key: str) -> Optional[list]:
@@ -330,6 +334,16 @@ def validate_table_contract(
                         column=col,
                         observed=s["js"],
                         expected=thr.js,
+                    )
+                )
+            if thr.emd is not None and s["emd"] > thr.emd:
+                issues.append(
+                    Issue(
+                        kind="drift_emd",
+                        message=f"{col}: EMD {s['emd']:.4f} exceeds {thr.emd}",
+                        column=col,
+                        observed=s["emd"],
+                        expected=thr.emd,
                     )
                 )
 

@@ -164,7 +164,7 @@ class Issue:
     kind ∈ {missing_column, extra_column, dtype, missingness, range,
     category} for contract checks, plus engine-level kinds
     {uniqueness, referential, invariant, drift_chi2, drift_psi,
-    drift_ks, drift_js, token_equality, aggregate_check,
+    drift_ks, drift_js, drift_emd, token_equality, aggregate_check,
     functional_dependency}.
     ``column is None`` marks a dataset-level issue.
     """

@@ -365,6 +365,67 @@ def test_ks_threshold_fires_issue(spark):
     assert "drift_ks" in kinds and "drift_psi" not in kinds
 
 
+def test_emd_drift_statistic(spark):
+    """Binned Wasserstein-1: 0 for identical; a half-range location
+    shift of a uniform [0,100) distribution moves mass an average of 25
+    value units (EMD = 25.0 exactly under the binned approximation,
+    where KS saturates at 0.5); categorical degrades to total
+    variation distance."""
+    from dsci_524_g26_data_validation_spark.operators.drift import drift_scores, emd
+    from dsci_524_g26_data_validation_spark.types import Histogram
+    from pyspark.sql import functions as F
+
+    h = Histogram(
+        labels=tuple(str(i) for i in range(1, 11)),
+        fracs=(0.1,) * 10,
+        kind="numeric",
+        lo=0.0,
+        hi=100.0,
+        n_bins=10,
+    )
+    uniform = spark.range(0, 1000).select((F.col("id") % 100).cast("double").alias("x"))
+    assert drift_scores(uniform, {"x": h})["x"]["emd"] == pytest.approx(0.0, abs=1e-9)
+    shifted = spark.range(0, 1000).select(
+        (50.0 + (F.col("id") % 50).cast("double")).alias("x")
+    )
+    assert drift_scores(shifted, {"x": h})["x"]["emd"] == pytest.approx(25.0, abs=1e-6)
+    # out-of-range mass transports through the overflow bin (index 11):
+    # uniform baseline (bin CDF i/10) vs all mass at bin 11 -> Σ|ΔCDF|
+    # = 5.5 bin-steps × 10 units/bin = 55
+    assert emd(h, {"11": 10}) == pytest.approx(55.0, abs=1e-9)
+    # categorical fallback: total variation distance (EMD under the 0/1
+    # ground metric), half the L1 the JS/KS categorical cases use
+    hc = Histogram(labels=("a", "b"), fracs=(0.5, 0.5), kind="categorical")
+    skewed = spark.createDataFrame([("a",)] * 9 + [("b",)], "x string")
+    assert drift_scores(skewed, {"x": hc})["x"]["emd"] == pytest.approx(0.4, abs=1e-9)
+
+
+def test_emd_threshold_fires_issue(spark):
+    from dsci_524_g26_data_validation_spark.types import Histogram
+    from pyspark.sql import functions as F
+
+    h = Histogram(
+        labels=tuple(str(i) for i in range(1, 11)),
+        fracs=(0.1,) * 10,
+        kind="numeric",
+        lo=0.0,
+        hi=100.0,
+        n_bins=10,
+    )
+    shifted = spark.range(0, 1000).select(
+        (50.0 + (F.col("id") % 50).cast("double")).alias("x")
+    )
+    tc = dv.TableContract(
+        contract=dv.Contract(columns={"x": dv.ColumnRule(dtype="double")}),
+        histograms={"x": h},
+    )
+    res = validate_table_contract(
+        shifted, tc, drift_thresholds=DriftThresholds(psi=1e9, emd=10.0)
+    )
+    kinds = {i.kind for i in res.issues}
+    assert "drift_emd" in kinds and "drift_psi" not in kinds
+
+
 def test_vector_stats_dirty_rows(spark):
     from dsci_524_g26_data_validation_spark.operators import similarity
 
