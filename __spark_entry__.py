@@ -366,6 +366,47 @@ def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dv.session_stats(e, gap_seconds=600)
 
 
+def _freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness SLO vs a fixed reference instant (explicit, never
+    wall-clock): seconds behind computed at microsecond exactness."""
+    e = _read(spark, sf_dir, "events")
+    return dv.freshness(e, ts_col="ts", as_of="2024-02-01 00:00:00")
+
+
+def _order_health_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order fraction over per-user adjacent event pairs. The
+    synthetic events are perfectly ordered, so the query PLANTS skew —
+    every event_id ≡ 0 (mod 97) is clocked back one hour (a slow
+    producer) — and the oracle applies the identical transform; the
+    regression counters are then non-trivially verified."""
+    e = _read(spark, sf_dir, "events")
+    skewed = e.withColumn(
+        "ts",
+        F.when(
+            F.col("event_id") % 97 == 0,
+            F.col("ts") - F.expr("INTERVAL 1 HOUR"),
+        ).otherwise(F.col("ts")),
+    )
+    return dv.order_health(skewed, key_col="user_id", seq_col="event_id", ts_col="ts")
+
+
+def _sequence_gaps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interior-hole detection in the event_id sequence AFTER a filter
+    (the real-world shape: which id ranges did the 'click' slice drop?)
+    — bucketed span-vs-count, no global sort."""
+    e = _read(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    return dv.sequence_gap_buckets(e, id_col="event_id", bucket_size=1000, limit=100)
+
+
+def _interarrival_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user arrival cadence: top-20 users by regressions then max
+    inter-arrival gap (microsecond-exact)."""
+    e = _read(spark, sf_dir, "events")
+    return dv.interarrival_stats(
+        e, key_col="user_id", seq_col="event_id", ts_col="ts", top_k=20
+    )
+
+
 def _vocab_violations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-bounds invariant on a derived int-token column (word
     lengths as token ids, vocab_size=8) — row-local array HOFs."""
@@ -1079,6 +1120,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redacted_check": _pii_redacted_check,
         "pack_chunks_documents": _pack_chunks_documents,
         "sessionize_events": _sessionize_events,
+        "freshness_events": _freshness_events,
+        "order_health_events": _order_health_events,
+        "sequence_gaps_events": _sequence_gaps_events,
+        "interarrival_users_events": _interarrival_users_events,
         "vocab_violations_documents": _vocab_violations_documents,
         "skew_report_orders": _skew_report_orders,
         "dedup_exact_prefix": _dedup_exact_prefix,
@@ -1460,6 +1505,87 @@ def oracle_sql() -> dict[str, str]:
                    round(date_diff('microsecond', min(ts), max(ts)) / 1000000.0, 6)
                      AS duration_sec
             FROM numbered GROUP BY user_id, session_seq
+        """,
+        "freshness_events": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) FILTER (ts IS NULL) AS BIGINT) AS n_null_ts,
+                   min(ts) AS min_ts,
+                   max(ts) AS max_ts,
+                   CAST(floor(date_diff('microsecond', max(ts),
+                                        TIMESTAMP '2024-02-01 00:00:00')
+                              / 1000000.0) AS BIGINT) AS seconds_behind
+            FROM events
+        """,
+        "order_health_events": """
+            WITH sk AS (
+              SELECT user_id, event_id,
+                     CASE WHEN event_id % 97 = 0 THEN ts - INTERVAL 1 HOUR
+                          ELSE ts END AS ts
+              FROM events
+            ), clean AS (
+              SELECT * FROM sk
+              WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+                AND ts IS NOT NULL
+            ), p AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+                       AS prev_ts
+              FROM clean
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(prev_ts) AS BIGINT) AS n_pairs,
+                   CAST(count(*) FILTER (prev_ts > ts) AS BIGINT)
+                     AS n_regressions,
+                   round(CASE WHEN count(prev_ts) > 0
+                         THEN (count(*) FILTER (prev_ts > ts)) * 1.0
+                              / count(prev_ts)
+                         ELSE 0.0 END, 9) AS regression_frac,
+                   CAST(count(DISTINCT CASE WHEN prev_ts > ts THEN user_id END)
+                        AS BIGINT) AS n_keys_affected
+            FROM p
+        """,
+        "sequence_gaps_events": """
+            WITH ids AS (
+              SELECT DISTINCT CAST(event_id AS BIGINT) AS _id FROM events
+              WHERE event_type = 'click' AND event_id IS NOT NULL
+            ), b AS (
+              SELECT CAST(floor(_id / 1000) AS BIGINT) AS bucket,
+                     CAST(count(*) AS BIGINT) AS n_ids,
+                     min(_id) AS min_id, max(_id) AS max_id
+              FROM ids GROUP BY 1
+            )
+            SELECT bucket, n_ids, min_id, max_id,
+                   CAST(max_id - min_id + 1 - n_ids AS BIGINT) AS n_missing
+            FROM b WHERE max_id - min_id + 1 - n_ids > 0
+            ORDER BY n_missing DESC, bucket ASC
+            LIMIT 100
+        """,
+        "interarrival_users_events": """
+            WITH clean AS (
+              SELECT user_id, event_id, ts FROM events
+              WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+                AND ts IS NOT NULL
+            ), p AS (
+              SELECT user_id AS key, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+                       AS prev_ts
+              FROM clean
+            ), g AS (
+              SELECT key,
+                     date_diff('microsecond', prev_ts, ts) AS gap,
+                     CASE WHEN prev_ts > ts THEN 1 ELSE 0 END AS reg
+              FROM p
+            )
+            SELECT key,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(reg) AS BIGINT) AS n_regressions,
+                   round(avg(CASE WHEN gap >= 0 THEN gap END) / 1000000.0, 6)
+                     AS avg_gap_s,
+                   CAST(max(CASE WHEN gap >= 0 THEN gap END) AS BIGINT)
+                     AS max_gap_us
+            FROM g GROUP BY key
+            ORDER BY n_regressions DESC, max_gap_us DESC, key ASC
+            LIMIT 20
         """,
         "vocab_violations_documents": """
             WITH t AS (

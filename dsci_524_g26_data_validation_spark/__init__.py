@@ -88,6 +88,12 @@ from .operators.checks import aggregate_checks_report
 from .operators.pii import detect_pii, pii_by_group, pii_documents, redact_pii
 from .operators.packing import pack_sequences, packing_summary
 from .operators.sessions import session_stats, sessionize
+from .operators.timeseries import (
+    freshness,
+    interarrival_stats,
+    order_health,
+    sequence_gap_buckets,
+)
 from .operators.skew import key_skew_report, suggested_salt
 from .operators.table_validate import (
     DriftThresholds,
@@ -168,6 +174,10 @@ __all__ = [
     "pack_sequences",
     "packing_summary",
     "sessionize",
+    "freshness",
+    "interarrival_stats",
+    "order_health",
+    "sequence_gap_buckets",
     "session_stats",
     "key_skew_report",
     "suggested_salt",

@@ -1,0 +1,235 @@
+"""Temporal integrity checks over event streams — the time axis of the
+validation engine (the reference validates shape/range/category,
+`validate.py`; an event table additionally carries ordering, arrival and
+contiguity guarantees that only hold or break ALONG time).
+
+Four checks, each a standard data-platform SLO:
+
+- :func:`freshness` — how far behind a reference clock the newest row
+  is (the Deequ/Great-Expectations "freshness" check). ONE single-row
+  aggregate; the reference instant is an explicit parameter so results
+  are deterministic and engine-reproducible (never wall-clock).
+- :func:`order_health` — fraction of per-key adjacent event pairs whose
+  timestamp regresses when ordered by the sequence column (producers
+  that clock-skew or buffer-flush out of order). One hash shuffle on
+  the key, one partition-local sorted window — the sessionize plan
+  shape (`sessions.py`), so a hot key is bounded by its own volume.
+- :func:`sequence_gap_buckets` — missing ids in a supposedly-contiguous
+  id sequence, WITHOUT a global sort: ids hash-aggregate into
+  fixed-width buckets (id div B) where `span − n_ids` counts interior
+  holes exactly; whole-bucket holes surface as gaps in the bucket
+  numbers themselves. Shuffle is bounded at one row per B ids.
+- :func:`interarrival_stats` — per-key arrival-cadence profile (mean /
+  max gap, regression count) for burst/stall detection; same single
+  window pass as order_health, then a key-sized aggregate.
+
+All four are pure Catalyst (no UDF), lazy, and ANSI-expressible — the
+driver oracle replicates freshness/order/gap checks in DuckDB.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "freshness",
+    "order_health",
+    "sequence_gap_buckets",
+    "interarrival_stats",
+]
+
+
+def freshness(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    as_of: str = "",
+) -> DataFrame:
+    """Single-row freshness verdict vs an explicit reference instant.
+
+    Columns: ``n_rows``, ``n_null_ts``, ``min_ts``, ``max_ts``,
+    ``seconds_behind`` (as_of − max_ts; negative means data from the
+    future — itself a signal worth gating on).
+
+    ``as_of`` is an ISO timestamp string and is REQUIRED: a wall-clock
+    default would make the check non-reproducible and untestable (and
+    on a backfill, meaningless). Gate with e.g.
+    ``AggregateCheck("seconds_behind <= 3600")`` semantics downstream.
+
+    ``seconds_behind`` is floor(microsecond difference / 1e6): the
+    microsecond diff is the exact duration at the column's own
+    precision, so the number is engine-portable (DuckDB's
+    ``datediff('second', …)`` counts boundary CROSSINGS and disagrees
+    with duration truncation on sub-second data; microsecond boundaries
+    and duration coincide). The reference instant is cast to the ts
+    column's own type so timestamp and timestamp_ntz behave identically.
+    """
+    if not as_of:
+        raise ValueError("as_of (ISO timestamp) is required for reproducibility")
+    ts = F.col(ts_col)
+    ref = F.lit(as_of).cast(df.schema[ts_col].dataType)
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_if(ts.isNull()).cast("bigint").alias("n_null_ts"),
+        F.min(ts).alias("min_ts"),
+        F.max(ts).alias("max_ts"),
+        F.floor(
+            F.timestamp_diff("MICROSECOND", F.max(ts), ref) / F.lit(1_000_000)
+        )
+        .cast("bigint")
+        .alias("seconds_behind"),
+    )
+
+
+def _pair_window(key_col: str, seq_col: str) -> Window:
+    # total order inside each key: the sequence column IS the producer's
+    # claimed order, so ordering by it (ties -> stable on itself only)
+    # makes `lag(ts)` the timestamp the producer wrote immediately before
+    return Window.partitionBy(key_col).orderBy(F.col(seq_col).asc())
+
+
+def order_health(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    seq_col: str = "event_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """ONE-row out-of-order summary: of all adjacent (by ``seq_col``)
+    event pairs within a key, how many have a regressing timestamp?
+
+    Columns: ``n_events`` (non-null key+ts+seq rows), ``n_pairs``,
+    ``n_regressions`` (prev_ts > ts, strict), ``regression_frac``
+    (0.0 when there are no pairs), ``n_keys_affected``.
+
+    NULL key/seq/ts rows are excluded — they have no defined position;
+    surface them via missingness. Equal timestamps are NOT regressions
+    (multiple events in the same tick are normal at coarse clocks).
+    """
+    clean = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(seq_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+    )
+    prev_ts = F.lag(F.col(ts_col)).over(_pair_window(key_col, seq_col))
+    flagged = clean.select(
+        F.col(key_col).alias("_k"),
+        prev_ts.isNotNull().cast("int").alias("_pair"),
+        (prev_ts > F.col(ts_col)).cast("int").alias("_reg"),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.coalesce(F.sum("_pair"), F.lit(0)).cast("bigint").alias("n_pairs"),
+        F.coalesce(F.sum("_reg"), F.lit(0)).cast("bigint").alias("n_regressions"),
+        F.round(
+            F.when(
+                F.coalesce(F.sum("_pair"), F.lit(0)) > 0,
+                F.coalesce(F.sum("_reg"), F.lit(0))
+                / F.coalesce(F.sum("_pair"), F.lit(0)),
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).alias("regression_frac"),
+        F.count_distinct(F.when(F.col("_reg") == 1, F.col("_k")))
+        .cast("bigint")
+        .alias("n_keys_affected"),
+    )
+
+
+def sequence_gap_buckets(
+    df: DataFrame,
+    *,
+    id_col: str = "event_id",
+    bucket_size: int = 1000,
+    limit: Optional[int] = 100,
+) -> DataFrame:
+    """Buckets of ``id_col`` that are missing interior ids.
+
+    Each bucket ``b`` covers ids ``[b·B, (b+1)·B)``; a row is returned
+    when ``span − n_ids > 0`` where span = max−min+1 WITHIN the bucket —
+    exact interior-hole count, zero false positives at the corpus edges
+    (the first/last bucket's partial coverage is not a hole). A bucket
+    that is entirely missing yields no row here but shows as a break in
+    the ``bucket`` sequence; both read from the same output.
+
+    Columns: ``bucket``, ``n_ids`` (distinct), ``min_id``, ``max_id``,
+    ``n_missing``. Deterministic order (most holes first, bucket asc);
+    ``limit`` bounds the result (None = unbounded). Duplicate ids are
+    counted once — pair with the uniqueness check (E1) to distinguish
+    "gap because missing" from "count off because duplicated".
+    """
+    if bucket_size <= 0:
+        raise ValueError(f"bucket_size must be positive, got {bucket_size}")
+    ids = df.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).cast("bigint").alias("_id")
+    )
+    out = (
+        ids.groupBy((F.floor(F.col("_id") / bucket_size)).alias("bucket"))
+        .agg(
+            F.count_distinct("_id").alias("n_ids"),
+            F.min("_id").alias("min_id"),
+            F.max("_id").alias("max_id"),
+        )
+        .select(
+            "bucket",
+            F.col("n_ids").cast("bigint").alias("n_ids"),
+            "min_id",
+            "max_id",
+            (F.col("max_id") - F.col("min_id") + 1 - F.col("n_ids"))
+            .cast("bigint")
+            .alias("n_missing"),
+        )
+        .filter(F.col("n_missing") > 0)
+        .orderBy(F.desc("n_missing"), F.asc("bucket"))
+    )
+    return out.limit(int(limit)) if limit is not None else out
+
+
+def interarrival_stats(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    seq_col: str = "event_id",
+    ts_col: str = "ts",
+    top_k: int = 20,
+) -> DataFrame:
+    """Per-key arrival cadence: top-``top_k`` keys by timestamp
+    regressions, then by max inter-arrival gap (stall detection).
+
+    Columns: key, ``n_events``, ``n_regressions``, ``avg_gap_s``
+    (mean gap in seconds: the exact microsecond mean scaled by 1e6 —
+    computing in microseconds keeps every intermediate an exact
+    integer, scaling to seconds keeps the rounded double within exact
+    double range), ``max_gap_us`` (exact integer microseconds).
+    Gaps cover adjacent seq-ordered pairs; regressing pairs
+    contribute negative gaps to neither avg nor max — they're counted,
+    not averaged, so one skewed clock doesn't poison the cadence
+    profile. Deterministic order with the key as the final tiebreak;
+    TakeOrderedAndProject keeps top-k selection map-side.
+    """
+    clean = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(seq_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+    )
+    prev_ts = F.lag(F.col(ts_col)).over(_pair_window(key_col, seq_col))
+    gap_us = F.timestamp_diff("MICROSECOND", prev_ts, F.col(ts_col))
+    flagged = clean.select(
+        F.col(key_col).alias("key"),
+        gap_us.alias("_gap"),
+        (prev_ts > F.col(ts_col)).cast("int").alias("_reg"),
+    )
+    pos_gap = F.when(F.col("_gap") >= 0, F.col("_gap"))
+    return (
+        flagged.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.coalesce(F.sum("_reg"), F.lit(0)).cast("bigint").alias("n_regressions"),
+            F.round(F.avg(pos_gap) / F.lit(1_000_000.0), 6).alias("avg_gap_s"),
+            F.max(pos_gap).cast("bigint").alias("max_gap_us"),
+        )
+        .orderBy(F.desc("n_regressions"), F.desc("max_gap_us"), F.asc("key"))
+        .limit(int(top_k))
+    )

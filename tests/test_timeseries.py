@@ -1,0 +1,124 @@
+"""Temporal-integrity operators (operators/timeseries.py): freshness,
+out-of-order detection, sequence-gap buckets, inter-arrival cadence —
+planted-anomaly tests with hand-computed expectations."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+import dsci_524_g26_data_validation_spark as dv
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_freshness_exact_lag(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00.250000")),
+            (2, _ts("2024-01-01 09:00:00")),
+            (3, None),
+        ],
+        "id int, ts timestamp",
+    )
+    r = dv.freshness(df, ts_col="ts", as_of="2024-01-01 11:00:00").collect()[0]
+    assert (r["n_rows"], r["n_null_ts"]) == (3, 1)
+    assert r["max_ts"] == _ts("2024-01-01 10:00:00.250000")
+    # 59 min 59.75 s -> floor = 3599 (duration truncation, NOT the 3600
+    # a second-boundary-crossing count would give)
+    assert r["seconds_behind"] == 3599
+    # data from the future goes negative
+    r2 = dv.freshness(df, ts_col="ts", as_of="2024-01-01 10:00:00").collect()[0]
+    assert r2["seconds_behind"] == -1
+
+
+def test_freshness_requires_as_of(spark):
+    df = spark.createDataFrame([(1, _ts("2024-01-01 00:00:00"))], "id int, ts timestamp")
+    with pytest.raises(ValueError, match="as_of"):
+        dv.freshness(df, ts_col="ts")
+
+
+def test_order_health_planted_regressions(spark):
+    rows = [
+        # user 1: seq 1..4, one regression at seq 3 (ts goes back)
+        (1, 1, _ts("2024-01-01 00:00:01")),
+        (1, 2, _ts("2024-01-01 00:00:05")),
+        (1, 3, _ts("2024-01-01 00:00:03")),
+        (1, 4, _ts("2024-01-01 00:00:03")),  # equal ts: NOT a regression
+        # user 2: monotone
+        (2, 1, _ts("2024-01-01 00:00:01")),
+        (2, 2, _ts("2024-01-01 00:00:02")),
+        # NULL key/ts/seq rows are excluded
+        (None, 9, _ts("2024-01-01 00:00:00")),
+        (3, None, _ts("2024-01-01 00:00:00")),
+        (3, 1, None),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, ts timestamp")
+    r = dv.order_health(df).collect()[0]
+    assert (r["n_events"], r["n_pairs"], r["n_regressions"]) == (6, 4, 1)
+    assert r["regression_frac"] == pytest.approx(0.25)
+    assert r["n_keys_affected"] == 1
+
+
+def test_order_health_empty_and_single(spark):
+    df = spark.createDataFrame([], "user_id int, event_id int, ts timestamp")
+    r = dv.order_health(df).collect()[0]
+    assert (r["n_events"], r["n_pairs"], r["n_regressions"]) == (0, 0, 0)
+    assert r["regression_frac"] == 0.0
+    one = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01 00:00:00"))], "user_id int, event_id int, ts timestamp"
+    )
+    r1 = dv.order_health(one).collect()[0]
+    assert (r1["n_pairs"], r1["regression_frac"]) == (0, 0.0)
+
+
+def test_sequence_gap_buckets_interior_holes(spark):
+    # bucket 0: ids 0..9 present except 4,5 -> span 10, n 8, missing 2
+    # bucket 1: ids 10..19 fully present (with a duplicate: counted once)
+    # bucket 3: only 35 present -> span 1, no hole (bucket 2 entirely
+    #           absent: surfaces as the 0,1,3 bucket-number break)
+    ids = [0, 1, 2, 3, 6, 7, 8, 9] + list(range(10, 20)) + [12, 35]
+    df = spark.createDataFrame([(i,) for i in ids], "event_id bigint")
+    out = dv.sequence_gap_buckets(df, id_col="event_id", bucket_size=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["bucket"], r["n_ids"], r["min_id"], r["max_id"], r["n_missing"]) == (
+        0, 8, 0, 9, 2,
+    )
+
+
+def test_sequence_gap_buckets_validates_and_orders(spark):
+    df = spark.createDataFrame([(1,)], "event_id bigint")
+    with pytest.raises(ValueError, match="bucket_size"):
+        dv.sequence_gap_buckets(df, bucket_size=0)
+    # ordering: most holes first, bucket asc tiebreak; limit respected
+    ids = [0, 9, 10, 12, 19, 20, 29]  # b0 missing 8, b1 missing 7, b2 missing 8
+    df2 = spark.createDataFrame([(i,) for i in ids], "event_id bigint")
+    out = dv.sequence_gap_buckets(df2, bucket_size=10, limit=2).collect()
+    assert [(r["bucket"], r["n_missing"]) for r in out] == [(0, 8), (2, 8)]
+
+
+def test_interarrival_stats_cadence(spark):
+    rows = [
+        # user 1: gaps +2s, -1s (regression; excluded from avg/max), +4s
+        (1, 1, _ts("2024-01-01 00:00:00")),
+        (1, 2, _ts("2024-01-01 00:00:02")),
+        (1, 3, _ts("2024-01-01 00:00:01")),
+        (1, 4, _ts("2024-01-01 00:00:05")),
+        # user 2: single event -> no gaps, NULL avg/max
+        (2, 1, _ts("2024-01-01 00:00:00")),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, ts timestamp")
+    out = dv.interarrival_stats(df, top_k=5).collect()
+    by_key = {r["key"]: r for r in out}
+    r1 = by_key[1]
+    assert (r1["n_events"], r1["n_regressions"]) == (4, 1)
+    assert r1["avg_gap_s"] == pytest.approx(3.0)  # (2 + 4) / 2
+    assert r1["max_gap_us"] == 4_000_000
+    r2 = by_key[2]
+    assert (r2["n_regressions"], r2["avg_gap_s"], r2["max_gap_us"]) == (0, None, None)
+    # regression-heavy keys sort first
+    assert out[0]["key"] == 1
