@@ -366,6 +366,59 @@ def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dv.session_stats(e, gap_seconds=600)
 
 
+def _asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time attribution: each event joined to the customer's
+    most recent order AT OR BEFORE the event (as-of backward join,
+    one shuffle, no range explosion). Order dates predate the event
+    window, so the query deterministically remaps each order onto a
+    synthetic January-2024 timestamp (o_orderkey % 30 days of
+    seconds past midnight Jan 1) — the oracle applies the identical
+    transform — then checksums matches per event_type: the summed
+    matched orderkey pins row-level match identity, the gap stats pin
+    the staleness arithmetic."""
+    e = _read(spark, sf_dir, "events")
+    o = _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.expr(
+            "timestampadd(SECOND, CAST(o_orderkey % 2592000 AS INT), "
+            "TIMESTAMP_NTZ '2024-01-01 00:00:00')"
+        ).alias("order_ts"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    joined = dv.asof_join(
+        e,
+        o,
+        on="user_id",
+        left_ts="ts",
+        right_ts="order_ts",
+        tiebreak="o_orderkey",
+        right_cols=["o_orderkey", "o_totalprice"],
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count("o_orderkey").cast("bigint").alias("n_matched"),
+            F.sum("o_orderkey").cast("bigint").alias("orderkey_checksum"),
+            # exact-integer checksums: cents and microsecond sums stay
+            # in bigint so both engines agree bit-for-bit; the one
+            # float division happens once, on identical operands
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("price_cents_checksum"),
+            F.max("asof_gap_us").cast("bigint").alias("max_gap_us"),
+            F.round(
+                F.sum("asof_gap_us").cast("double")
+                / F.count("asof_gap_us")
+                / F.lit(1_000_000.0),
+                6,
+            ).alias("avg_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Freshness SLO vs a fixed reference instant (explicit, never
     wall-clock): seconds behind computed at microsecond exactness."""
@@ -1120,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redacted_check": _pii_redacted_check,
         "pack_chunks_documents": _pack_chunks_documents,
         "sessionize_events": _sessionize_events,
+        "asof_events_orders": _asof_events_orders,
         "freshness_events": _freshness_events,
         "order_health_events": _order_health_events,
         "sequence_gaps_events": _sequence_gaps_events,
@@ -1505,6 +1559,51 @@ def oracle_sql() -> dict[str, str]:
                    round(date_diff('microsecond', min(ts), max(ts)) / 1000000.0, 6)
                      AS duration_sec
             FROM numbered GROUP BY user_id, session_seq
+        """,
+        "asof_events_orders": """
+            WITH r AS (
+              SELECT o_custkey AS k,
+                     TIMESTAMP '2024-01-01 00:00:00'
+                       + INTERVAL (o_orderkey % 2592000) SECOND AS order_ts,
+                     o_orderkey, o_totalprice
+              FROM orders
+              WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
+            ), u AS (
+              SELECT user_id AS k, ts, 1 AS side, event_type,
+                     CAST(NULL AS BIGINT) AS r_key,
+                     CAST(NULL AS TIMESTAMP) AS r_ts,
+                     CAST(NULL AS DOUBLE) AS r_price
+              FROM events
+              UNION ALL
+              SELECT k, order_ts AS ts, 0 AS side, NULL,
+                     o_orderkey, order_ts, o_totalprice
+              FROM r
+            ), w AS (
+              SELECT side, event_type, ts,
+                     last_value(r_key IGNORE NULLS) OVER win AS m_key,
+                     last_value(r_ts IGNORE NULLS) OVER win AS m_ts,
+                     last_value(r_price IGNORE NULLS) OVER win AS m_price
+              FROM u
+              WINDOW win AS (
+                PARTITION BY k
+                ORDER BY ts ASC NULLS FIRST, side ASC,
+                         r_key ASC NULLS FIRST
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ), g AS (
+              SELECT event_type, m_key, m_price,
+                     date_diff('microsecond', m_ts, ts) AS gap_us
+              FROM w WHERE side = 1
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(m_key) AS BIGINT) AS n_matched,
+                   CAST(sum(m_key) AS BIGINT) AS orderkey_checksum,
+                   CAST(sum(CAST(round(m_price * 100) AS BIGINT)) AS BIGINT)
+                     AS price_cents_checksum,
+                   CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+                   round(CAST(sum(gap_us) AS DOUBLE) / count(gap_us)
+                         / 1000000.0, 6) AS avg_gap_s
+            FROM g GROUP BY event_type ORDER BY event_type
         """,
         "freshness_events": """
             SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -88,6 +88,7 @@ from .operators.checks import aggregate_checks_report
 from .operators.pii import detect_pii, pii_by_group, pii_documents, redact_pii
 from .operators.packing import pack_sequences, packing_summary
 from .operators.sessions import session_stats, sessionize
+from .operators.asof import asof_join
 from .operators.timeseries import (
     freshness,
     interarrival_stats,
@@ -174,6 +175,7 @@ __all__ = [
     "pack_sequences",
     "packing_summary",
     "sessionize",
+    "asof_join",
     "freshness",
     "interarrival_stats",
     "order_health",
