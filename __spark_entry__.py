@@ -1116,6 +1116,40 @@ def _aggregate_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COND_RULES = (
+    dv.ConditionalRule(
+        when="o_orderstatus = 'F'",
+        then="o_orderpriority IN ('1-URGENT', '2-HIGH')",
+        name="finished_needs_priority",
+    ),
+    dv.ConditionalRule(
+        when="o_totalprice > 450000",
+        then="o_orderstatus <> 'P'",
+        name="bigprice_not_pending",
+    ),
+)
+
+
+def _conditional_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule WHEN→THEN audit (applicable / violations / rate) — all
+    rules counted in ONE scan via count_if terms of a single global
+    aggregate (operators/conditional.py)."""
+    o = _read(spark, sf_dir, "orders")
+    rep = dv.conditional_report(o, _COND_RULES)
+    return rep.select(
+        "rule", "n_applicable", "n_violations",
+        F.round("violation_rate", 6).alias("violation_rate"),
+    )
+
+
+def _conditional_violations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level WHEN→THEN violations: one row per (order, violated
+    rule); all rules evaluated in one projection, clean rows pruned
+    before the explode."""
+    o = _read(spark, sf_dir, "orders")
+    return dv.conditional_violations(o, _COND_RULES, id_cols=["o_orderkey"])
+
+
 def _sampled_range_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wilson-bounded violation-rate estimate for 'o_totalprice <=
     450000' from a deterministic 5% md5-bucket sample of orders — the
@@ -1215,6 +1249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_drift_sources": _token_drift_sources,
         "token_drift_movers_sources": _token_drift_movers_sources,
         "aggregate_checks_orders": _aggregate_checks_orders,
+        "conditional_report_orders": _conditional_report_orders,
+        "conditional_violations_orders": _conditional_violations_orders,
         "sampled_range_orders": _sampled_range_orders,
         "anomaly_sources_orders": _anomaly_sources_orders,
         "entropy_documents": _entropy_documents,
@@ -2285,6 +2321,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'custkey_cap', round(v_ck, 6),
                    CAST(NULL AS DOUBLE), 1000000000.0,
                    v_ck <= 1000000000.0 FROM v
+        """,
+        # conditional WHEN→THEN semantics: violated =
+        # coalesce(when,false) AND NOT coalesce(then,false)
+        "conditional_report_orders": """
+            WITH c AS (
+              SELECT
+                count(*) FILTER (WHERE coalesce(o_orderstatus = 'F', FALSE))
+                  AS app1,
+                count(*) FILTER (WHERE coalesce(o_orderstatus = 'F', FALSE)
+                  AND NOT coalesce(
+                    o_orderpriority IN ('1-URGENT', '2-HIGH'), FALSE))
+                  AS bad1,
+                count(*) FILTER (WHERE coalesce(o_totalprice > 450000, FALSE))
+                  AS app2,
+                count(*) FILTER (WHERE coalesce(o_totalprice > 450000, FALSE)
+                  AND NOT coalesce(o_orderstatus <> 'P', FALSE))
+                  AS bad2
+              FROM orders
+            )
+            SELECT 'bigprice_not_pending' AS rule,
+                   CAST(app2 AS BIGINT) AS n_applicable,
+                   CAST(bad2 AS BIGINT) AS n_violations,
+                   round(CASE WHEN app2 > 0
+                         THEN bad2 / CAST(app2 AS DOUBLE) ELSE 0.0 END, 6)
+                     AS violation_rate
+            FROM c
+            UNION ALL
+            SELECT 'finished_needs_priority',
+                   CAST(app1 AS BIGINT), CAST(bad1 AS BIGINT),
+                   round(CASE WHEN app1 > 0
+                         THEN bad1 / CAST(app1 AS DOUBLE) ELSE 0.0 END, 6)
+            FROM c
+        """,
+        "conditional_violations_orders": """
+            SELECT o_orderkey, 'finished_needs_priority' AS rule
+            FROM orders
+            WHERE coalesce(o_orderstatus = 'F', FALSE)
+              AND NOT coalesce(
+                o_orderpriority IN ('1-URGENT', '2-HIGH'), FALSE)
+            UNION ALL
+            SELECT o_orderkey, 'bigprice_not_pending'
+            FROM orders
+            WHERE coalesce(o_totalprice > 450000, FALSE)
+              AND NOT coalesce(o_orderstatus <> 'P', FALSE)
         """,
         # deterministic 5% md5-bucket sample + 95% Wilson interval —
         # membership AND arithmetic replicated literally (z = 1.959964)

@@ -10,6 +10,7 @@ checks; see SURVEY.md §2 for the operator inventory.
 
 from .types import (
     AggregateCheck,
+    ConditionalRule,
     FunctionalDependencyRule,
     ColumnProfile,
     ColumnRule,
@@ -85,6 +86,7 @@ from .operators.tokens import (
     vocab_violations,
 )
 from .operators.checks import aggregate_checks_report
+from .operators.conditional import conditional_report, conditional_violations
 from .operators.pii import detect_pii, pii_by_group, pii_documents, redact_pii
 from .operators.packing import pack_sequences, packing_summary
 from .operators.sessions import session_stats, sessionize
@@ -109,6 +111,9 @@ __version__ = "0.1.0"
 __all__ = [
     "AggregateCheck",
     "aggregate_checks_report",
+    "ConditionalRule",
+    "conditional_report",
+    "conditional_violations",
     "ColumnProfile",
     "FunctionalDependencyRule",
     "ColumnRule",

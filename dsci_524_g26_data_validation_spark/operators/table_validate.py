@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from ..sources.manifest import FileManifestStore
 from ..types import Issue, TableContract, ValidationResult
 from .checks import aggregate_check_terms, evaluate_aggregate_checks
+from .conditional import conditional_check_terms, evaluate_conditional_checks
 from .drift import drift_scores_from_counts, fused_drift_terms
 from .referential import referential_violations
 from .tokens import key_integrity_counts, token_equality_violations
@@ -125,6 +126,7 @@ def validate_table_contract(
         F.count_if(~F.expr(inv)).alias(f"inv{n}") for n, inv in enumerate(tc.invariants)
     ]
     extra_terms.extend(aggregate_check_terms(tc.checks))
+    extra_terms.extend(conditional_check_terms(tc.conditionals))
     drift_decode = None
     if tc.histograms:
         hg_terms, drift_decode = fused_drift_terms(df, tc.histograms)
@@ -173,6 +175,9 @@ def validate_table_contract(
 
     # Table-level aggregate checks (already computed in the fused pass)
     issues.extend(evaluate_aggregate_checks(extras, tc.checks))
+
+    # Conditional WHEN→THEN row rules (same fused pass, zero extra jobs)
+    issues.extend(evaluate_conditional_checks(extras, tc.conditionals))
 
     # E1 uniqueness + E6 token equality: when the E6 reference is present
     # and the token key is also a uniqueness key, BOTH ride one fused

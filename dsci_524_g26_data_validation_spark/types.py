@@ -35,6 +35,7 @@ __all__ = [
     "ForeignKeyRule",
     "FunctionalDependencyRule",
     "AggregateCheck",
+    "ConditionalRule",
     "normalize_dtype",
     "dtypes_equivalent",
     "contract_to_dict",
@@ -324,6 +325,40 @@ class FunctionalDependencyRule:
 
 
 @dataclass(frozen=True)
+class ConditionalRule:
+    """Row-level conditional assertion: WHEN ``when`` holds, ``then``
+    must hold too (Deequ's ``satisfies``/Great-Expectations row
+    conditions; the reference package has no conditional rules — this is
+    an engine extension like :class:`AggregateCheck`).
+
+    Both sides are Spark SQL boolean expressions compiled to Catalyst.
+    Three-valued-logic contract (explicit, not incidental):
+
+    * a row where ``when`` is NULL/false is **not applicable** — never a
+      violation;
+    * an applicable row where ``then`` is NULL **is** a violation
+      ("couldn't establish the property" fails, matching
+      :class:`AggregateCheck`'s NULL-fails stance).
+
+    i.e. violated = ``coalesce(when, false) AND NOT coalesce(then,
+    false)`` — a plain Catalyst predicate, so the per-rule violation
+    count rides the fused single-scan aggregation pass.
+    """
+
+    when: str
+    then: str
+    name: str = ""
+
+    def __post_init__(self):
+        if not self.when or not self.then:
+            raise ValueError("ConditionalRule requires both when and then")
+
+    @property
+    def label(self) -> str:
+        return self.name or f"WHEN {self.when} THEN {self.then}"
+
+
+@dataclass(frozen=True)
 class AggregateCheck:
     """Table-level aggregate assertion (Deequ-style "check").
 
@@ -375,6 +410,7 @@ class TableContract:
     invariants: Tuple[str, ...] = ()
     checks: Tuple[AggregateCheck, ...] = ()
     fds: Tuple[FunctionalDependencyRule, ...] = ()
+    conditionals: Tuple[ConditionalRule, ...] = ()
     name: str = "table_contract"
 
 
@@ -461,6 +497,10 @@ def table_contract_to_dict(tc: "TableContract") -> Dict[str, Any]:
             {"determinant": list(r.determinant), "dependent": r.dependent}
             for r in tc.fds
         ],
+        "conditionals": [
+            {"when": r.when, "then": r.then, "name": r.name}
+            for r in tc.conditionals
+        ],
     }
 
 
@@ -498,6 +538,12 @@ def table_contract_from_dict(data: Mapping[str, Any]) -> "TableContract":
                 determinant=tuple(r["determinant"]), dependent=r["dependent"]
             )
             for r in data.get("fds", ())
+        ),
+        conditionals=tuple(
+            ConditionalRule(
+                when=r["when"], then=r["then"], name=r.get("name", "")
+            )
+            for r in data.get("conditionals", ())
         ),
         name=data.get("name", "table_contract"),
     )
