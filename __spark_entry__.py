@@ -1161,6 +1161,26 @@ def _sampled_range_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _reconcile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation: orders.o_totalprice vs
+    sum(lineitem l_extendedprice*(1-l_discount)) in exact integer cents
+    (operators/reconcile.py), reduced to an O(groups) audit summary.
+    Child agg shuffles (key, bigint) only; one full-outer key join."""
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    recon = dv.reconcile_aggregate(
+        li,
+        o,
+        child_key="l_orderkey",
+        parent_key="o_orderkey",
+        child_measure="l_extendedprice * (1 - l_discount)",
+        parent_measure="o_totalprice",
+        scale=100,
+        parent_extra_cols=["o_orderstatus"],
+    )
+    return dv.reconcile_summary(recon, group_cols=["o_orderstatus"])
+
+
 def _fd_violations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency check l_orderkey → l_returnflag: orders
     whose line items disagree on the flag, with bounded witnesses
@@ -1250,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_drift_movers_sources": _token_drift_movers_sources,
         "aggregate_checks_orders": _aggregate_checks_orders,
         "conditional_report_orders": _conditional_report_orders,
+        "reconcile_orders_lineitem": _reconcile_orders_lineitem,
         "conditional_violations_orders": _conditional_violations_orders,
         "sampled_range_orders": _sampled_range_orders,
         "anomaly_sources_orders": _anomaly_sources_orders,
@@ -2353,6 +2374,38 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN app1 > 0
                          THEN bad1 / CAST(app1 AS DOUBLE) ELSE 0.0 END, 6)
             FROM c
+        """,
+        # fixed-point cents make the float->int conversion identical
+        # IEEE arithmetic in both engines; integer sums are
+        # order-independent
+        "reconcile_orders_lineitem": """
+            WITH c AS (
+              SELECT l_orderkey AS key,
+                     CAST(coalesce(sum(CAST(round(
+                       (l_extendedprice * (1 - l_discount)) * 100)
+                       AS BIGINT)), 0) AS BIGINT) AS child_units,
+                     CAST(count(*) AS BIGINT) AS n_child
+              FROM lineitem GROUP BY 1
+            ), p AS (
+              SELECT o_orderkey AS key,
+                     CAST(round(o_totalprice * 100) AS BIGINT)
+                       AS parent_units,
+                     o_orderstatus
+              FROM orders
+            ), j AS (
+              SELECT parent_units - child_units AS diff_units,
+                     CASE WHEN parent_units IS NULL THEN 'orphan_child'
+                          WHEN child_units IS NULL THEN 'missing_child'
+                          WHEN abs(parent_units - child_units) <= 0 THEN 'ok'
+                          ELSE 'mismatch' END AS status,
+                     o_orderstatus
+              FROM p FULL OUTER JOIN c ON p.key = c.key
+            )
+            SELECT o_orderstatus, status,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(coalesce(sum(abs(diff_units)), 0) AS BIGINT)
+                     AS abs_diff_units
+            FROM j GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "conditional_violations_orders": """
             SELECT o_orderkey, 'finished_needs_priority' AS rule

@@ -87,6 +87,11 @@ from .operators.tokens import (
 )
 from .operators.checks import aggregate_checks_report
 from .operators.conditional import conditional_report, conditional_violations
+from .operators.reconcile import (
+    fixed_point_units,
+    reconcile_aggregate,
+    reconcile_summary,
+)
 from .operators.pii import detect_pii, pii_by_group, pii_documents, redact_pii
 from .operators.packing import pack_sequences, packing_summary
 from .operators.sessions import session_stats, sessionize
@@ -114,6 +119,9 @@ __all__ = [
     "ConditionalRule",
     "conditional_report",
     "conditional_violations",
+    "fixed_point_units",
+    "reconcile_aggregate",
+    "reconcile_summary",
     "ColumnProfile",
     "FunctionalDependencyRule",
     "ColumnRule",
