@@ -1181,6 +1181,21 @@ def _reconcile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dv.reconcile_summary(recon, group_cols=["o_orderstatus"])
 
 
+def _worst_slices_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slice-finder triage: worst (dimension, value) slices for the
+    'o_totalprice <= 450000' invariant across two dimensions in ONE
+    scan + ONE shuffle (operators/slices.py), ranked by the Wilson 95%
+    lower bound so tiny noisy slices can't outrank big bad ones."""
+    o = _read(spark, sf_dir, "orders")
+    return dv.slice_violation_report(
+        o,
+        "o_totalprice <= 450000",
+        ["o_orderstatus", "o_orderpriority"],
+        min_rows=50,
+        k=6,
+    )
+
+
 def _fd_violations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency check l_orderkey → l_returnflag: orders
     whose line items disagree on the flag, with bounded witnesses
@@ -1271,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregate_checks_orders": _aggregate_checks_orders,
         "conditional_report_orders": _conditional_report_orders,
         "reconcile_orders_lineitem": _reconcile_orders_lineitem,
+        "worst_slices_orders": _worst_slices_orders,
         "conditional_violations_orders": _conditional_violations_orders,
         "sampled_range_orders": _sampled_range_orders,
         "anomaly_sources_orders": _anomaly_sources_orders,
@@ -2342,6 +2358,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'custkey_cap', round(v_ck, 6),
                    CAST(NULL AS DOUBLE), 1000000000.0,
                    v_ck <= 1000000000.0 FROM v
+        """,
+        # slice finder: melt → group → Wilson lower bound, the same
+        # literal arithmetic as sampled_range_orders
+        "worst_slices_orders": """
+            WITH m AS (
+              SELECT 'o_orderstatus' AS dim,
+                     CAST(o_orderstatus AS VARCHAR) AS value,
+                     coalesce(NOT (o_totalprice <= 450000), TRUE) AS v
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR),
+                     coalesce(NOT (o_totalprice <= 450000), TRUE)
+              FROM orders
+            ), g AS (
+              SELECT dim, value, CAST(count(*) AS BIGINT) AS n,
+                     CAST(count(*) FILTER (WHERE v) AS BIGINT) AS violations
+              FROM m GROUP BY 1, 2 HAVING count(*) >= 50
+            ), w AS (
+              SELECT dim, value, n, violations,
+                round(violations / CAST(n AS DOUBLE), 9) AS rate,
+                round(greatest(
+                  ((violations / CAST(n AS DOUBLE)
+                    + (1.959964*1.959964) / (2.0*n))
+                   / (1.0 + (1.959964*1.959964) / n))
+                  - (1.959964 * sqrt(
+                      (violations / CAST(n AS DOUBLE))
+                      * (1.0 - violations / CAST(n AS DOUBLE))
+                      / n
+                      + (1.959964*1.959964) / (4.0*n*n))
+                     / (1.0 + (1.959964*1.959964) / n)),
+                  0.0), 9) AS rate_lo
+              FROM g
+            )
+            SELECT * FROM w ORDER BY rate_lo DESC, dim, value LIMIT 6
         """,
         # conditional WHEN→THEN semantics: violated =
         # coalesce(when,false) AND NOT coalesce(then,false)

@@ -77,6 +77,7 @@ from .operators.drift import (
     token_histogram,
 )
 from .operators.sampling import hash_sample, violation_rate_estimate
+from .operators.slices import slice_violation_report
 from .operators.anomaly import group_metric_anomalies
 from .operators.tokens import (
     key_integrity_counts,
@@ -122,6 +123,7 @@ __all__ = [
     "fixed_point_units",
     "reconcile_aggregate",
     "reconcile_summary",
+    "slice_violation_report",
     "ColumnProfile",
     "FunctionalDependencyRule",
     "ColumnRule",

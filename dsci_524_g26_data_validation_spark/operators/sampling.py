@@ -32,6 +32,7 @@ __all__ = [
     "portable_hash64",
     "hash_sample",
     "violation_rate_estimate",
+    "wilson_interval_cols",
 ]
 
 #: Sample-bucket granularity: fraction resolution is 1/_BUCKETS.
@@ -81,6 +82,25 @@ def hash_sample(
     return df.filter(F.pmod(h, F.lit(_BUCKETS)) < F.lit(cutoff))
 
 
+def wilson_interval_cols(n_col: Column, k_col: Column):
+    """(p, center, half) Columns of the 95% Wilson score interval for
+    k successes in n trials — interval is [center-half, center+half],
+    clamp to [0,1] at the call site. Shared by the one-row sample
+    estimate and the per-slice triage report so both carry the exact
+    same literal arithmetic the oracle SQL replicates."""
+    n = n_col.cast("double")
+    z2 = F.lit(_Z95 * _Z95)
+    p = k_col / n
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (F.lit(2.0) * n)) / denom
+    half = (
+        F.lit(_Z95)
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n))
+        / denom
+    )
+    return p, center, half
+
+
 def violation_rate_estimate(
     df: DataFrame,
     predicate: str,
@@ -93,7 +113,8 @@ def violation_rate_estimate(
     predicate`` from a deterministic hash sample.
 
     ``predicate`` is a Spark SQL boolean expression naming the
-    VIOLATION (e.g. ``"l_quantity > 45"``); NULL evaluations count as
+    INVARIANT that must hold (e.g. ``"l_quantity <= 45"``); a row
+    violates when the invariant is false, and NULL evaluations count as
     violations ("couldn't establish the property"), matching the
     engine's check semantics.
 
@@ -115,15 +136,8 @@ def violation_rate_estimate(
         F.count(F.lit(1)).cast("bigint").alias("sample_n"),
         F.count_if(viol).cast("bigint").alias("violations"),
     )
-    n = F.col("sample_n").cast("double")
-    z2 = F.lit(_Z95 * _Z95)
-    p = F.col("violations") / n
-    denom = F.lit(1.0) + z2 / n
-    center = (p + z2 / (F.lit(2.0) * n)) / denom
-    half = (
-        F.lit(_Z95)
-        * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n))
-        / denom
+    p, center, half = wilson_interval_cols(
+        F.col("sample_n"), F.col("violations")
     )
     empty = F.col("sample_n") == 0
     return agg.select(
