@@ -1181,6 +1181,16 @@ def _reconcile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dv.reconcile_summary(recon, group_cols=["o_orderstatus"])
 
 
+def _benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance of o_totalprice
+    (operators/benford.py): one 9-key groupBy scan; digit extracted
+    from exact integer cents, never log10 double math. The synthetic
+    uniform prices deliberately FAIL Benford — the chi2 terms are the
+    point."""
+    o = _read(spark, sf_dir, "orders")
+    return dv.benford_report(o, "o_totalprice")
+
+
 def _worst_slices_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slice-finder triage: worst (dimension, value) slices for the
     'o_totalprice <= 450000' invariant across two dimensions in ONE
@@ -1287,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_report_orders": _conditional_report_orders,
         "reconcile_orders_lineitem": _reconcile_orders_lineitem,
         "worst_slices_orders": _worst_slices_orders,
+        "benford_totalprice": _benford_totalprice,
         "conditional_violations_orders": _conditional_violations_orders,
         "sampled_range_orders": _sampled_range_orders,
         "anomaly_sources_orders": _anomaly_sources_orders,
@@ -2358,6 +2369,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'custkey_cap', round(v_ck, 6),
                    CAST(NULL AS DOUBLE), 1000000000.0,
                    v_ck <= 1000000000.0 FROM v
+        """,
+        # Benford: digit from exact integer cents; expected fracs are
+        # the same full-precision literals the Spark side embeds
+        "benford_totalprice": """
+            WITH digits(digit, expected_frac) AS (VALUES
+              (1, 0.3010299956639812),
+              (2, 0.17609125905568124),
+              (3, 0.12493873660829992),
+              (4, 0.09691001300805642),
+              (5, 0.07918124604762482),
+              (6, 0.06694678963061322),
+              (7, 0.05799194697768673),
+              (8, 0.05115252244738129),
+              (9, 0.04575749056067514)
+            ), c AS (
+              SELECT CAST(substr(CAST(abs(CAST(round(o_totalprice * 100)
+                       AS BIGINT)) AS VARCHAR), 1, 1) AS INT) AS digit
+              FROM orders
+              WHERE o_totalprice IS NOT NULL
+                AND abs(CAST(round(o_totalprice * 100) AS BIGINT)) > 0
+            ), g AS (
+              SELECT digit, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1
+            ), j AS (
+              SELECT d.digit, CAST(coalesce(g.n, 0) AS BIGINT) AS n,
+                     CAST(d.expected_frac AS DOUBLE) AS expected_frac
+              FROM digits d LEFT JOIN g USING (digit)
+            ), t AS (SELECT sum(n) AS total FROM j)
+            SELECT digit, n,
+                   round(n / CAST(total AS DOUBLE), 9) AS observed_frac,
+                   round(expected_frac, 9) AS expected_frac,
+                   round(total * (n / CAST(total AS DOUBLE) - expected_frac)
+                         * (n / CAST(total AS DOUBLE) - expected_frac)
+                         / expected_frac, 6) AS chi2_term
+            FROM j, t ORDER BY digit
         """,
         # slice finder: melt → group → Wilson lower bound, the same
         # literal arithmetic as sampled_range_orders

@@ -78,6 +78,7 @@ from .operators.drift import (
 )
 from .operators.sampling import hash_sample, violation_rate_estimate
 from .operators.slices import slice_violation_report
+from .operators.benford import benford_report, benford_stat
 from .operators.anomaly import group_metric_anomalies
 from .operators.tokens import (
     key_integrity_counts,
@@ -124,6 +125,8 @@ __all__ = [
     "reconcile_aggregate",
     "reconcile_summary",
     "slice_violation_report",
+    "benford_report",
+    "benford_stat",
     "ColumnProfile",
     "FunctionalDependencyRule",
     "ColumnRule",
