@@ -562,6 +562,18 @@ def _embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_drift_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between two halves of the corpus
+    (labels 0-4 as baseline vs 5-9 as current): centroid cosine/L2,
+    RMS-norm shift, worst-moving dimension. Each side is one scan + one
+    shuffle of 64 keys (per-dim sufficient stats); the join and final
+    agg touch 64-row frames only."""
+    e = _read(spark, sf_dir, "embeddings")
+    return similarity.embedding_drift(
+        e.filter("label < 5"), e.filter("label >= 5"), dim=64
+    )
+
+
 def _infer_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship infer_profile as a checkable query: profile documents in
     two fused jobs, emit one row per column with the full P6 stats
@@ -1272,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_topk": _simsearch_topk,
         "vector_stats_embeddings": _vector_stats_embeddings,
         "embedding_norms": _embedding_norms,
+        "embedding_drift_labels": _embedding_drift_labels,
         "stream_violation_counts": _stream_violation_counts,
         "infer_profile_documents": _infer_profile_documents,
         "quantiles_orders": _quantiles_orders,
@@ -1978,6 +1991,46 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(sqrt(list_aggregate(
                        list_transform(embedding, x -> x * x), 'sum'))), 4) AS avg_norm
             FROM embeddings GROUP BY label
+        """,
+        "embedding_drift_labels": """
+            WITH clean AS (
+                SELECT embedding::DOUBLE[] AS e, label FROM embeddings
+                WHERE embedding IS NOT NULL AND len(embedding) = 64
+                  AND len(list_filter(embedding, x -> isnan(x))) = 0
+            ),
+            ex AS (
+                SELECT label < 5 AS is_base,
+                       unnest(e) AS x,
+                       generate_subscripts(e, 1) - 1 AS pos
+                FROM clean
+            ),
+            stats AS (
+                SELECT pos,
+                       count(*) FILTER (WHERE is_base) AS nb,
+                       sum(x) FILTER (WHERE is_base) AS sxb,
+                       sum(x * x) FILTER (WHERE is_base) AS sx2b,
+                       count(*) FILTER (WHERE NOT is_base) AS nc,
+                       sum(x) FILTER (WHERE NOT is_base) AS sxc,
+                       sum(x * x) FILTER (WHERE NOT is_base) AS sx2c
+                FROM ex GROUP BY pos
+            ),
+            m AS (
+                SELECT pos, nb, nc, sxb / nb AS mb, sxc / nc AS mc,
+                       sx2b, sx2c
+                FROM stats
+            )
+            SELECT max(nb) AS n_base, max(nc) AS n_cur,
+                   count(*)::INTEGER AS dim,
+                   round(sum(mb * mc)
+                         / (sqrt(sum(mb * mb)) * sqrt(sum(mc * mc))), 6)
+                       AS centroid_cosine,
+                   round(sqrt(sum((mb - mc) * (mb - mc))), 6) AS centroid_l2,
+                   round(sqrt(sum(sx2b / nb)), 6) AS rms_norm_base,
+                   round(sqrt(sum(sx2c / nc)), 6) AS rms_norm_cur,
+                   round(max(abs(mb - mc)), 6) AS max_dim_shift,
+                   max_by(pos, abs(mb - mc))::INTEGER AS max_shift_pos,
+                   round(avg(abs(mb - mc)), 6) AS avg_dim_shift
+            FROM m
         """,
         "infer_profile_documents": """
             SELECT 'doc_id' AS col_name, 'bigint' AS dtype,

@@ -57,6 +57,8 @@ __all__ = [
     "ivf_cells_udf",
     "with_ivf_cells",
     "cosine_topk_ivf",
+    "dimension_stats",
+    "embedding_drift",
 ]
 
 
@@ -605,4 +607,116 @@ def cosine_topk_ivf(
         pruned = pruned.drop("_ivf")
     return cosine_topk_bruteforce(
         pruned, query, vec_col=vec_col, id_col=id_col, k=k
+    )
+
+
+def dimension_stats(
+    df: DataFrame, *, vec_col: str = "embedding", dim: Optional[int] = None
+) -> DataFrame:
+    """Per-dimension sufficient statistics (count, Σx, Σx²) of a vector
+    column over clean rows — the building block for embedding drift.
+
+    Scale shape: ``posexplode`` multiplies rows by ``dim`` *inside the
+    map task*, but the groupBy's partial aggregation collapses them back
+    to ``dim`` rows per partition before the exchange, so the shuffle
+    carries ``dim × n_partitions`` tiny rows regardless of corpus size —
+    the same map-side-combine argument as the engine's histogram drift
+    (drift.py). One scan, one shuffle of ``dim`` keys, no driver math.
+
+    Rows that are NULL, wrong-dimension, or contain NaN are excluded
+    (identical clean-row predicate to :func:`vector_stats`, so the two
+    reports reconcile)."""
+    if dim is None:
+        dim = infer_dim(df, vec_col)
+    v = F.col(f"`{vec_col}`")
+    vd = v.cast("array<double>")
+    clean = (
+        v.isNotNull()
+        & (F.size(v) == F.lit(dim))
+        & ~F.exists(vd, lambda x: F.isnan(x))
+    )
+    ex = df.filter(clean).select(F.posexplode(vd).alias("pos", "x"))
+    return ex.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sum_x"),
+        F.sum(F.col("x") * F.col("x")).alias("sum_x2"),
+    )
+
+
+def embedding_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-row drift report between two embedding distributions —
+    the vector-typed analog of the engine's scalar drift checks
+    (chi²/PSI/EMD in drift.py): has the corpus the index was built on
+    moved?
+
+    Statistics (all derived from per-dimension sufficient statistics,
+    never from row-level pairing):
+
+    * ``centroid_cosine`` — cosine between the two mean vectors
+      (1.0 = no directional drift);
+    * ``centroid_l2`` — Euclidean distance between the mean vectors;
+    * ``rms_norm_base`` / ``rms_norm_cur`` — root-mean-square vector
+      norm per side, computed EXACTLY from Σx² (E‖x‖² = Σ_d E[x_d²]),
+      no second scan;
+    * ``max_dim_shift`` / ``max_shift_pos`` — largest per-dimension
+      mean shift and which dimension (the triage pointer);
+    * ``avg_dim_shift`` — mean |Δmean| across dimensions.
+
+    Scale shape: each side is ONE scan + ONE shuffle of ``dim`` keys
+    (:func:`dimension_stats`); the join and final agg run on two
+    ``dim``-row frames. Nothing about this plan changes between 500
+    vectors and 500 billion — the exchange payload is ``dim`` rows per
+    partition either way.
+
+    ``dim`` default: modal observed length of the BASELINE side (one
+    tiny extra job); pass it explicitly to skip the probe. Results are
+    rounded to ``round_to`` decimals so the report is stable across
+    summation orders (engine-portable, like the rest of the suite).
+    """
+    if dim is None:
+        dim = infer_dim(baseline, vec_col)
+    b = dimension_stats(baseline, vec_col=vec_col, dim=dim)
+    c = dimension_stats(current, vec_col=vec_col, dim=dim)
+    mb = (F.col("b.sum_x") / F.col("b.n")).alias("mb")
+    mc = (F.col("c.sum_x") / F.col("c.n")).alias("mc")
+    j = (
+        b.alias("b")
+        .join(c.alias("c"), F.col("b.pos") == F.col("c.pos"), "inner")
+        .select(
+            F.col("b.pos").alias("pos"),
+            F.col("b.n").alias("nb"),
+            F.col("c.n").alias("nc"),
+            mb,
+            mc,
+            F.col("b.sum_x2").alias("sx2b"),
+            F.col("c.sum_x2").alias("sx2c"),
+        )
+    )
+    dot = F.sum(F.col("mb") * F.col("mc"))
+    nb_norm = F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+    nc_norm = F.sqrt(F.sum(F.col("mc") * F.col("mc")))
+    diff = F.col("mb") - F.col("mc")
+    r = round_to
+    return j.agg(
+        F.max("nb").alias("n_base"),
+        F.max("nc").alias("n_cur"),
+        F.count(F.lit(1)).cast("int").alias("dim"),
+        F.round(dot / (nb_norm * nc_norm), r).alias("centroid_cosine"),
+        F.round(F.sqrt(F.sum(diff * diff)), r).alias("centroid_l2"),
+        F.round(F.sqrt(F.sum(F.col("sx2b") / F.col("nb"))), r).alias(
+            "rms_norm_base"
+        ),
+        F.round(F.sqrt(F.sum(F.col("sx2c") / F.col("nc"))), r).alias(
+            "rms_norm_cur"
+        ),
+        F.round(F.max(F.abs(diff)), r).alias("max_dim_shift"),
+        F.max_by("pos", F.abs(diff)).alias("max_shift_pos"),
+        F.round(F.avg(F.abs(diff)), r).alias("avg_dim_shift"),
     )

@@ -477,3 +477,42 @@ def test_ks_fused_path_matches_direct_path(spark):
     for stat in ("ks", "psi", "chi_square"):
         assert fused[stat] == pytest.approx(direct[stat], rel=1e-9), stat
     assert direct["ks"] == pytest.approx(0.6, abs=1e-9)
+
+
+def test_embedding_drift_hand_computed(spark):
+    """embedding_drift on two tiny known distributions: stats must match
+    hand-computed centroid cosine / L2 / RMS norms exactly (dim=2)."""
+    from dsci_524_g26_data_validation_spark.operators import similarity
+
+    base = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, None), (4, [1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    cur = spark.createDataFrame(
+        [(5, [0.0, 1.0]), (6, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    r = similarity.embedding_drift(base, cur, dim=2).collect()[0]
+    # clean rows: base has 2 of [1,0]; cur has 2 of [0,1]
+    assert (r["n_base"], r["n_cur"], r["dim"]) == (2, 2, 2)
+    assert r["centroid_cosine"] == 0.0          # orthogonal centroids
+    assert r["centroid_l2"] == pytest.approx(2 ** 0.5, abs=1e-6)
+    assert r["rms_norm_base"] == 1.0 and r["rms_norm_cur"] == 1.0
+    assert r["max_dim_shift"] == 1.0 and r["avg_dim_shift"] == 1.0
+    assert r["max_shift_pos"] in (0, 1)         # tie: both dims shift by 1
+
+
+def test_embedding_drift_identical_distributions(spark):
+    """Same frame on both sides: cosine 1, L2 0, zero shifts."""
+    from dsci_524_g26_data_validation_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, -2.0]) for i in range(1, 9)],
+        "vec_id bigint, embedding array<double>",
+    )
+    r = similarity.embedding_drift(df, df).collect()[0]
+    assert (r["n_base"], r["n_cur"], r["dim"]) == (8, 8, 3)
+    assert r["centroid_cosine"] == 1.0
+    assert r["centroid_l2"] == 0.0
+    assert r["max_dim_shift"] == 0.0 and r["avg_dim_shift"] == 0.0
+    assert r["rms_norm_base"] == r["rms_norm_cur"]
