@@ -132,6 +132,43 @@ def _category_violations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quarantine_routing_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-routing quarantine (expect_or_drop enforcement): every orders
+    row is tagged in ONE codegen projection with its sorted violation
+    reasons — contract range + category facets stacked with a
+    conditional WHEN-THEN rule — and the query returns the full routing
+    census (reason-combination -> row count; '' = clean row), so the
+    oracle verifies the routing of every row, valid ones included."""
+    from dsci_524_g26_data_validation_spark.types import ConditionalRule
+
+    o = _read(spark, sf_dir, "orders")
+    contract = dv.Contract(
+        columns={
+            "o_totalprice": dv.ColumnRule(
+                dtype="double", min_value=1000.0, max_value=400000.0
+            ),
+            "o_orderpriority": dv.ColumnRule(
+                dtype="string",
+                allowed_values={"1-URGENT", "2-HIGH", "3-MEDIUM"},
+            ),
+        }
+    )
+    rules = [
+        ConditionalRule(
+            when="o_orderstatus = 'F'",
+            then="o_totalprice < 300000",
+            name="finished_under_300k",
+        )
+    ]
+    tagged = dv.tag_rows(o, contract, rules=rules)
+    return (
+        tagged.groupBy(
+            F.array_join("violations", ",").alias("violations")
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
 def _uniqueness_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1: salted two-level duplicate detection on orders.o_custkey."""
     o = _read(spark, sf_dir, "orders")
@@ -1252,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "missingness_documents": _missingness_documents,
         "range_violations_lineitem": _range_violations_lineitem,
         "category_violations_orders": _category_violations_orders,
+        "quarantine_routing_orders": _quarantine_routing_orders,
         "uniqueness_orders_custkey": _uniqueness_orders_custkey,
         "referential_orders_customer": _referential_orders_customer,
         "histogram_totalprice": _histogram_totalprice,
@@ -1414,6 +1452,22 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderpriority IS NOT NULL
               AND o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM')
+        """,
+        "quarantine_routing_orders": """
+            SELECT array_to_string(list_sort(list_filter([
+                       CASE WHEN o_totalprice < 1000.0
+                              OR o_totalprice > 400000.0
+                            THEN 'range:o_totalprice' END,
+                       CASE WHEN o_orderpriority IS NOT NULL
+                             AND o_orderpriority NOT IN
+                                 ('1-URGENT','2-HIGH','3-MEDIUM')
+                            THEN 'category:o_orderpriority' END,
+                       CASE WHEN coalesce(o_orderstatus = 'F', false)
+                             AND NOT coalesce(o_totalprice < 300000, false)
+                            THEN 'conditional:finished_under_300k' END
+                   ], x -> x IS NOT NULL)), ',') AS violations,
+                   count(*) AS n_rows
+            FROM orders GROUP BY 1
         """,
         "uniqueness_orders_custkey": """
             SELECT o_custkey, count(*) AS dup_count

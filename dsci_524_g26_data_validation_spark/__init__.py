@@ -104,6 +104,7 @@ from .operators.timeseries import (
     order_health,
     sequence_gap_buckets,
 )
+from .operators.quarantine import quarantine_split, tag_rows, write_quarantine
 from .operators.skew import key_skew_report, suggested_salt
 from .operators.table_validate import (
     DriftThresholds,
@@ -121,6 +122,9 @@ __all__ = [
     "ConditionalRule",
     "conditional_report",
     "conditional_violations",
+    "tag_rows",
+    "quarantine_split",
+    "write_quarantine",
     "fixed_point_units",
     "reconcile_aggregate",
     "reconcile_summary",
