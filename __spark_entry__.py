@@ -169,6 +169,39 @@ def _quarantine_routing_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _repair_census_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract-driven repair (clamp ranges, null bad categories) in one
+    codegen projection, verified by its observable effects: post-repair
+    min/max, cents-exact fixed-point sum (merge-order-independent, so
+    engine- and cluster-size-invariant), repaired-row count, and the
+    nulled-category count."""
+    o = _read(spark, sf_dir, "orders")
+    contract = dv.Contract(
+        columns={
+            "o_totalprice": dv.ColumnRule(
+                dtype="double", min_value=1000.0, max_value=400000.0
+            ),
+            "o_orderpriority": dv.ColumnRule(
+                dtype="string",
+                allowed_values={"1-URGENT", "2-HIGH", "3-MEDIUM"},
+            ),
+        }
+    )
+    rep = dv.repair_rows(o, contract)
+    return rep.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.size("repaired") > 0).alias("n_repaired"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("sum_price_cents"),
+        F.count_if(F.col("o_orderpriority").isNull()).alias(
+            "n_null_priority"
+        ),
+    )
+
+
 def _uniqueness_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1: salted two-level duplicate detection on orders.o_custkey."""
     o = _read(spark, sf_dir, "orders")
@@ -1290,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_violations_lineitem": _range_violations_lineitem,
         "category_violations_orders": _category_violations_orders,
         "quarantine_routing_orders": _quarantine_routing_orders,
+        "repair_census_orders": _repair_census_orders,
         "uniqueness_orders_custkey": _uniqueness_orders_custkey,
         "referential_orders_customer": _referential_orders_customer,
         "histogram_totalprice": _histogram_totalprice,
@@ -1468,6 +1502,32 @@ def oracle_sql() -> dict[str, str]:
                    ], x -> x IS NOT NULL)), ',') AS violations,
                    count(*) AS n_rows
             FROM orders GROUP BY 1
+        """,
+        "repair_census_orders": """
+            WITH rep AS (
+                SELECT CASE WHEN o_totalprice < 1000.0 THEN 1000.0
+                            WHEN o_totalprice > 400000.0 THEN 400000.0
+                            ELSE o_totalprice END AS price,
+                       CASE WHEN o_orderpriority IS NOT NULL
+                             AND o_orderpriority NOT IN
+                                 ('1-URGENT','2-HIGH','3-MEDIUM')
+                            THEN NULL ELSE o_orderpriority END AS prio,
+                       coalesce(o_totalprice < 1000.0
+                                OR o_totalprice > 400000.0, false)
+                           AS r_range,
+                       coalesce(o_orderpriority NOT IN
+                                ('1-URGENT','2-HIGH','3-MEDIUM'), false)
+                           AS r_cat
+                FROM orders
+            )
+            SELECT count(*) AS n_rows,
+                   count(*) FILTER (WHERE r_range OR r_cat) AS n_repaired,
+                   round(min(price), 2) AS min_price,
+                   round(max(price), 2) AS max_price,
+                   CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_price_cents,
+                   count(*) FILTER (WHERE prio IS NULL) AS n_null_priority
+            FROM rep
         """,
         "uniqueness_orders_custkey": """
             SELECT o_custkey, count(*) AS dup_count

@@ -104,7 +104,12 @@ from .operators.timeseries import (
     order_health,
     sequence_gap_buckets,
 )
-from .operators.quarantine import quarantine_split, tag_rows, write_quarantine
+from .operators.quarantine import (
+    quarantine_split,
+    repair_rows,
+    tag_rows,
+    write_quarantine,
+)
 from .operators.skew import key_skew_report, suggested_salt
 from .operators.table_validate import (
     DriftThresholds,
@@ -125,6 +130,7 @@ __all__ = [
     "tag_rows",
     "quarantine_split",
     "write_quarantine",
+    "repair_rows",
     "fixed_point_units",
     "reconcile_aggregate",
     "reconcile_summary",

@@ -34,7 +34,13 @@ from typing import Dict, Optional, Sequence, Tuple
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
-from ..plans.rule_compiler import violation_predicates
+from pyspark.sql import types as T
+
+from ..plans.rule_compiler import (
+    categorical_cast,
+    is_numeric_spark_type,
+    violation_predicates,
+)
 from ..types import ConditionalRule, Contract
 from .conditional import violated_expr
 
@@ -43,6 +49,7 @@ __all__ = [
     "tag_rows",
     "quarantine_split",
     "write_quarantine",
+    "repair_rows",
 ]
 
 
@@ -152,3 +159,101 @@ def write_quarantine(
         "valid_path": f"{path}/is_valid=true",
         "quarantine_path": f"{path}/is_valid=false",
     }
+
+
+def repair_rows(
+    df: DataFrame,
+    contract: Contract,
+    *,
+    range_strategy: str = "clamp",
+    category_strategy: str = "null",
+    repaired_col: Optional[str] = "repaired",
+) -> DataFrame:
+    """Contract-driven value repair in ONE codegen projection — the
+    third enforcement mode after report (``violation_rows``) and route
+    (:func:`quarantine_split`): fix what is mechanically fixable and
+    record what was touched.
+
+    Strategies (per facet, never per row — no UDFs, no shuffle):
+
+    * range ``'clamp'``: values below ``min_value`` become ``min_value``,
+      above ``max_value`` become ``max_value`` (winsorization — the
+      standard bounded-feature repair); ``'null'``: out-of-range values
+      become NULL for a downstream imputation stage.
+    * category ``'null'``: values outside ``allowed_values`` become NULL
+      (there is no defensible automatic fallback; NULL routes the cell
+      to imputation and keeps the domain contract true by construction).
+
+    NULL cells are never "repaired" (the violation predicate is NULL →
+    the WHEN falls through to the original value) — 3VL-consistent with
+    :func:`tag_rows` and ``violation_rows``, and deliberately NOT
+    ``greatest/least``-based clamping, whose NULL-skipping semantics
+    would silently turn NULL into ``min_value``.
+
+    ``repaired_col`` (default ``'repaired'``) appends a sorted
+    ``array<string>`` of ``'kind:column'`` tags naming the facets that
+    actually fired for the row — the audit trail that lets a replay
+    pipeline distinguish repaired rows from originally-clean ones; pass
+    ``None`` to keep exactly the input schema.
+
+    Output contract: ``tag_rows(repair_rows(df, c), c).is_valid`` is
+    True for every row whose only violations were range/category facets
+    (conditional rules are assertions about the business process, not
+    cell values — they are not repairable and not touched here).
+    """
+    if range_strategy not in ("clamp", "null"):
+        raise ValueError(f"unknown range_strategy: {range_strategy!r}")
+    if category_strategy != "null":
+        raise ValueError(f"unknown category_strategy: {category_strategy!r}")
+    if repaired_col is not None and repaired_col in df.columns:
+        raise ValueError(f"repair_rows: column '{repaired_col}' already exists")
+
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    out_cols = []
+    tag_slots = []
+    for col in df.columns:
+        rule = contract.columns.get(col)
+        c = F.col(f"`{col}`")
+        if rule is None:
+            out_cols.append(c)
+            continue
+        dt = schema[col]
+        expr = c
+        numeric_like = is_numeric_spark_type(dt) or isinstance(dt, T.BooleanType)
+        num_c = c.cast("int") if isinstance(dt, T.BooleanType) else c
+        range_fired = None
+        if numeric_like and rule.min_value is not None:
+            p = num_c < F.lit(rule.min_value)
+            fix = (
+                F.lit(rule.min_value).cast(dt)
+                if range_strategy == "clamp"
+                else F.lit(None).cast(dt)
+            )
+            expr = F.when(p, fix).otherwise(expr)
+            range_fired = p if range_fired is None else (range_fired | p)
+        if numeric_like and rule.max_value is not None:
+            p = num_c > F.lit(rule.max_value)
+            fix = (
+                F.lit(rule.max_value).cast(dt)
+                if range_strategy == "clamp"
+                else F.lit(None).cast(dt)
+            )
+            expr = F.when(p, fix).otherwise(expr)
+            range_fired = p if range_fired is None else (range_fired | p)
+        if range_fired is not None:
+            tag_slots.append(F.when(range_fired, F.lit(f"range:{col}")))
+        if rule.allowed_values is not None:
+            sc = categorical_cast(c, dt)
+            p = sc.isNotNull() & ~sc.isin(sorted(rule.allowed_values))
+            expr = F.when(p, F.lit(None).cast(dt)).otherwise(expr)
+            tag_slots.append(F.when(p, F.lit(f"category:{col}")))
+        out_cols.append(expr.alias(col))
+
+    if repaired_col is not None:
+        tags = (
+            F.array_sort(F.array_compact(F.array(*tag_slots)))
+            if tag_slots
+            else F.array().cast("array<string>")
+        )
+        out_cols.append(tags.alias(repaired_col))
+    return df.select(*out_cols)

@@ -114,3 +114,51 @@ def test_tagging_is_single_stage(df, contract):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repair_rows_clamp_and_null(df, contract):
+    out = {r["id"]: r for r in dv.repair_rows(df, contract).collect()}
+    # id=2: x=-1 clamped up to 0
+    assert out[2]["x"] == 0 and out[2]["repaired"] == ["range:x"]
+    # id=3: x=99 clamped down to 10, cat 'zzz' nulled — both tagged
+    assert out[3]["x"] == 10 and out[3]["cat"] is None
+    assert out[3]["repaired"] == ["category:cat", "range:x"]
+    # NULLs are never repaired (3VL)
+    assert out[4]["x"] is None and out[4]["repaired"] == []
+    assert out[5]["cat"] is None and out[5]["repaired"] == []
+    # clean row untouched
+    assert out[1]["x"] == 5 and out[1]["cat"] == "a" and out[1]["repaired"] == []
+
+
+def test_repair_rows_null_strategy(df, contract):
+    out = {
+        r["id"]: r
+        for r in dv.repair_rows(df, contract, range_strategy="null").collect()
+    }
+    assert out[2]["x"] is None and out[3]["x"] is None
+    assert out[2]["repaired"] == ["range:x"]
+
+
+def test_repair_then_tag_is_valid(df, contract):
+    """Output contract: repaired rows pass the same contract's
+    range/category facets."""
+    repaired = dv.repair_rows(df, contract, repaired_col=None)
+    assert repaired.columns == df.columns
+    tagged = dv.tag_rows(repaired, contract)
+    assert tagged.filter("NOT is_valid").count() == 0
+
+
+def test_repair_rows_rejects_unknown_strategy(df, contract):
+    with pytest.raises(ValueError, match="range_strategy"):
+        dv.repair_rows(df, contract, range_strategy="wat")
+
+
+def test_repair_is_single_stage(df, contract):
+    plan = (
+        dv.repair_rows(df, contract)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
