@@ -202,6 +202,36 @@ def _repair_census_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _structure_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-structure validation (BOS/EOS/pad/vocab/length) over a
+    deterministic tokenization of documents, with planted structural
+    corruptions by doc_id % 13: dropped BOS, dropped EOS, an interior
+    pad, and an out-of-vocab id. The census must count each planted
+    class exactly; pad_frac measures trailing-pad overhead."""
+    d = _read(spark, sf_dir, "documents")
+    body = F.transform(
+        F.split("text", " "),
+        lambda w: (F.length(w) % 97 + 5).cast("int"),
+    )
+    bos, eos, pad = F.array(F.lit(1)), F.array(F.lit(2)), F.array(F.lit(0))
+    r = F.col("doc_id") % 13
+    pads = F.slice(
+        F.array(F.lit(0), F.lit(0)), 1, (F.col("doc_id") % 3).cast("int")
+    )
+    seq = (
+        F.when(r == 0, F.concat(body, eos))
+        .when(r == 1, F.concat(bos, body))
+        .when(r == 2, F.concat(bos, body, F.array(F.lit(2), F.lit(0), F.lit(9))))
+        .when(r == 3, F.concat(bos, body, F.array(F.lit(500), F.lit(2))))
+        .otherwise(F.concat(bos, body, eos, pads))
+    )
+    toks = d.select("source", seq.alias("tokens"))
+    spec = dv.SequenceSpec(
+        bos_id=1, eos_id=2, pad_id=0, vocab_size=102, min_len=3, max_len=2000
+    )
+    return dv.structure_census(toks, spec, group_col="source")
+
+
 def _uniqueness_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1: salted two-level duplicate detection on orders.o_custkey."""
     o = _read(spark, sf_dir, "orders")
@@ -1324,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "category_violations_orders": _category_violations_orders,
         "quarantine_routing_orders": _quarantine_routing_orders,
         "repair_census_orders": _repair_census_orders,
+        "structure_census_documents": _structure_census_documents,
         "uniqueness_orders_custkey": _uniqueness_orders_custkey,
         "referential_orders_customer": _referential_orders_customer,
         "histogram_totalprice": _histogram_totalprice,
@@ -1528,6 +1559,69 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_price_cents,
                    count(*) FILTER (WHERE prio IS NULL) AS n_null_priority
             FROM rep
+        """,
+        "structure_census_documents": """
+            WITH base AS (
+                SELECT doc_id, source,
+                       list_transform(string_split(text, ' '),
+                           w -> CAST(length(w) % 97 + 5 AS INT)) AS body,
+                       CASE CAST(doc_id % 3 AS INT)
+                            WHEN 1 THEN [0] WHEN 2 THEN [0, 0]
+                            ELSE CAST([] AS INT[]) END AS pads
+                FROM documents
+            ), tok AS (
+                SELECT source,
+                       CASE CAST(doc_id % 13 AS INT)
+                         WHEN 0 THEN body || [2]
+                         WHEN 1 THEN [1] || body
+                         WHEN 2 THEN [1] || body || [2, 0, 9]
+                         WHEN 3 THEN [1] || body || [500, 2]
+                         ELSE [1] || body || [2] || pads
+                       END AS s
+                FROM base
+            ), m AS (
+                SELECT source, s, len(s) AS sz,
+                       coalesce(len(s) - (list_position(
+                           list_transform(list_reverse(s),
+                               x -> CASE WHEN x <> 0 THEN 1 ELSE 0 END),
+                           1) - 1), 0) AS clen,
+                       len(list_filter(s, x -> x = 0)) AS npad
+                FROM tok
+            ), f AS (
+                SELECT source, sz, clen,
+                       clen = 0 AS f_empty,
+                       clen <> 0 AND s[1] <> 1 AS f_missing_bos,
+                       clen <> 0 AND s[clen] <> 2 AS f_missing_eos,
+                       npad <> sz - clen AS f_interior_pad,
+                       len(list_filter(s, x -> x < 0 OR x >= 102)) > 0
+                           AS f_oov,
+                       clen < 3 AS f_too_short,
+                       clen > 2000 AS f_too_long
+                FROM m
+            )
+            SELECT source,
+                   count(*) AS n_rows,
+                   CAST(count(*) FILTER (WHERE f_empty OR f_missing_bos
+                       OR f_missing_eos OR f_interior_pad OR f_oov
+                       OR f_too_short OR f_too_long) AS BIGINT) AS n_bad,
+                   CAST(count(*) FILTER (WHERE f_empty) AS BIGINT)
+                       AS n_empty,
+                   CAST(count(*) FILTER (WHERE f_interior_pad) AS BIGINT)
+                       AS n_interior_pad,
+                   CAST(count(*) FILTER (WHERE f_missing_bos) AS BIGINT)
+                       AS n_missing_bos,
+                   CAST(count(*) FILTER (WHERE f_missing_eos) AS BIGINT)
+                       AS n_missing_eos,
+                   CAST(0 AS BIGINT) AS n_null_tokens,
+                   CAST(count(*) FILTER (WHERE f_oov) AS BIGINT) AS n_oov,
+                   CAST(count(*) FILTER (WHERE f_too_long) AS BIGINT)
+                       AS n_too_long,
+                   CAST(count(*) FILTER (WHERE f_too_short) AS BIGINT)
+                       AS n_too_short,
+                   round((CAST(sum(sz) AS DOUBLE) - CAST(sum(clen) AS DOUBLE))
+                       / greatest(CAST(sum(sz) AS DOUBLE), 1.0), 6)
+                       AS pad_frac
+            FROM f GROUP BY source
         """,
         "uniqueness_orders_custkey": """
             SELECT o_custkey, count(*) AS dup_count

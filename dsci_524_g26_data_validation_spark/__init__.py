@@ -111,6 +111,11 @@ from .operators.quarantine import (
     write_quarantine,
 )
 from .operators.skew import key_skew_report, suggested_salt
+from .operators.structure import (
+    SequenceSpec,
+    structure_census,
+    structure_violations,
+)
 from .operators.table_validate import (
     DriftThresholds,
     run_resumable_validation,
@@ -131,6 +136,9 @@ __all__ = [
     "quarantine_split",
     "write_quarantine",
     "repair_rows",
+    "SequenceSpec",
+    "structure_census",
+    "structure_violations",
     "fixed_point_units",
     "reconcile_aggregate",
     "reconcile_summary",

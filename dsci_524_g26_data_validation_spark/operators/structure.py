@@ -1,0 +1,211 @@
+"""Sequence-structure validation for pre-tokenized training sequences.
+
+The tokens-payload analog of the reference's per-column facets
+(``validate_contract.py`` checks cells; this checks the INTERNAL
+structure of each ``tokens: array<int>`` cell): BOS/EOS framing,
+padding discipline, vocabulary bounds, and content-length limits — the
+invariants a training loader assumes and a corrupted tokenizer run
+silently breaks.
+
+Every check is a pure Catalyst array expression (HOF ``transform`` /
+``filter`` / ``aggregate`` + ``element_at``), so the whole screen is
+row-local: zero shuffles, whole-stage codegen, and the parquet reader
+decodes only the token column plus requested keys. The census is one
+``groupBy(group_col)`` over pre-computed bits — a single scan and one
+tiny shuffle (|groups| rows) regardless of corpus size, the same fused
+shape as the contract validation pass.
+
+Definitions (for a spec with ``pad_id``):
+
+* ``content_len`` = 1-based index of the LAST non-pad token (0 if the
+  sequence is empty or all-pad). Trailing pads are legal padding;
+  anything else involving pad is not.
+* ``interior_pad``: the number of pad tokens exceeds the trailing pad
+  run, i.e. a pad appears before a real token.
+* ``missing_bos`` / ``missing_eos``: first token ≠ ``bos_id`` / last
+  non-pad token ≠ ``eos_id`` (only checked on non-empty content).
+* ``oov``: any token outside ``[0, vocab_size)``.
+* ``too_short`` / ``too_long``: ``content_len`` outside
+  ``[min_len, max_len]``.
+
+NULL arrays get the single tag ``null_tokens`` (E5
+``ntok_invariant_violations`` owns the n_tok cross-check; here a NULL
+cell must still be routable). 3VL note: all predicates below are built
+from ``size``/``element_at`` over a non-NULL guard, so no tag silently
+disappears on NULL.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "SequenceSpec",
+    "structure_flags",
+    "structure_violations",
+    "structure_census",
+]
+
+
+@dataclass(frozen=True)
+class SequenceSpec:
+    """Structural contract for one tokenized-sequence column.
+
+    Any field left ``None`` disables its checks, so the spec degrades
+    gracefully for corpora without special tokens or padding.
+    """
+
+    bos_id: Optional[int] = None
+    eos_id: Optional[int] = None
+    pad_id: Optional[int] = None
+    vocab_size: Optional[int] = None
+    min_len: Optional[int] = None
+    max_len: Optional[int] = None
+
+    def __post_init__(self) -> None:
+        if self.vocab_size is not None and self.vocab_size <= 0:
+            raise ValueError(f"vocab_size must be positive, got {self.vocab_size}")
+        if (
+            self.min_len is not None
+            and self.max_len is not None
+            and self.min_len > self.max_len
+        ):
+            raise ValueError(
+                f"min_len {self.min_len} > max_len {self.max_len}"
+            )
+        for name in ("bos_id", "eos_id", "pad_id"):
+            v = getattr(self, name)
+            if v is not None and self.vocab_size is not None and not (
+                0 <= v < self.vocab_size
+            ):
+                raise ValueError(
+                    f"{name}={v} outside [0, vocab_size={self.vocab_size})"
+                )
+
+
+def _content_len(arr: Column, pad_id: Optional[int]) -> Column:
+    """1-based index of the last non-pad token; 0 for empty/all-pad.
+
+    ``aggregate(transform(arr, (x, i) -> if(x != pad, i+1, 0)), 0,
+    greatest)`` — one pass over the array, no explode, stays inside
+    codegen. Without a pad_id the content length is simply ``size``.
+    """
+    if pad_id is None:
+        return F.size(arr)
+    idx = F.transform(
+        arr,
+        lambda x, i: F.when(x != F.lit(pad_id), i + 1).otherwise(F.lit(0)),
+    )
+    return F.aggregate(idx, F.lit(0), lambda acc, v: F.greatest(acc, v))
+
+
+def structure_flags(arr: Column, spec: SequenceSpec) -> dict:
+    """Dict of tag → BooleanColumn for one token-array column.
+
+    Exposed so callers can embed individual bits in their own fused
+    aggregation passes (the engine-wide single-scan idiom)."""
+    clen = _content_len(arr, spec.pad_id)
+    is_null = arr.isNull()
+    flags: dict = {"null_tokens": is_null}
+    nn = ~is_null  # guard: every non-null tag is False on NULL arrays
+    flags["empty"] = nn & (clen == 0)
+    if spec.bos_id is not None:
+        flags["missing_bos"] = nn & (clen > 0) & (
+            F.element_at(arr, 1) != F.lit(spec.bos_id)
+        )
+    if spec.eos_id is not None:
+        flags["missing_eos"] = nn & (clen > 0) & (
+            F.element_at(arr, clen) != F.lit(spec.eos_id)
+        )
+    if spec.pad_id is not None:
+        n_pad = F.size(F.filter(arr, lambda x: x == F.lit(spec.pad_id)))
+        flags["interior_pad"] = nn & (n_pad != F.size(arr) - clen)
+    if spec.vocab_size is not None:
+        oov = F.filter(
+            arr, lambda x: (x < 0) | (x >= F.lit(spec.vocab_size))
+        )
+        flags["oov"] = nn & (F.size(oov) > 0)
+    if spec.min_len is not None:
+        flags["too_short"] = nn & (clen < F.lit(spec.min_len))
+    if spec.max_len is not None:
+        flags["too_long"] = nn & (clen > F.lit(spec.max_len))
+    return flags
+
+
+def structure_violations(
+    df: DataFrame,
+    spec: SequenceSpec,
+    *,
+    arr_col: str = "tokens",
+    keep: Sequence[str] = ("doc_id",),
+) -> DataFrame:
+    """Per-row structural violations: ``keep + (tags: array<string>,
+    content_len: int)``, rows with ≥1 tag only.
+
+    Tags are sorted for deterministic comparison (the same contract as
+    ``quarantine.tag_rows``). Single codegen projection + filter — no
+    shuffle, no UDF."""
+    arr = F.col(arr_col)
+    flags = structure_flags(arr, spec)
+    tags = F.array_sort(
+        F.array_compact(
+            F.array(*[F.when(c, F.lit(t)) for t, c in sorted(flags.items())])
+        )
+    )
+    return (
+        df.select(
+            *[F.col(c) for c in keep],
+            tags.alias("tags"),
+            _content_len(arr, spec.pad_id).alias("content_len"),
+        )
+        .filter(F.size("tags") > 0)
+    )
+
+
+def structure_census(
+    df: DataFrame,
+    spec: SequenceSpec,
+    *,
+    arr_col: str = "tokens",
+    group_col: Optional[str] = None,
+) -> DataFrame:
+    """Violation census: one row per group (or one total row) with
+    ``n_rows``, one ``n_<tag>`` count per enabled check, ``n_bad``
+    (rows with any violation), and ``pad_frac`` (corpus padding
+    overhead — wasted loader work, not a violation).
+
+    One scan, map-side partial aggregation, |groups| result rows — the
+    100 TB shape."""
+    arr = F.col(arr_col)
+    flags = structure_flags(arr, spec)
+    any_bad = None
+    for c in flags.values():
+        any_bad = c if any_bad is None else (any_bad | c)
+    clen = _content_len(arr, spec.pad_id)
+    pre = df.select(
+        *([F.col(group_col)] if group_col else []),
+        *[c.alias(f"_f_{t}") for t, c in sorted(flags.items())],
+        any_bad.alias("_f_any"),
+        F.coalesce(F.size(arr), F.lit(0)).alias("_sz"),
+        clen.alias("_cl"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if("_f_any").alias("n_bad"),
+        *[
+            F.count_if(f"_f_{t}").alias(f"n_{t}")
+            for t in sorted(flags.keys())
+        ],
+        F.round(
+            (F.sum("_sz") - F.sum("_cl")).cast("double")
+            / F.greatest(F.sum("_sz"), F.lit(1)).cast("double"),
+            6,
+        ).alias("pad_frac"),
+    ]
+    if group_col:
+        return pre.groupBy(group_col).agg(*aggs)
+    return pre.agg(*aggs)
