@@ -202,6 +202,27 @@ def _repair_census_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level reconciliation after a simulated migration: the right
+    side mutates o_totalprice by +0.01 on o_orderkey % 100 == 0, drops
+    o_orderkey % 97 == 0, and double-writes o_orderkey % 101 == 0
+    (replayed-writer duplicates). The digest multiset diff must account
+    for every planted class; the oracle computes the true multiset diff
+    by grouping on the column values themselves."""
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    o = _read(spark, sf_dir, "orders").select(*cols)
+    mutated = o.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 100 == 0,
+            F.round(F.col("o_totalprice") + 0.01, 2),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    dup = mutated.filter(F.col("o_orderkey") % 101 == 0)
+    right = mutated.unionAll(dup)
+    return dv.table_diff(o, right, cols=cols)
+
+
 def _structure_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-structure validation (BOS/EOS/pad/vocab/length) over a
     deterministic tokenization of documents, with planted structural
@@ -1355,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quarantine_routing_orders": _quarantine_routing_orders,
         "repair_census_orders": _repair_census_orders,
         "structure_census_documents": _structure_census_documents,
+        "table_diff_orders": _table_diff_orders,
         "uniqueness_orders_custkey": _uniqueness_orders_custkey,
         "referential_orders_customer": _referential_orders_customer,
         "histogram_totalprice": _histogram_totalprice,
@@ -1559,6 +1581,48 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_price_cents,
                    count(*) FILTER (WHERE prio IS NULL) AS n_null_priority
             FROM rep
+        """,
+        "table_diff_orders": """
+            WITH l AS (
+                SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+                FROM orders
+            ), m AS (
+                SELECT o_orderkey, o_custkey,
+                       CASE WHEN o_orderkey % 100 = 0
+                            THEN round(o_totalprice + 0.01, 2)
+                            ELSE o_totalprice END AS o_totalprice,
+                       o_orderpriority
+                FROM orders WHERE o_orderkey % 97 <> 0
+            ), r AS (
+                SELECT * FROM m
+                UNION ALL
+                SELECT * FROM m WHERE o_orderkey % 101 = 0
+            ), lc AS (
+                SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+                       count(*) AS c
+                FROM l GROUP BY ALL
+            ), rc AS (
+                SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+                       count(*) AS c
+                FROM r GROUP BY ALL
+            ), j AS (
+                SELECT coalesce(lc.c, 0) AS lcnt, coalesce(rc.c, 0) AS rcnt
+                FROM lc FULL OUTER JOIN rc
+                  ON lc.o_orderkey IS NOT DISTINCT FROM rc.o_orderkey
+                 AND lc.o_custkey IS NOT DISTINCT FROM rc.o_custkey
+                 AND lc.o_totalprice IS NOT DISTINCT FROM rc.o_totalprice
+                 AND lc.o_orderpriority IS NOT DISTINCT FROM rc.o_orderpriority
+            )
+            SELECT CAST(sum(lcnt) AS BIGINT) AS n_left,
+                   CAST(sum(rcnt) AS BIGINT) AS n_right,
+                   CAST(sum(least(lcnt, rcnt)) AS BIGINT) AS n_common,
+                   CAST(sum(greatest(lcnt - rcnt, 0)) AS BIGINT)
+                       AS n_only_left,
+                   CAST(sum(greatest(rcnt - lcnt, 0)) AS BIGINT)
+                       AS n_only_right,
+                   CAST(count(*) FILTER (WHERE lcnt <> rcnt) AS BIGINT)
+                       AS n_distinct_diff
+            FROM j
         """,
         "structure_census_documents": """
             WITH base AS (

@@ -111,6 +111,7 @@ from .operators.quarantine import (
     write_quarantine,
 )
 from .operators.skew import key_skew_report, suggested_salt
+from .operators.rowdiff import row_digest, table_diff, table_diff_rows
 from .operators.structure import (
     SequenceSpec,
     structure_census,
@@ -139,6 +140,9 @@ __all__ = [
     "SequenceSpec",
     "structure_census",
     "structure_violations",
+    "row_digest",
+    "table_diff",
+    "table_diff_rows",
     "fixed_point_units",
     "reconcile_aggregate",
     "reconcile_summary",
