@@ -202,6 +202,37 @@ def _repair_census_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _comissingness_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-missingness detection: NULLs planted with a shared
+    cause (doc_id % 11 == 0 nulls BOTH lang and source — the upstream-
+    joiner failure mode) plus an independent cause (doc_id % 13 == 0
+    nulls n_chars). The pairwise lift must expose the correlated pair
+    (lift >> 1) and the independent pairs (lift ≈ 1 or 0 joint)."""
+    d = _read(spark, sf_dir, "documents")
+    both_null = F.col("doc_id") % 11 == 0
+    dirty = d.select(
+        "doc_id",
+        F.when(~both_null, F.col("lang")).alias("lang"),
+        F.when(~both_null, F.col("source")).alias("source"),
+        F.when(F.col("doc_id") % 13 != 0, F.col("n_chars")).alias("n_chars"),
+    )
+    return dv.comissingness(dirty, cols=["lang", "source", "n_chars"]).select(
+        "col_a", "col_b", "n_a", "n_b", "n_both", "lift", "jaccard"
+    )
+
+
+def _null_patterns_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row null-pattern ranking over the same planted frame."""
+    d = _read(spark, sf_dir, "documents")
+    both_null = F.col("doc_id") % 11 == 0
+    dirty = d.select(
+        F.when(~both_null, F.col("lang")).alias("lang"),
+        F.when(~both_null, F.col("source")).alias("source"),
+        F.when(F.col("doc_id") % 13 != 0, F.col("n_chars")).alias("n_chars"),
+    )
+    return dv.null_patterns(dirty, cols=["lang", "source", "n_chars"], top_k=10)
+
+
 def _table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level reconciliation after a simulated migration: the right
     side mutates o_totalprice by +0.01 on o_orderkey % 100 == 0, drops
@@ -1377,6 +1408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repair_census_orders": _repair_census_orders,
         "structure_census_documents": _structure_census_documents,
         "table_diff_orders": _table_diff_orders,
+        "comissingness_documents": _comissingness_documents,
+        "null_patterns_documents": _null_patterns_documents,
         "uniqueness_orders_custkey": _uniqueness_orders_custkey,
         "referential_orders_customer": _referential_orders_customer,
         "histogram_totalprice": _histogram_totalprice,
@@ -1581,6 +1614,64 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_price_cents,
                    count(*) FILTER (WHERE prio IS NULL) AS n_null_priority
             FROM rep
+        """,
+        "comissingness_documents": """
+            WITH dirty AS (
+                SELECT CASE WHEN doc_id % 11 <> 0 THEN lang END AS lang,
+                       CASE WHEN doc_id % 11 <> 0 THEN source END AS source,
+                       CASE WHEN doc_id % 13 <> 0 THEN n_chars END AS n_chars
+                FROM documents
+            ), agg AS (
+                SELECT count(*) AS n,
+                       count(*) FILTER (WHERE lang IS NULL) AS m0,
+                       count(*) FILTER (WHERE source IS NULL) AS m1,
+                       count(*) FILTER (WHERE n_chars IS NULL) AS m2,
+                       count(*) FILTER (WHERE lang IS NULL
+                                          AND source IS NULL) AS j01,
+                       count(*) FILTER (WHERE lang IS NULL
+                                          AND n_chars IS NULL) AS j02,
+                       count(*) FILTER (WHERE source IS NULL
+                                          AND n_chars IS NULL) AS j12
+                FROM dirty
+            )
+            SELECT col_a, col_b,
+                   CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   CAST(n_both AS BIGINT) AS n_both,
+                   CASE WHEN n_a > 0 AND n_b > 0 THEN
+                        round(CAST(n_both AS DOUBLE) * n
+                              / (CAST(n_a AS DOUBLE) * n_b), 6) END AS lift,
+                   CASE WHEN n_a + n_b - n_both > 0 THEN
+                        round(CAST(n_both AS DOUBLE)
+                              / (n_a + n_b - n_both), 6) END AS jaccard
+            FROM (
+                SELECT 'lang' AS col_a, 'source' AS col_b,
+                       m0 AS n_a, m1 AS n_b, j01 AS n_both, n FROM agg
+                UNION ALL
+                SELECT 'lang', 'n_chars', m0, m2, j02, n FROM agg
+                UNION ALL
+                SELECT 'source', 'n_chars', m1, m2, j12, n FROM agg
+            )
+        """,
+        "null_patterns_documents": """
+            WITH dirty AS (
+                SELECT CASE WHEN doc_id % 11 <> 0 THEN lang END AS lang,
+                       CASE WHEN doc_id % 11 <> 0 THEN source END AS source,
+                       CASE WHEN doc_id % 13 <> 0 THEN n_chars END AS n_chars
+                FROM documents
+            ), pat AS (
+                SELECT (CASE WHEN lang IS NULL THEN '1' ELSE '0' END ||
+                        CASE WHEN source IS NULL THEN '1' ELSE '0' END ||
+                        CASE WHEN n_chars IS NULL THEN '1' ELSE '0' END)
+                           AS pattern
+                FROM dirty
+            ), c AS (
+                SELECT pattern, count(*) AS n_rows FROM pat GROUP BY pattern
+            )
+            SELECT pattern, n_rows,
+                   round(CAST(n_rows AS DOUBLE)
+                         / sum(n_rows) OVER (), 6) AS frac
+            FROM c ORDER BY n_rows DESC, pattern LIMIT 10
         """,
         "table_diff_orders": """
             WITH l AS (

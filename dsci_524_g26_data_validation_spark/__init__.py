@@ -111,6 +111,7 @@ from .operators.quarantine import (
     write_quarantine,
 )
 from .operators.skew import key_skew_report, suggested_salt
+from .operators.missingness import comissingness, null_patterns
 from .operators.rowdiff import row_digest, table_diff, table_diff_rows
 from .operators.structure import (
     SequenceSpec,
@@ -143,6 +144,8 @@ __all__ = [
     "row_digest",
     "table_diff",
     "table_diff_rows",
+    "null_patterns",
+    "comissingness",
     "fixed_point_units",
     "reconcile_aggregate",
     "reconcile_summary",
