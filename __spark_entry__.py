@@ -202,6 +202,106 @@ def _repair_census_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _interval_overlaps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-double-booking invariant over per-user intervals derived from
+    events (start = ts, end = ts + floor(value) seconds), with planted
+    inverted intervals (event_id % 23) and NULL ends (event_id % 29).
+    Linear sweep (one key shuffle + one sorted window), never an
+    interval self-join. Aggregated census so the result is stable."""
+    e = _read(spark, sf_dir, "events")
+    iv = e.select(
+        F.col("user_id"),
+        F.col("ts").alias("start_ts"),
+        # cast NULL to the ts column's own type (Spark 4 reads parquet
+        # timestamps as timestamp_ntz; a plain 'timestamp' literal would
+        # make the WHEN branches type-mismatch)
+        F.when(
+            F.col("event_id") % 29 == 0,
+            F.lit(None).cast(e.schema["ts"].dataType),
+        )
+        .when(
+            F.col("event_id") % 23 == 0,
+            F.timestamp_add("SECOND", F.lit(-10), F.col("ts")),
+        )
+        .otherwise(
+            F.timestamp_add(
+                "SECOND", F.floor("value").cast("int"), F.col("ts")
+            )
+        )
+        .alias("end_ts"),
+    )
+    out = dv.interval_overlaps(
+        iv, key_col="user_id", start_col="start_ts", end_col="end_ts"
+    )
+    return out.groupBy("overlap_kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("key").alias("n_keys"),
+    )
+
+
+def _pattern_violations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-contract facet: lang must full-match [a-z]{2}; every
+    doc_id % 17 == 0 row gets a corrupted value. The pattern predicate
+    rides the same fused violation scan as range/category; full-match
+    semantics mean the embedded valid prefix must NOT save the value."""
+    d = _read(spark, sf_dir, "documents")
+    dirty = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 17 == 0, F.concat(F.col("lang"), F.lit("-XX"))
+        )
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+    )
+    contract = dv.Contract(
+        columns={"lang": dv.ColumnRule(dtype="string", pattern="[a-z]{2}")}
+    )
+    rows = dv.violation_rows(dirty, contract, include_payload=False)
+    return rows.groupBy(
+        "kind", F.col("column").alias("col_name"), "observed"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def _unseen_categories_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-level category novelty: the current batch renames two enum
+    values (the upstream-rename failure mode the declared contract
+    hasn't caught up with); baseline = the unmutated corpus. The
+    detector must return exactly the renamed values with their counts
+    and batch share."""
+    e = _read(spark, sf_dir, "events")
+    base = e.select("event_type")
+    cur = e.select(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("event_id") % 7 == 0),
+            F.lit("tap"),
+        )
+        .when(
+            (F.col("event_type") == "view") & (F.col("event_id") % 19 == 0),
+            F.lit("impression"),
+        )
+        .otherwise(F.col("event_type"))
+        .alias("event_type")
+    )
+    return dv.unseen_categories(base, cur, "event_type", k=10)
+
+
+def _robust_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier census of events.value per event_type, with a
+    planted contamination (value × 1000 on event_id % 211 == 0) that a
+    mean/stddev rule would absorb into its own σ. Exact-median mode so
+    the DuckDB oracle reproduces every number."""
+    e = _read(spark, sf_dir, "events")
+    dirty = e.select(
+        "event_type",
+        F.when(F.col("event_id") % 211 == 0, F.col("value") * 1000)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    return dv.robust_outlier_stats(
+        dirty, "value", group_col="event_type", threshold=3.5
+    )
+
+
 def _comissingness_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-missingness detection: NULLs planted with a shared
     cause (doc_id % 11 == 0 nulls BOTH lang and source — the upstream-
@@ -1409,6 +1509,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "structure_census_documents": _structure_census_documents,
         "table_diff_orders": _table_diff_orders,
         "comissingness_documents": _comissingness_documents,
+        "robust_outliers_events": _robust_outliers_events,
+        "unseen_categories_events": _unseen_categories_events,
+        "pattern_violations_documents": _pattern_violations_documents,
+        "interval_overlaps_events": _interval_overlaps_events,
         "null_patterns_documents": _null_patterns_documents,
         "uniqueness_orders_custkey": _uniqueness_orders_custkey,
         "referential_orders_customer": _referential_orders_customer,
@@ -1574,7 +1678,7 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM')
         """,
         "quarantine_routing_orders": """
-            SELECT array_to_string(list_sort(list_filter([
+            SELECT coalesce(array_to_string(list_sort(list_filter([
                        CASE WHEN o_totalprice < 1000.0
                               OR o_totalprice > 400000.0
                             THEN 'range:o_totalprice' END,
@@ -1585,7 +1689,7 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN coalesce(o_orderstatus = 'F', false)
                              AND NOT coalesce(o_totalprice < 300000, false)
                             THEN 'conditional:finished_under_300k' END
-                   ], x -> x IS NOT NULL)), ',') AS violations,
+                   ], x -> x IS NOT NULL)), ','), '') AS violations,
                    count(*) AS n_rows
             FROM orders GROUP BY 1
         """,
@@ -1614,6 +1718,103 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_price_cents,
                    count(*) FILTER (WHERE prio IS NULL) AS n_null_priority
             FROM rep
+        """,
+        "interval_overlaps_events": """
+            WITH iv AS (
+                SELECT user_id AS key, ts AS start_ts,
+                       CASE
+                         WHEN event_id % 29 = 0 THEN NULL
+                         WHEN event_id % 23 = 0
+                           THEN ts - INTERVAL 10 SECOND
+                         ELSE ts + to_seconds(CAST(floor(value) AS INT))
+                       END AS end_ts
+                FROM events
+            ), win AS (
+                SELECT key, start_ts, end_ts,
+                       max(end_ts) OVER (
+                           PARTITION BY key ORDER BY start_ts, end_ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev_max_end
+                FROM iv
+            ), flagged AS (
+                SELECT key,
+                       CASE
+                         WHEN key IS NULL OR start_ts IS NULL
+                              OR end_ts IS NULL THEN 'null_bounds'
+                         WHEN end_ts < start_ts THEN 'inverted'
+                         WHEN start_ts < prev_max_end THEN 'overlap'
+                       END AS overlap_kind
+                FROM win
+            )
+            SELECT overlap_kind, count(*) AS n,
+                   count(DISTINCT key) AS n_keys
+            FROM flagged WHERE overlap_kind IS NOT NULL
+            GROUP BY overlap_kind
+        """,
+        "pattern_violations_documents": """
+            WITH dirty AS (
+                SELECT CASE WHEN doc_id % 17 = 0 THEN lang || '-XX'
+                            ELSE lang END AS lang
+                FROM documents
+            )
+            SELECT 'pattern' AS kind, 'lang' AS col_name,
+                   lang AS observed, count(*) AS n
+            FROM dirty
+            WHERE lang IS NOT NULL
+              AND NOT regexp_full_match(lang, '[a-z]{2}')
+            GROUP BY lang
+        """,
+        "unseen_categories_events": """
+            WITH cur AS (
+                SELECT CASE
+                         WHEN event_type = 'click' AND event_id % 7 = 0
+                           THEN 'tap'
+                         WHEN event_type = 'view' AND event_id % 19 = 0
+                           THEN 'impression'
+                         ELSE event_type
+                       END AS v
+                FROM events
+            ), grouped AS (
+                SELECT v, count(*) AS n_rows FROM cur
+                WHERE v IS NOT NULL GROUP BY v
+            ), tot AS (SELECT sum(n_rows) AS t FROM grouped)
+            SELECT v AS value, n_rows,
+                   round(CAST(n_rows AS DOUBLE) / t, 6) AS frac_of_current
+            FROM grouped, tot
+            WHERE v NOT IN (SELECT DISTINCT event_type FROM events
+                            WHERE event_type IS NOT NULL)
+            ORDER BY n_rows DESC, value LIMIT 10
+        """,
+        "robust_outliers_events": """
+            WITH dirty AS (
+                SELECT event_type,
+                       CASE WHEN event_id % 211 = 0 THEN value * 1000
+                            ELSE value END AS value
+                FROM events
+            ), med AS (
+                SELECT event_type, median(value) AS m FROM dirty GROUP BY 1
+            ), d AS (
+                SELECT dirty.event_type, value, m,
+                       abs(value - m) AS dev
+                FROM dirty JOIN med USING (event_type)
+            ), mad AS (
+                SELECT event_type, median(dev) AS md FROM d GROUP BY 1
+            )
+            SELECT d.event_type,
+                   count(value) AS n_rows,
+                   round(any_value(m), 6) AS median,
+                   round(any_value(md), 6) AS mad,
+                   CASE WHEN any_value(md) > 0 THEN
+                       CAST(count(*) FILTER (
+                           WHERE dev > 3.5 * 1.4826 * md) AS BIGINT)
+                   END AS n_outliers,
+                   CASE WHEN any_value(md) > 0 THEN
+                       round(CAST(count(*) FILTER (
+                           WHERE dev > 3.5 * 1.4826 * md) AS DOUBLE)
+                           / greatest(count(value), 1), 6)
+                   END AS outlier_frac
+            FROM d JOIN mad USING (event_type)
+            GROUP BY d.event_type
         """,
         "comissingness_documents": """
             WITH dirty AS (

@@ -75,6 +75,7 @@ from .operators.drift import (
     token_distribution_drift,
     token_drift_movers,
     token_histogram,
+    unseen_categories,
 )
 from .operators.sampling import hash_sample, violation_rate_estimate
 from .operators.slices import slice_violation_report
@@ -101,6 +102,7 @@ from .operators.asof import asof_join
 from .operators.timeseries import (
     freshness,
     interarrival_stats,
+    interval_overlaps,
     order_health,
     sequence_gap_buckets,
 )
@@ -112,6 +114,7 @@ from .operators.quarantine import (
 )
 from .operators.skew import key_skew_report, suggested_salt
 from .operators.missingness import comissingness, null_patterns
+from .operators.outliers import robust_outlier_rows, robust_outlier_stats
 from .operators.rowdiff import row_digest, table_diff, table_diff_rows
 from .operators.structure import (
     SequenceSpec,
@@ -146,6 +149,10 @@ __all__ = [
     "table_diff_rows",
     "null_patterns",
     "comissingness",
+    "robust_outlier_stats",
+    "robust_outlier_rows",
+    "unseen_categories",
+    "interval_overlaps",
     "fixed_point_units",
     "reconcile_aggregate",
     "reconcile_summary",

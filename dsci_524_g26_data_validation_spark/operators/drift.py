@@ -41,6 +41,7 @@ __all__ = [
     "token_histogram",
     "token_distribution_drift",
     "token_drift_movers",
+    "unseen_categories",
 ]
 
 NULL_LABEL = "__null__"
@@ -502,5 +503,57 @@ def token_drift_movers(
             F.round(F.abs(F.col("p") - F.col("q")), 9).alias("abs_shift"),
         )
         .orderBy(F.desc("abs_shift"), F.asc("token_id"))
+        .limit(int(k))
+    )
+
+
+def unseen_categories(
+    baseline_df: DataFrame,
+    current_df: DataFrame,
+    col: str,
+    *,
+    k: int = 100,
+) -> DataFrame:
+    """Data-level category novelty: values of ``col`` present in the
+    current batch but NEVER seen in the baseline corpus, with their
+    current counts and share — ``(value, n_rows, frac_of_current)``.
+
+    The contract-level twin (``compare.category_changes``) diffs two
+    DECLARED domains; this diffs the DATA, catching novelty the contract
+    hasn't caught up with (new enum value, upstream rename, junk).
+
+    Scale shape: both sides collapse to their distinct/grouped category
+    frames FIRST (map-side partial aggregation — the shuffle carries one
+    row per distinct value per partition, never corpus rows), then a
+    left-anti join keyed on the value; AQE broadcasts the baseline
+    distinct set when it is small. NULL is never novel (it is a
+    missingness concern, not a domain one); top-k by count keeps the
+    report bounded when the novelty IS junk with unbounded cardinality
+    (TakeOrderedAndProject). ``frac_of_current`` is relative to the
+    CURRENT batch's non-null rows, computed from the same grouped frame
+    via an unpartitioned window (|distinct| rows, one task).
+    """
+    c = F.col(f"`{col}`")
+    base_vals = baseline_df.select(c.alias("_v")).filter(
+        F.col("_v").isNotNull()
+    ).distinct()
+    cur = (
+        current_df.select(c.alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    total = F.sum("n_rows").over(Window.partitionBy())
+    return (
+        cur.withColumn("_total", total)
+        .join(base_vals, on="_v", how="left_anti")
+        .select(
+            F.col("_v").alias("value"),
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias(
+                "frac_of_current"
+            ),
+        )
+        .orderBy(F.desc("n_rows"), "value")
         .limit(int(k))
     )

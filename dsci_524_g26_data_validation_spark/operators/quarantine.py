@@ -39,6 +39,7 @@ from pyspark.sql import types as T
 from ..plans.rule_compiler import (
     categorical_cast,
     is_numeric_spark_type,
+    pattern_violation,
     violation_predicates,
 )
 from ..types import ConditionalRule, Contract
@@ -183,6 +184,8 @@ def repair_rows(
     * category ``'null'``: values outside ``allowed_values`` become NULL
       (there is no defensible automatic fallback; NULL routes the cell
       to imputation and keeps the domain contract true by construction).
+    * pattern: full-match failures are nulled for the same reason —
+      a format violation has no mechanical fix.
 
     NULL cells are never "repaired" (the violation predicate is NULL →
     the WHEN falls through to the original value) — 3VL-consistent with
@@ -197,7 +200,8 @@ def repair_rows(
     ``None`` to keep exactly the input schema.
 
     Output contract: ``tag_rows(repair_rows(df, c), c).is_valid`` is
-    True for every row whose only violations were range/category facets
+    True for every row whose only violations were range/category/pattern
+    facets
     (conditional rules are assertions about the business process, not
     cell values — they are not repairable and not touched here).
     """
@@ -247,6 +251,10 @@ def repair_rows(
             p = sc.isNotNull() & ~sc.isin(sorted(rule.allowed_values))
             expr = F.when(p, F.lit(None).cast(dt)).otherwise(expr)
             tag_slots.append(F.when(p, F.lit(f"category:{col}")))
+        if rule.pattern is not None and isinstance(dt, T.StringType):
+            p = pattern_violation(c, rule.pattern)
+            expr = F.when(p, F.lit(None).cast(dt)).otherwise(expr)
+            tag_slots.append(F.when(p, F.lit(f"pattern:{col}")))
         out_cols.append(expr.alias(col))
 
     if repaired_col is not None:

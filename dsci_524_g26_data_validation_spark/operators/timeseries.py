@@ -39,6 +39,7 @@ __all__ = [
     "order_health",
     "sequence_gap_buckets",
     "interarrival_stats",
+    "interval_overlaps",
 ]
 
 
@@ -232,4 +233,63 @@ def interarrival_stats(
         )
         .orderBy(F.desc("n_regressions"), F.desc("max_gap_us"), F.asc("key"))
         .limit(int(top_k))
+    )
+
+
+def interval_overlaps(
+    df: DataFrame,
+    *,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Intervals that overlap a PRECEDING interval of the same key —
+    the no-double-booking / no-overlapping-sessions invariant.
+
+    The naive formulation is a per-key interval self-join (quadratic in
+    the worst key). This is the linear sweep instead: sort each key's
+    intervals by (start, end), carry the running ``max(end)`` of all
+    EARLIER intervals with one window, and a row violates iff its start
+    is strictly before that running max. One shuffle (by key) + one
+    sorted window — the sessionize plan shape — and it catches overlaps
+    with ANY predecessor, not just the adjacent row (a long interval
+    swallowing several short ones still flags each of them).
+
+    Rows with a NULL key/start/end are reported with
+    ``overlap_kind='null_bounds'`` (an interval that can't be placed
+    can't be proven non-overlapping — NULL-fails, the engine's
+    standard); inverted intervals (``end < start``) flag as
+    ``'inverted'``; genuine overlaps as ``'overlap'``, carrying the
+    previous running max end (``prev_max_end``) as the witness.
+
+    Returns: key, start, end, overlap_kind, prev_max_end — violating
+    rows only.
+    """
+    k, s, e = F.col(key_col), F.col(start_col), F.col(end_col)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(start_col).asc(), F.col(end_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max(end_col).over(w)
+    base = df.select(
+        k.alias("key"),
+        s.alias("start"),
+        e.alias("end"),
+        prev_max.alias("prev_max_end"),
+    )
+    kind = (
+        F.when(
+            F.col("key").isNull()
+            | F.col("start").isNull()
+            | F.col("end").isNull(),
+            F.lit("null_bounds"),
+        )
+        .when(F.col("end") < F.col("start"), F.lit("inverted"))
+        .when(F.col("start") < F.col("prev_max_end"), F.lit("overlap"))
+    )
+    return (
+        base.withColumn("overlap_kind", kind)
+        .filter(F.col("overlap_kind").isNotNull())
+        .select("key", "start", "end", "overlap_kind", "prev_max_end")
     )

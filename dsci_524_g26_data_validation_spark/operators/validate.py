@@ -269,6 +269,22 @@ def validate_contract_fused(
                     )
                 )
 
+        # pattern facet (engine extension): the fused pass already
+        # counted full-match failures; NULLs never violate pattern.
+        if rule.pattern is not None and cs.bad_pattern_count > 0:
+            issues.append(
+                Issue(
+                    kind="pattern",
+                    message=(
+                        f"{col}: {cs.bad_pattern_count} value(s) do not "
+                        f"match /{rule.pattern}/"
+                    ),
+                    column=col,
+                    expected=rule.pattern,
+                    observed=cs.bad_pattern_count,
+                )
+            )
+
     return ValidationResult(ok=len(issues) == 0, issues=issues), extras
 
 

@@ -43,6 +43,7 @@ __all__ = [
     "categorical_cast",
     "violation_predicates",
     "is_numeric_spark_type",
+    "pattern_violation",
 ]
 
 
@@ -65,6 +66,15 @@ def categorical_cast(col: Column, dt: T.DataType) -> Column:
     return col.cast("string")
 
 
+def pattern_violation(col: Column, pattern: str) -> Column:
+    """Full-match pattern facet predicate: non-NULL and NOT matching the
+    whole value. The ``^(?:p)$`` wrap makes full-match explicit (rlike
+    is a search, and a partial hit must not pass a format contract);
+    the non-capturing group keeps user alternations like ``a|b`` from
+    binding to the anchors."""
+    return col.isNotNull() & ~col.rlike(f"^(?:{pattern})$")
+
+
 @dataclass
 class ColumnStats:
     """Decoded statistics for one column out of the fused pass."""
@@ -75,6 +85,7 @@ class ColumnStats:
     below_min_count: int = 0
     above_max_count: int = 0
     invalid_category_count: int = 0
+    bad_pattern_count: int = 0
     approx_distinct: Optional[int] = None
     non_null_count: int = 0
     quantiles: Optional[tuple] = None  # (p25, p50, p75) when profiled
@@ -111,6 +122,8 @@ class StatsPlan:
                 cs.above_max_count = int(d[slots["above"]] or 0)
             if "invalid" in slots:
                 cs.invalid_category_count = int(d[slots["invalid"]] or 0)
+            if "badpat" in slots:
+                cs.bad_pattern_count = int(d[slots["badpat"]] or 0)
             if "acd" in slots:
                 v = d[slots["acd"]]
                 cs.approx_distinct = int(v) if v is not None else None
@@ -194,6 +207,11 @@ def compile_stats_pass(
             )
             add(col, "nnc", F.count(c))
 
+        if rule.pattern is not None and isinstance(dt, T.StringType):
+            # count_if over an rlike — rides the same fused job; the
+            # regex compiles once per task, evaluated in codegen.
+            add(col, "badpat", F.count_if(pattern_violation(c, rule.pattern)))
+
         if include_profile_stats:
             if "nnc" not in slots.get(col, {}):
                 add(col, "nnc", F.count(c))
@@ -263,6 +281,8 @@ def violation_predicates(df: DataFrame, contract: Contract):
             preds.append(
                 ("category", sc.isNotNull() & ~sc.isin(sorted(rule.allowed_values)))
             )
+        if rule.pattern is not None and isinstance(dt, T.StringType):
+            preds.append(("pattern", pattern_violation(c, rule.pattern)))
         if preds:
             out[col] = preds
     return out

@@ -136,6 +136,14 @@ class ColumnRule:
         exactly at the threshold passes (strict ``>`` comparison).
     min_value / max_value: inclusive numeric bounds (optional).
     allowed_values: allowed categorical values as strings (optional).
+    pattern: regex every non-NULL value must match IN FULL (engine
+        extension — format contracts for ids/emails/codes). Full-match,
+        not search: the engine compiles ``rlike '^(?:p)$'``, the
+        explicit form of what naive ``rlike 'p'`` silently gets wrong
+        (a partial hit passes junk like ``'x123y'`` for ``'[0-9]+'``).
+        Applied to string-typed columns only; NULLs are missingness's
+        concern, never pattern violations. Keep the regex to constructs
+        Java regex and RE2 share if results must be engine-portable.
     """
 
     dtype: str
@@ -143,6 +151,7 @@ class ColumnRule:
     min_value: Optional[float] = None
     max_value: Optional[float] = None
     allowed_values: Optional[Set[str]] = None
+    pattern: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -163,7 +172,7 @@ class Issue:
     """One validation issue (reference types.py:56-71).
 
     kind ∈ {missing_column, extra_column, dtype, missingness, range,
-    category} for contract checks, plus engine-level kinds
+    category, pattern} for contract checks, plus engine-level kinds
     {uniqueness, referential, invariant, drift_chi2, drift_psi,
     drift_ks, drift_js, drift_emd, token_equality, aggregate_check,
     functional_dependency}.
@@ -437,6 +446,7 @@ def contract_to_dict(contract: Contract) -> Dict[str, Any]:
                     if rule.allowed_values is not None
                     else None
                 ),
+                "pattern": rule.pattern,
             }
             for col, rule in contract.columns.items()
         },
@@ -453,6 +463,7 @@ def contract_from_dict(data: Mapping[str, Any]) -> Contract:
             min_value=r.get("min_value"),
             max_value=r.get("max_value"),
             allowed_values=set(allowed) if allowed is not None else None,
+            pattern=r.get("pattern"),
         )
     return Contract(columns=columns, name=data.get("name", "contract"))
 

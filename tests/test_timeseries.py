@@ -122,3 +122,67 @@ def test_interarrival_stats_cadence(spark):
     assert (r2["n_regressions"], r2["avg_gap_s"], r2["max_gap_us"]) == (0, None, None)
     # regression-heavy keys sort first
     assert out[0]["key"] == 1
+
+
+# -- interval overlaps --------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def intervals(spark):
+    return spark.createDataFrame(
+        [
+            # key a: [0,10) then [5,8) overlaps; [10,12) back-to-back OK
+            ("a", 0, 10),
+            ("a", 5, 8),
+            ("a", 10, 12),
+            # long interval swallows a later short one (non-adjacent)
+            ("b", 0, 100),
+            ("b", 20, 25),
+            ("b", 30, 35),
+            # inverted and null bounds
+            ("c", 10, 5),
+            ("c", None, 7),
+            # clean key
+            ("d", 0, 1),
+        ],
+        "k string, s int, e int",
+    )
+
+
+def test_interval_overlaps_classes(intervals):
+    out = dv.interval_overlaps(
+        intervals, key_col="k", start_col="s", end_col="e"
+    ).collect()
+    by_kind = {}
+    for r in out:
+        by_kind.setdefault(r["overlap_kind"], []).append(r)
+    assert len(by_kind["overlap"]) == 3  # a:[5,8) and BOTH b shorts
+    assert {r["key"] for r in by_kind["overlap"]} == {"a", "b"}
+    assert len(by_kind["inverted"]) == 1
+    assert len(by_kind["null_bounds"]) == 1
+    # witness: the swallowed b-interval reports the long end
+    b_wit = [r for r in by_kind["overlap"] if r["key"] == "b"]
+    assert all(r["prev_max_end"] == 100 for r in b_wit)
+
+
+def test_adjacent_intervals_do_not_overlap(spark):
+    """Half-open convention: start == previous end is legal."""
+    g = spark.createDataFrame(
+        [("x", 0, 10), ("x", 10, 20)], "k string, s int, e int"
+    )
+    assert dv.interval_overlaps(
+        g, key_col="k", start_col="s", end_col="e"
+    ).count() == 0
+
+
+def test_interval_sweep_single_shuffle(intervals):
+    plan = (
+        dv.interval_overlaps(
+            intervals, key_col="k", start_col="s", end_col="e"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1  # one key shuffle, no self-join
+    assert "Join" not in plan
