@@ -302,6 +302,71 @@ def _robust_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LS_BANNER = "ACCEPT COOKIES TO CONTINUE"
+_LS_FOOTER = "(c) example.com all rights reserved"
+_LS_RARE = "rare promo line below every threshold"
+
+
+def _line_strip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate stripping (CCNet/RefinedWeb-style): a
+    banner line planted on 50% of docs and a footer on 33% must strip
+    at min_doc_frac=0.25; a rare line on ~1% of docs must survive.
+    Census per source verifies before/after char totals exactly —
+    document text never shuffles (digests-only frequency census,
+    broadcast frequent set, row-local rebuild)."""
+    d = _read(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            "\n",
+            F.when(F.col("doc_id") % 2 == 0, F.lit(_LS_BANNER)),
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_LS_FOOTER)),
+            F.when(F.col("doc_id") % 97 == 0, F.lit(_LS_RARE)),
+        ).alias("text"),
+    )
+    return dv.line_strip_report(
+        planted, group_col="source", min_doc_frac=0.25
+    ).orderBy("source")
+
+
+def _monotonic_counters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Never-goes-backward counter validation: per-user counter =
+    epoch-seconds of ts, ordered by event_id — any event whose ts sits
+    below the user's running maximum regresses (out-of-order producer).
+    Planted NULLs: order NULLed on event_id % 41 (unplaceable row),
+    value NULLed on event_id % 37 (unprovable row). Census by kind."""
+    e = _read(spark, sf_dir, "events")
+    cnt = e.select(
+        "user_id",
+        F.when(F.col("event_id") % 41 != 0, F.col("event_id")).alias("seq"),
+        F.when(
+            F.col("event_id") % 37 != 0,
+            F.unix_timestamp(F.col("ts").cast("timestamp")),
+        ).alias("counter"),
+    )
+    out = dv.monotonic_violations(
+        cnt, key_col="user_id", order_col="seq", value_col="counter"
+    )
+    return out.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("key").alias("n_keys"),
+    )
+
+
+def _volume_calendar_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness calendar: day 15 deleted (must surface as a
+    zero-row 'missing' bucket — the failure row-level contracts can't
+    see) and day 20 tripled (robust-z 'anomaly'; the median/MAD rule
+    with meanAD fallback keeps one spike from masking itself)."""
+    e = _read(spark, sf_dir, "events")
+    kept = e.filter(F.dayofmonth("ts") != 15)
+    spike = e.filter(F.dayofmonth("ts") == 20)
+    planted = kept.unionByName(spike).unionByName(spike)
+    return dv.volume_calendar(planted, ts_col="ts", bucket="day")
+
+
 def _comissingness_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-missingness detection: NULLs planted with a shared
     cause (doc_id % 11 == 0 nulls BOTH lang and source — the upstream-
@@ -1509,6 +1574,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "structure_census_documents": _structure_census_documents,
         "table_diff_orders": _table_diff_orders,
         "comissingness_documents": _comissingness_documents,
+        "line_strip_documents": _line_strip_documents,
+        "monotonic_counters_events": _monotonic_counters_events,
+        "volume_calendar_events": _volume_calendar_events,
         "robust_outliers_events": _robust_outliers_events,
         "unseen_categories_events": _unseen_categories_events,
         "pattern_violations_documents": _pattern_violations_documents,
@@ -1815,6 +1883,100 @@ def oracle_sql() -> dict[str, str]:
                    END AS outlier_frac
             FROM d JOIN mad USING (event_type)
             GROUP BY d.event_type
+        """,
+        "line_strip_documents": """
+            WITH planted AS (
+                SELECT source,
+                       concat_ws(chr(10),
+                           CASE WHEN doc_id % 2 = 0
+                                THEN 'ACCEPT COOKIES TO CONTINUE' END,
+                           text,
+                           CASE WHEN doc_id % 3 = 0
+                                THEN '(c) example.com all rights reserved'
+                           END,
+                           CASE WHEN doc_id % 97 = 0
+                                THEN 'rare promo line below every threshold'
+                           END) AS text2,
+                       CAST(doc_id % 2 = 0 AS INT) AS hasb,
+                       CAST(doc_id % 3 = 0 AS INT) AS hasf
+                FROM documents
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   count(*) FILTER (WHERE hasb = 1 OR hasf = 1)
+                       AS n_docs_changed,
+                   sum(hasb + hasf) AS n_lines_dropped,
+                   sum(length(text2)) AS chars_before,
+                   sum(length(text2)
+                       - hasb * (length('ACCEPT COOKIES TO CONTINUE') + 1)
+                       - hasf * (length('(c) example.com all rights reserved')
+                                 + 1)) AS chars_after
+            FROM planted GROUP BY source ORDER BY source
+        """,
+        "monotonic_counters_events": """
+            WITH cnt AS (
+                SELECT user_id AS key,
+                       CASE WHEN event_id % 41 <> 0 THEN event_id END AS seq,
+                       CASE WHEN event_id % 37 <> 0
+                            THEN CAST(epoch(ts) AS BIGINT) END AS counter
+                FROM events
+            ), win AS (
+                SELECT key, seq, counter,
+                       max(counter) OVER (
+                           PARTITION BY key ORDER BY seq ASC NULLS FIRST
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev_max
+                FROM cnt
+            ), flagged AS (
+                SELECT key,
+                       CASE WHEN seq IS NULL THEN 'null_order'
+                            WHEN counter IS NULL THEN 'null_value'
+                            WHEN counter < prev_max THEN 'regression'
+                       END AS kind
+                FROM win
+            )
+            SELECT kind, count(*) AS n, count(DISTINCT key) AS n_keys
+            FROM flagged WHERE kind IS NOT NULL GROUP BY kind
+        """,
+        "volume_calendar_events": """
+            WITH planted AS (
+                SELECT ts FROM events WHERE day(ts) <> 15
+                UNION ALL
+                SELECT ts FROM events WHERE day(ts) = 20
+                UNION ALL
+                SELECT ts FROM events WHERE day(ts) = 20
+            ), counts AS (
+                SELECT date_trunc('day', ts) AS bucket_ts,
+                       count(*) AS n_rows
+                FROM planted GROUP BY 1
+            ), spine AS (
+                SELECT unnest(generate_series(
+                           (SELECT min(bucket_ts) FROM counts),
+                           (SELECT max(bucket_ts) FROM counts),
+                           INTERVAL 1 DAY)) AS bucket_ts
+            ), filled AS (
+                SELECT s.bucket_ts,
+                       coalesce(c.n_rows, 0) AS n_rows
+                FROM spine s LEFT JOIN counts c USING (bucket_ts)
+            ), stats AS (
+                SELECT median(n_rows) AS med FROM filled
+            ), stats2 AS (
+                SELECT med,
+                       median(abs(n_rows - med)) AS mad,
+                       avg(abs(n_rows - med)) AS meanad
+                FROM filled, stats GROUP BY med
+            )
+            SELECT bucket_ts, n_rows,
+                   CASE WHEN n_rows = 0 THEN 'missing'
+                        WHEN (CASE WHEN mad > 0 THEN 1.4826 * mad
+                                   ELSE 1.2533 * meanad END) > 0
+                         AND abs(n_rows - med)
+                             / (CASE WHEN mad > 0 THEN 1.4826 * mad
+                                     ELSE 1.2533 * meanad END) > 3.5
+                        THEN 'anomaly' ELSE 'ok' END AS status,
+                   round(med, 6) AS median_rows
+            FROM filled, stats2
+            ORDER BY bucket_ts
         """,
         "comissingness_documents": """
             WITH dirty AS (

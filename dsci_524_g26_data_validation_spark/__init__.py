@@ -103,8 +103,10 @@ from .operators.timeseries import (
     freshness,
     interarrival_stats,
     interval_overlaps,
+    monotonic_violations,
     order_health,
     sequence_gap_buckets,
+    volume_calendar,
 )
 from .operators.quarantine import (
     quarantine_split,
@@ -114,6 +116,12 @@ from .operators.quarantine import (
 )
 from .operators.skew import key_skew_report, suggested_salt
 from .operators.missingness import comissingness, null_patterns
+from .operators.lines import (
+    frequent_lines,
+    line_frequency,
+    line_strip_report,
+    strip_frequent_lines,
+)
 from .operators.outliers import robust_outlier_rows, robust_outlier_stats
 from .operators.rowdiff import row_digest, table_diff, table_diff_rows
 from .operators.structure import (
@@ -149,10 +157,16 @@ __all__ = [
     "table_diff_rows",
     "null_patterns",
     "comissingness",
+    "line_frequency",
+    "frequent_lines",
+    "strip_frequent_lines",
+    "line_strip_report",
     "robust_outlier_stats",
     "robust_outlier_rows",
     "unseen_categories",
     "interval_overlaps",
+    "monotonic_violations",
+    "volume_calendar",
     "fixed_point_units",
     "reconcile_aggregate",
     "reconcile_summary",

@@ -293,3 +293,151 @@ def interval_overlaps(
         .filter(F.col("overlap_kind").isNotNull())
         .select("key", "start", "end", "overlap_kind", "prev_max_end")
     )
+
+
+def monotonic_violations(
+    df: DataFrame,
+    *,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Rows where a per-key counter DECREASES — the never-goes-backward
+    invariant of cumulative metrics (byte counters, sequence offsets,
+    account balances under append-only accounting, watermark columns).
+
+    A violating row is one whose value is strictly below the running
+    max of all EARLIER values of its key (ordered by ``order_col``) —
+    the same any-predecessor sweep as :func:`interval_overlaps`, so a
+    counter that drops and then recovers flags every row under the old
+    high-water mark, not just the first. One key shuffle + one sorted
+    window; no self-join.
+
+    NULL discipline: a NULL value can't be proven monotonic →
+    ``kind='null_value'``; a NULL order column makes the row unplaceable
+    → ``kind='null_order'``; genuine drops → ``kind='regression'`` with
+    the high-water mark (``prev_max``) as witness. Rows with a NULL key
+    are reported as ``null_order`` only if their order is NULL too —
+    otherwise they form their own single NULL-key group, matching the
+    window's NULL-grouping semantics.
+
+    Returns violating rows only: (key, order, value, kind, prev_max).
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).alias("order"),
+        F.col(value_col).alias("value"),
+        F.max(value_col).over(w).alias("prev_max"),
+    )
+    kind = (
+        F.when(F.col("order").isNull(), F.lit("null_order"))
+        .when(F.col("value").isNull(), F.lit("null_value"))
+        .when(F.col("value") < F.col("prev_max"), F.lit("regression"))
+    )
+    return (
+        base.withColumn("kind", kind)
+        .filter(F.col("kind").isNotNull())
+        .select("key", "order", "value", "kind", "prev_max")
+    )
+
+
+def volume_calendar(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    bucket: str = "day",
+    robust_threshold: float = 3.5,
+) -> DataFrame:
+    """Per-time-bucket row counts with EMPTY buckets materialized and a
+    robust anomaly flag — "did yesterday's partition arrive, and was it
+    the usual size?", the completeness SLO a row-level contract can't
+    see (a missing day has no rows to violate anything).
+
+    Buckets span min(ts)…max(ts) inclusive; interior buckets with zero
+    rows appear with ``n_rows = 0`` (``status='missing'``). Volume
+    anomalies use the median/MAD modified z-score (the
+    ``operators.outliers`` rule): |z| > ``robust_threshold`` →
+    ``'anomaly'``; a mean/σ rule would let one backfill day inflate σ
+    and mask real drops. NULL timestamps are reported as one extra
+    ``bucket_ts = NULL`` row (``status='null_ts'``).
+
+    Scale shape: ONE corpus scan → groupBy(bucket) with map-side
+    combine (shuffle carries one row per bucket per partition); the
+    calendar spine is ``sequence(min, max, interval)`` exploded from
+    the 1-row agg — never a driver loop; median/MAD run over the
+    bucket frame (years of daily buckets ≈ thousands of rows — one
+    task). ``bucket`` ∈ {'hour','day','week','month'}.
+    """
+    if bucket not in ("hour", "day", "week", "month"):
+        raise ValueError(f"unsupported bucket: {bucket!r}")
+    ts = F.col(ts_col)
+    b = F.date_trunc(bucket, ts)
+    counts = (
+        df.select(b.alias("bucket_ts"))
+        .groupBy("bucket_ts")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    nonnull = counts.filter(F.col("bucket_ts").isNotNull())
+    step = F.expr(f"INTERVAL 1 {bucket.upper()}")
+    spine = (
+        nonnull.agg(
+            F.min("bucket_ts").alias("_lo"), F.max("bucket_ts").alias("_hi")
+        )
+        .select(
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"), step)).alias(
+                "bucket_ts"
+            )
+        )
+    )
+    filled = spine.join(nonnull, "bucket_ts", "left").select(
+        "bucket_ts", F.coalesce("n_rows", F.lit(0)).alias("n_rows")
+    )
+    # robust stats over the bucket frame (tiny): exact median/MAD via
+    # unpartitioned windows — one task, deterministic, oracle-exact
+    w = Window.partitionBy()
+    med = F.median("n_rows").over(w)
+    scored = filled.select(
+        "bucket_ts", "n_rows", med.alias("_med")
+    ).select(
+        "bucket_ts",
+        "n_rows",
+        "_med",
+        F.median(F.abs(F.col("n_rows") - F.col("_med"))).over(w).alias("_mad"),
+        F.avg(F.abs(F.col("n_rows") - F.col("_med"))).over(w).alias("_meanad"),
+    )
+    # MAD degenerates to 0 whenever >50% of buckets have the identical
+    # count — the NORMAL case for healthy fixed-cadence feeds, which
+    # would mute the detector exactly where it matters. Standard Hampel
+    # fallback: the mean absolute deviation with its own consistency
+    # constant (1.2533 = sqrt(pi/2)); if THAT is 0 too, every bucket is
+    # identical and nothing flags.
+    scale = F.when(
+        F.col("_mad") > 0, F.lit(1.4826) * F.col("_mad")
+    ).otherwise(F.lit(1.2533) * F.col("_meanad"))
+    z = F.abs(F.col("n_rows") - F.col("_med")) / scale
+    status = (
+        F.when(F.col("n_rows") == 0, F.lit("missing"))
+        .when(
+            (scale > 0) & (z > F.lit(float(robust_threshold))),
+            F.lit("anomaly"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    out = scored.select(
+        "bucket_ts",
+        "n_rows",
+        status.alias("status"),
+        F.round(F.col("_med"), 6).alias("median_rows"),
+    )
+    nulls = counts.filter(F.col("bucket_ts").isNull()).select(
+        "bucket_ts",
+        "n_rows",
+        F.lit("null_ts").alias("status"),
+        F.lit(None).cast("double").alias("median_rows"),
+    )
+    return out.unionByName(nulls).orderBy(F.asc_nulls_last("bucket_ts"))

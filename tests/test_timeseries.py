@@ -7,6 +7,7 @@ from __future__ import annotations
 from datetime import datetime
 
 import pytest
+from pyspark.sql import functions as F
 
 import dsci_524_g26_data_validation_spark as dv
 
@@ -186,3 +187,91 @@ def test_interval_sweep_single_shuffle(intervals):
     )
     assert plan.count("Exchange") == 1  # one key shuffle, no self-join
     assert "Join" not in plan
+
+
+# -- monotonic counters -------------------------------------------------------
+
+
+def test_monotonic_violations(spark):
+    from dsci_524_g26_data_validation_spark.operators.timeseries import (
+        monotonic_violations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # key a: 1,5,3,4,6 -> 3 and 4 are below high-water 5
+            ("a", 1, 1.0),
+            ("a", 2, 5.0),
+            ("a", 3, 3.0),
+            ("a", 4, 4.0),
+            ("a", 5, 6.0),
+            # key b: clean
+            ("b", 1, 1.0),
+            ("b", 2, 2.0),
+            # nulls
+            ("c", None, 9.0),
+            ("c", 1, None),
+        ],
+        "k string, seq int, v double",
+    )
+    out = monotonic_violations(
+        df, key_col="k", order_col="seq", value_col="v"
+    ).collect()
+    by = {(r["key"], r["order"]): r for r in out}
+    assert by[("a", 3)]["kind"] == "regression"
+    assert by[("a", 3)]["prev_max"] == 5.0
+    assert by[("a", 4)]["kind"] == "regression"
+    assert ("a", 5) not in by and ("b", 2) not in by
+    assert by[("c", None)]["kind"] == "null_order"
+    assert by[("c", 1)]["kind"] == "null_value"
+    assert len(out) == 4
+
+
+# -- volume calendar ----------------------------------------------------------
+
+
+def test_volume_calendar_missing_and_anomaly(spark):
+    from dsci_524_g26_data_validation_spark.operators.timeseries import (
+        volume_calendar,
+    )
+
+    rows = []
+    # 9 normal days of 10 rows, day 5 absent, day 7 spiked to 200
+    for d in range(1, 11):
+        if d == 5:
+            continue
+        n = 200 if d == 7 else 10
+        for i in range(n):
+            rows.append((f"2024-03-{d:02d} 12:00:00",))
+    df = spark.createDataFrame(rows, "s string").select(
+        F.to_timestamp("s").alias("ts")
+    )
+    out = {r["bucket_ts"].day: r for r in volume_calendar(df, bucket="day").collect()}
+    assert len(out) == 10  # full spine, no gaps
+    assert out[5]["n_rows"] == 0 and out[5]["status"] == "missing"
+    assert out[7]["status"] == "anomaly"
+    assert out[1]["status"] == "ok"
+    assert out[1]["median_rows"] == 10.0
+
+
+def test_volume_calendar_null_ts_row(spark):
+    from dsci_524_g26_data_validation_spark.operators.timeseries import (
+        volume_calendar,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00",), ("2024-01-02 00:00:00",), (None,)],
+        "s string",
+    ).select(F.to_timestamp("s").alias("ts"))
+    out = volume_calendar(df, bucket="day").collect()
+    assert [r["status"] for r in out] == ["ok", "ok", "null_ts"]
+    assert out[-1]["bucket_ts"] is None and out[-1]["n_rows"] == 1
+
+
+def test_volume_calendar_rejects_bad_bucket(spark):
+    from dsci_524_g26_data_validation_spark.operators.timeseries import (
+        volume_calendar,
+    )
+
+    with pytest.raises(ValueError):
+        volume_calendar(spark.range(1).select(F.lit(None).alias("ts")), bucket="minute")
