@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import dsci_524_g26_data_validation_spark as dv
-from dsci_524_g26_data_validation_spark.operators import dedup, similarity, text
+from dsci_524_g26_data_validation_spark.operators import dedup, similarity, sketches, text
 from dsci_524_g26_data_validation_spark.operators.drift import observed_histogram_df
 from dsci_524_g26_data_validation_spark.streaming import (
     validate_each_batch,
@@ -329,6 +329,30 @@ def _line_strip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dv.line_strip_report(
         planted, group_col="source", min_doc_frac=0.25
     ).orderBy("source")
+
+
+def _sketch_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-count profiling: per-slice HLL sketches
+    (sliced by order priority) merged three ways — direct, one-shot
+    union, two-stage rollup — must each land within 5% of the exact
+    distinct count. The raw estimates are engine-specific (Datasketches
+    HIP), so the oracle checks exact counts + the tolerance verdicts,
+    which ARE deterministic."""
+    o = _read(spark, sf_dir, "orders")
+    rep = sketches.sketch_consistency_report(
+        o,
+        ["o_custkey", "o_orderstatus", "o_orderdate"],
+        slice_col="o_orderpriority",
+        lg_k=12,
+        tolerance=0.05,
+    )
+    return rep.select(
+        F.col("column").alias("col_name"),
+        "exact_distinct",
+        "direct_within_tolerance",
+        "merged_within_tolerance",
+        "two_stage_within_tolerance",
+    ).orderBy("col_name")
 
 
 def _monotonic_counters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1576,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comissingness_documents": _comissingness_documents,
         "line_strip_documents": _line_strip_documents,
         "monotonic_counters_events": _monotonic_counters_events,
+        "sketch_profile_orders": _sketch_profile_orders,
         "volume_calendar_events": _volume_calendar_events,
         "robust_outliers_events": _robust_outliers_events,
         "unseen_categories_events": _unseen_categories_events,
@@ -1912,6 +1937,23 @@ def oracle_sql() -> dict[str, str]:
                        - hasf * (length('(c) example.com all rights reserved')
                                  + 1)) AS chars_after
             FROM planted GROUP BY source ORDER BY source
+        """,
+        "sketch_profile_orders": """
+            SELECT col_name, exact_distinct,
+                   true AS direct_within_tolerance,
+                   true AS merged_within_tolerance,
+                   true AS two_stage_within_tolerance
+            FROM (
+                SELECT 'o_custkey' AS col_name,
+                       count(DISTINCT o_custkey) AS exact_distinct
+                FROM orders
+                UNION ALL
+                SELECT 'o_orderstatus', count(DISTINCT o_orderstatus)
+                FROM orders
+                UNION ALL
+                SELECT 'o_orderdate', count(DISTINCT o_orderdate)
+                FROM orders
+            ) ORDER BY col_name
         """,
         "monotonic_counters_events": """
             WITH cnt AS (

@@ -124,6 +124,11 @@ from .operators.lines import (
 )
 from .operators.outliers import robust_outlier_rows, robust_outlier_stats
 from .operators.rowdiff import row_digest, table_diff, table_diff_rows
+from .operators.sketches import (
+    distinct_sketches,
+    merged_distinct_estimates,
+    sketch_consistency_report,
+)
 from .operators.structure import (
     SequenceSpec,
     structure_census,
@@ -153,6 +158,9 @@ __all__ = [
     "structure_census",
     "structure_violations",
     "row_digest",
+    "distinct_sketches",
+    "merged_distinct_estimates",
+    "sketch_consistency_report",
     "table_diff",
     "table_diff_rows",
     "null_patterns",
