@@ -355,6 +355,46 @@ def _sketch_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("col_name")
 
 
+def _mixture_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataset mixing: per-source keep fractions (an
+    allowlist — unlisted sources drop to 0), membership a pure function
+    of md5(doc_id) so the identical mixture reproduces on any engine.
+    The report's realized fractions and mix shares are exact values the
+    oracle recomputes from the same hash arithmetic."""
+    d = _read(spark, sf_dir, "documents")
+    fractions = {"src0": 1.0, "src1": 0.5, "src2": 0.2, "src3": 0.0}
+    sampled = dv.stratified_hash_sample(
+        d, fractions, strata_col="source", id_col="doc_id", salt="mix1"
+    )
+    return dv.mixture_report(d, sampled, strata_col="source").filter(
+        F.col("stratum").isin(list(fractions))
+    )
+
+
+def _priors_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-priors distribution gate: the five event types are
+    declared uniform (0.2 each); the check returns per-value chi2 terms
+    plus the out-of-domain '__other__' row (planted: 'error' events on
+    event_id % 501 == 0 are renamed to a junk type)."""
+    e = _read(spark, sf_dir, "events")
+    dirty = e.select(
+        F.when(
+            (F.col("event_type") == "error") & (F.col("event_id") % 501 == 0),
+            F.lit("errr"),
+        )
+        .otherwise(F.col("event_type"))
+        .alias("event_type")
+    )
+    priors = {
+        "click": 0.2,
+        "view": 0.2,
+        "purchase": 0.2,
+        "signup": 0.2,
+        "error": 0.2,
+    }
+    return dv.expected_distribution_check(dirty, "event_type", priors)
+
+
 def _monotonic_counters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Never-goes-backward counter validation: per-user counter =
     epoch-seconds of ts, ordered by event_id — any event whose ts sits
@@ -1601,6 +1641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_strip_documents": _line_strip_documents,
         "monotonic_counters_events": _monotonic_counters_events,
         "sketch_profile_orders": _sketch_profile_orders,
+        "mixture_documents": _mixture_documents,
+        "priors_check_events": _priors_check_events,
         "volume_calendar_events": _volume_calendar_events,
         "robust_outliers_events": _robust_outliers_events,
         "unseen_categories_events": _unseen_categories_events,
@@ -1954,6 +1996,70 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'o_orderdate', count(DISTINCT o_orderdate)
                 FROM orders
             ) ORDER BY col_name
+        """,
+        "mixture_documents": """
+            WITH h AS (
+                SELECT source,
+                       CAST(('0x'||substr(md5('mix1' ||
+                                CAST(doc_id AS VARCHAR)),1,15))
+                            AS BIGINT) % 1000000 AS b
+                FROM documents
+            ), s AS (
+                SELECT source,
+                       count(*) AS n_before,
+                       count(*) FILTER (WHERE
+                           (source = 'src0')
+                           OR (source = 'src1' AND b < 500000)
+                           OR (source = 'src2' AND b < 200000)
+                       ) AS n_after
+                FROM h GROUP BY source
+            ), tot AS (SELECT sum(n_after) AS t FROM s)
+            SELECT source AS stratum,
+                   n_before,
+                   n_after,
+                   round(CAST(n_after AS DOUBLE) / n_before, 6)
+                       AS realized_fraction,
+                   round(CAST(n_after AS DOUBLE) / t, 6) AS share_of_mix
+            FROM s, tot
+            WHERE source IN ('src0','src1','src2','src3')
+            ORDER BY stratum
+        """,
+        "priors_check_events": """
+            WITH dirty AS (
+                SELECT CASE WHEN event_type = 'error'
+                             AND event_id % 501 = 0
+                            THEN 'errr' ELSE event_type END AS v
+                FROM events WHERE event_type IS NOT NULL
+            ), bucketed AS (
+                SELECT CASE WHEN v IN
+                            ('click','error','purchase','signup','view')
+                            THEN v ELSE '__other__' END AS value,
+                       count(*) AS n
+                FROM dirty GROUP BY 1
+            ), spine AS (
+                SELECT unnest(['click','error','purchase','signup','view',
+                               '__other__']) AS value,
+                       unnest([0.2, 0.2, 0.2, 0.2, 0.2,
+                               CAST(NULL AS DOUBLE)]) AS expected_frac
+            ), joined AS (
+                SELECT s.value,
+                       coalesce(b.n, 0) AS n,
+                       s.expected_frac,
+                       sum(coalesce(b.n, 0)) OVER () AS total
+                FROM spine s LEFT JOIN bucketed b USING (value)
+            )
+            SELECT value, n,
+                   round(CAST(n AS DOUBLE) / total, 6) AS observed_frac,
+                   round(expected_frac, 6) AS expected_frac,
+                   CASE WHEN expected_frac IS NOT NULL THEN
+                       round((n - expected_frac * total)
+                             * (n - expected_frac * total)
+                             / (expected_frac * total), 6)
+                   END AS chi2_term,
+                   CASE WHEN expected_frac IS NOT NULL THEN
+                       expected_frac * total < 5.0
+                   END AS low_expected
+            FROM joined ORDER BY value
         """,
         "monotonic_counters_events": """
             WITH cnt AS (

@@ -76,8 +76,14 @@ from .operators.drift import (
     token_drift_movers,
     token_histogram,
     unseen_categories,
+    expected_distribution_check,
 )
-from .operators.sampling import hash_sample, violation_rate_estimate
+from .operators.sampling import (
+    hash_sample,
+    mixture_report,
+    stratified_hash_sample,
+    violation_rate_estimate,
+)
 from .operators.slices import slice_violation_report
 from .operators.benford import benford_report, benford_stat
 from .operators.anomaly import group_metric_anomalies
@@ -232,6 +238,9 @@ __all__ = [
     "functional_dependency_violations",
     "group_metric_anomalies",
     "hash_sample",
+    "stratified_hash_sample",
+    "mixture_report",
+    "expected_distribution_check",
     "token_distribution_drift",
     "token_drift_movers",
     "token_histogram",

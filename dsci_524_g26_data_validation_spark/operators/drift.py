@@ -42,6 +42,7 @@ __all__ = [
     "token_distribution_drift",
     "token_drift_movers",
     "unseen_categories",
+    "expected_distribution_check",
 ]
 
 NULL_LABEL = "__null__"
@@ -557,3 +558,88 @@ def unseen_categories(
         .orderBy(F.desc("n_rows"), "value")
         .limit(int(k))
     )
+
+
+def expected_distribution_check(
+    df: DataFrame,
+    col: str,
+    priors: "dict",
+    *,
+    min_expected: float = 5.0,
+) -> DataFrame:
+    """Observed category distribution vs DECLARED priors — the
+    expected-distribution check that needs no baseline capture (the
+    user states the distribution; Benford is the special case where
+    mathematics states it): label-balance gates ("50/50 ± noise"),
+    traffic-split verification (A/B at 90/10), encoding checks.
+
+    ``priors``: value → expected fraction; must sum to ~1. Returns one
+    row per declared value — values absent from the data appear with
+    n = 0 — plus one ``'__other__'`` row aggregating every undeclared
+    value (out-of-domain mass is usually THE finding; its expected
+    fraction is 0 and its chi2_term is n²/… undefined, so it carries
+    NULL chi2_term and a nonzero observed_frac instead). NULLs are
+    excluded (missingness's concern, the house rule).
+
+    Columns: (value, n, observed_frac, expected_frac, chi2_term,
+    low_expected). ``chi2_term`` = (n − E)²/E with E = expected_frac ·
+    n_total; sum terms for the statistic (df = |declared| − 1).
+    ``low_expected`` flags E < ``min_expected`` (Cochran's rule — the
+    χ² approximation degrades; collapse such cells before testing).
+
+    Scale: ONE scan → groupBy on the (bounded) declared domain + other
+    (map-side combined), literal prior frame joined to the
+    domain-sized counts, unpartitioned window over that tiny frame.
+    """
+    total = float(sum(priors.values()))
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"priors must sum to 1 (got {total})")
+    if any(float(v) <= 0 for v in priors.values()):
+        raise ValueError("every declared prior must be > 0")
+    spark = df.sparkSession
+    c = F.col(f"`{col}`").cast("string")
+    declared = sorted(str(k) for k in priors)
+    v = F.col("_v")
+    bucket = F.when(v.isin(declared), v).otherwise(F.lit("__other__"))
+    counts = (
+        df.select(c.alias("_v"))
+        .filter(v.isNotNull())
+        .select(bucket.alias("value"))
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    prior_rows = [(str(k), float(priors[k])) for k in priors] + [
+        ("__other__", None)
+    ]
+    prior_df = spark.createDataFrame(
+        prior_rows, "value string, expected_frac double"
+    )
+    w = Window.partitionBy()
+    joined = (
+        prior_df.join(counts, "value", "left")
+        .select(
+            "value",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            "expected_frac",
+        )
+        .select(
+            "value",
+            "n",
+            F.sum("n").over(w).alias("_total"),
+            "expected_frac",
+        )
+    )
+    e = F.col("expected_frac") * F.col("_total")
+    return joined.select(
+        "value",
+        "n",
+        F.round(F.col("n") / F.col("_total"), 6).alias("observed_frac"),
+        F.round("expected_frac", 6).alias("expected_frac"),
+        F.when(
+            F.col("expected_frac").isNotNull(),
+            F.round((F.col("n") - e) * (F.col("n") - e) / e, 6),
+        ).alias("chi2_term"),
+        F.when(
+            F.col("expected_frac").isNotNull(), e < F.lit(float(min_expected))
+        ).alias("low_expected"),
+    ).orderBy("value")

@@ -25,13 +25,15 @@ exchange, which is where the cost lives.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
     "portable_hash64",
     "hash_sample",
     "violation_rate_estimate",
+    "stratified_hash_sample",
+    "mixture_report",
     "wilson_interval_cols",
 ]
 
@@ -152,4 +154,100 @@ def violation_rate_estimate(
             F.when(empty, F.lit(None)).otherwise(F.least(center + half, F.lit(1.0))),
             9,
         ).alias("rate_hi"),
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    fractions: dict,
+    *,
+    strata_col: str,
+    id_col: str,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum sampling — dataset mixing/curriculum
+    weighting as a reproducible operator: keep ``fractions[stratum]``
+    of each stratum (web 10%, books 100%, code 50%…), membership a pure
+    function of (salt, id), so the SAME mixture comes out on every
+    engine, every run, every resume — the auditability requirement of
+    a training-data recipe (a seeded ``sampleBy`` reshuffles with the
+    partitioning).
+
+    ``fractions``: stratum value (stringified) → fraction in [0, 1].
+    Strata not listed get ``default_fraction`` (0.0 = drop unlisted —
+    the allowlist posture for training mixtures; NULL strata are
+    'unlisted' unless the dict carries an explicit ``None`` key).
+    Fractions at 0 prune without hashing; at 1 keep without hashing —
+    the common all-of-this-source case costs nothing.
+
+    Scale shape: one row-local CASE over the (broadcast-literal)
+    fraction table + the hash filter — no shuffle, no state, composable
+    before any downstream dedup/validation. Resolution 1/1e6 per
+    stratum (same bucket space as :func:`hash_sample`).
+    """
+    for k, v in fractions.items():
+        if not 0.0 <= float(v) <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0,1], got {v}")
+    if not 0.0 <= float(default_fraction) <= 1.0:
+        raise ValueError(f"default_fraction must be in [0,1]")
+    s = F.col(f"`{strata_col}`").cast("string")
+    cutoff = F.lit(int(round(float(default_fraction) * _BUCKETS)))
+    null_frac = None
+    for k, v in fractions.items():
+        c = F.lit(int(round(float(v) * _BUCKETS)))
+        if k is None:
+            null_frac = c
+            continue
+        cutoff = F.when(s == F.lit(str(k)), c).otherwise(cutoff)
+    if null_frac is not None:
+        cutoff = F.when(s.isNull(), null_frac).otherwise(cutoff)
+    h = portable_hash64(
+        F.concat(
+            F.lit(salt), F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+        )
+    )
+    return df.filter(
+        (cutoff >= F.lit(_BUCKETS)) | (F.pmod(h, F.lit(_BUCKETS)) < cutoff)
+    )
+
+
+def mixture_report(
+    df: DataFrame,
+    sampled: DataFrame,
+    *,
+    strata_col: str,
+) -> DataFrame:
+    """Before/after census of a mixing run: (stratum, n_before,
+    n_after, realized_fraction, share_of_mix). Two grouped counts
+    (map-side combined, one tiny shuffle each) + a full-outer join on
+    the stratum key — strata sampled to zero still appear, with
+    n_after = 0. ``share_of_mix`` is each stratum's fraction of the
+    SAMPLED corpus (the number the training recipe actually cares
+    about), via an unpartitioned window over the strata-sized frame."""
+    s = F.col(f"`{strata_col}`").cast("string").alias("stratum")
+    before = df.select(s).groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_before")
+    )
+    after = sampled.select(s).groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_after")
+    )
+    w = Window.partitionBy()
+    return (
+        before.join(after, "stratum", "full_outer")
+        .select(
+            "stratum",
+            F.coalesce("n_before", F.lit(0)).alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+        )
+        .select(
+            "*",
+            F.round(F.col("n_after") / F.col("n_before"), 6).alias(
+                "realized_fraction"
+            ),
+            F.round(
+                F.col("n_after") / F.sum("n_after").over(w), 6
+            ).alias("share_of_mix"),
+        )
+        .orderBy("stratum")
     )
