@@ -395,6 +395,21 @@ def _priors_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dv.expected_distribution_check(dirty, "event_type", priors)
 
 
+def _change_point_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """When did the metric change? Daily event volumes with a planted
+    regime shift — days before Jan 16 keep only odd event_ids (~50%
+    volume) — must locate the split at Jan 15/16 via the CUSUM
+    prefix-sum estimator (pure windows, engine-reproducible)."""
+    e = _read(spark, sf_dir, "events")
+    planted = e.filter(
+        (F.dayofmonth("ts") >= 16) | (F.col("event_id") % 2 == 1)
+    )
+    series = planted.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return dv.change_point_report(series, order_col="day", value_col="n")
+
+
 def _monotonic_counters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Never-goes-backward counter validation: per-user counter =
     epoch-seconds of ts, ordered by event_id — any event whose ts sits
@@ -1642,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monotonic_counters_events": _monotonic_counters_events,
         "sketch_profile_orders": _sketch_profile_orders,
         "mixture_documents": _mixture_documents,
+        "change_point_events": _change_point_events,
         "priors_check_events": _priors_check_events,
         "volume_calendar_events": _volume_calendar_events,
         "robust_outliers_events": _robust_outliers_events,
@@ -1996,6 +2012,44 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'o_orderdate', count(DISTINCT o_orderdate)
                 FROM orders
             ) ORDER BY col_name
+        """,
+        "change_point_events": """
+            WITH series AS (
+                SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       count(*) AS n
+                FROM events
+                WHERE day(ts) >= 16 OR event_id % 2 = 1
+                GROUP BY 1
+            ), pre AS (
+                SELECT day,
+                       CAST(n AS DOUBLE) AS v,
+                       sum(n) OVER (ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS s,
+                       row_number() OVER (ORDER BY day) AS t,
+                       sum(n) OVER () AS sn,
+                       count(*) OVER () AS nn,
+                       stddev_pop(n) OVER () AS sd
+                FROM series
+            ), cand AS (
+                SELECT day, t, s, nn, sn, sd,
+                       abs(s - (CAST(t AS DOUBLE) / nn) * sn) AS absd
+                FROM pre WHERE t < nn
+            ), best AS (
+                SELECT * FROM cand ORDER BY absd DESC, day ASC LIMIT 1
+            )
+            SELECT CASE WHEN sd > 0 AND nn > 1
+                         AND absd / (sd * sqrt(nn)) > 0
+                        THEN day END AS split_after,
+                   CAST(t AS BIGINT) AS n_before,
+                   CAST(nn - t AS BIGINT) AS n_after,
+                   round(s / t, 6) AS mean_before,
+                   round((sn - s) / (nn - t), 6) AS mean_after,
+                   round((sn - s) / (nn - t) - s / t, 6) AS shift,
+                   round(CASE WHEN sd > 0 AND nn > 1
+                              THEN absd / (sd * sqrt(nn))
+                              ELSE 0.0 END, 6) AS cusum_stat
+            FROM best
         """,
         "mixture_documents": """
             WITH h AS (

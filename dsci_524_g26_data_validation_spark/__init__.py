@@ -106,6 +106,7 @@ from .operators.packing import pack_sequences, packing_summary
 from .operators.sessions import session_stats, sessionize
 from .operators.asof import asof_join
 from .operators.timeseries import (
+    change_point_report,
     freshness,
     interarrival_stats,
     interval_overlaps,
@@ -181,6 +182,7 @@ __all__ = [
     "interval_overlaps",
     "monotonic_violations",
     "volume_calendar",
+    "change_point_report",
     "fixed_point_units",
     "reconcile_aggregate",
     "reconcile_summary",

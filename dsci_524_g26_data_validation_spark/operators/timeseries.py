@@ -40,6 +40,9 @@ __all__ = [
     "sequence_gap_buckets",
     "interarrival_stats",
     "interval_overlaps",
+    "monotonic_violations",
+    "volume_calendar",
+    "change_point_report",
 ]
 
 
@@ -441,3 +444,87 @@ def volume_calendar(
         F.lit(None).cast("double").alias("median_rows"),
     )
     return out.unionByName(nulls).orderBy(F.asc_nulls_last("bucket_ts"))
+
+
+def change_point_report(
+    df: DataFrame,
+    *,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Single most likely LEVEL-SHIFT point of a metric series — "when
+    did this metric change?", the follow-up question to every drift
+    alarm. One row: (split_after, n_before, n_after, mean_before,
+    mean_after, shift, cusum_stat).
+
+    Method: the CUSUM change-point estimator (binary segmentation's
+    first split): D_t = S_t − (t/n)·S_n over prefix sums S_t; the split
+    maximizes |D_t| (ties → earliest), and ``cusum_stat`` =
+    max|D_t| / (σ·√n) is the normalized statistic — under a
+    no-change null it concentrates below ~1.36 (the Kolmogorov 95%
+    band), so gate on ``cusum_stat > 1.36`` as a first approximation
+    (exact thresholds need a permutation test — out of scope for a
+    one-pass report). Expressed entirely with prefix-sum windows, so
+    the identical number falls out of any SQL engine — no recursive
+    CUSUM state (deliberately: recursion is neither Catalyst- nor
+    oracle-expressible).
+
+    Input contract: ``df`` is a METRIC SERIES — one row per period
+    (volume_calendar output, a metrics-history table, a per-batch
+    quality score), i.e. thousands of rows, not the corpus. The
+    unpartitioned windows here run single-task ON PURPOSE: compacting
+    the series through one task is the correct plan at any corpus
+    scale because the series size is bounded by time, not data volume.
+    NULL values are excluded (can't contribute to a mean); NULL order
+    keys are excluded (unplaceable). Series with < 2 usable rows or
+    zero variance return cusum_stat = 0 and a NULL split.
+    """
+    o, v = F.col("_o"), F.col("_v")
+    base = (
+        df.select(
+            F.col(f"`{order_col}`").alias("_o"),
+            F.col(f"`{value_col}`").cast("double").alias("_v"),
+        )
+        .filter(o.isNotNull() & v.isNotNull())
+    )
+    wp = (
+        Window.partitionBy()
+        .orderBy(o.asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy()
+    stats = base.select(
+        "_o",
+        "_v",
+        F.sum("_v").over(wp).alias("_s"),
+        F.count(F.lit(1)).over(wp).alias("_t"),
+        F.sum("_v").over(wall).alias("_sn"),
+        F.count(F.lit(1)).over(wall).alias("_n"),
+        F.stddev_pop("_v").over(wall).alias("_sd"),
+    )
+    d = F.col("_s") - (F.col("_t") / F.col("_n")) * F.col("_sn")
+    cand = stats.filter(F.col("_t") < F.col("_n")).select(
+        "_o",
+        "_t",
+        "_s",
+        "_n",
+        "_sn",
+        "_sd",
+        F.abs(d).alias("_absd"),
+    )
+    best = cand.orderBy(F.desc("_absd"), F.asc("_o")).limit(1)
+    mean_before = F.col("_s") / F.col("_t")
+    mean_after = (F.col("_sn") - F.col("_s")) / (F.col("_n") - F.col("_t"))
+    stat = F.when(
+        (F.col("_sd") > 0) & (F.col("_n") > 1),
+        F.col("_absd") / (F.col("_sd") * F.sqrt(F.col("_n"))),
+    ).otherwise(F.lit(0.0))
+    return best.select(
+        F.when(stat > 0, F.col("_o")).alias("split_after"),
+        F.col("_t").alias("n_before"),
+        (F.col("_n") - F.col("_t")).alias("n_after"),
+        F.round(mean_before, 6).alias("mean_before"),
+        F.round(mean_after, 6).alias("mean_after"),
+        F.round(mean_after - mean_before, 6).alias("shift"),
+        F.round(stat, 6).alias("cusum_stat"),
+    )

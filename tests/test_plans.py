@@ -248,3 +248,23 @@ def test_ivf_cell_partitioned_probe_prunes_files(spark, sf_dir, tmp_path):
     pf = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "ivf_cell" in pf  # probe prunes whole directories
     assert top.count() == 5
+
+
+def test_line_strip_text_never_in_exchange(spark):
+    """strip_frequent_lines' contract: document text moves through
+    scans and row-local projections only — every Exchange carries
+    digests, positions, ids, or drop lists, NEVER the text column."""
+    from dsci_524_g26_data_validation_spark.operators.lines import (
+        strip_frequent_lines,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "A\ncontent %d" % i) for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = strip_frequent_lines(df, min_docs=10)
+    plan = _final_plan(out)
+    plan = plan.split("== Initial Plan ==")[0]
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, f"text shuffled: {line[:200]}"

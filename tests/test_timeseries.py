@@ -275,3 +275,48 @@ def test_volume_calendar_rejects_bad_bucket(spark):
 
     with pytest.raises(ValueError):
         volume_calendar(spark.range(1).select(F.lit(None).alias("ts")), bucket="minute")
+
+
+# -- change point --------------------------------------------------------------
+
+
+def test_change_point_finds_level_shift(spark):
+    from dsci_524_g26_data_validation_spark.operators.timeseries import (
+        change_point_report,
+    )
+
+    # 20 periods at ~100, then 20 at ~150 (deterministic wiggle)
+    rows = [(t, 100.0 + (t % 3)) for t in range(20)] + [
+        (t, 150.0 + (t % 3)) for t in range(20, 40)
+    ]
+    df = spark.createDataFrame(rows, "t int, v double")
+    r = change_point_report(df, order_col="t", value_col="v").first()
+    assert r["split_after"] == 19  # last period of the old regime
+    assert r["n_before"] == 20 and r["n_after"] == 20
+    assert abs(r["shift"] - 50.0) < 0.1
+    assert r["cusum_stat"] > 1.36  # clearly significant
+
+
+def test_change_point_null_on_flat_series(spark):
+    from dsci_524_g26_data_validation_spark.operators.timeseries import (
+        change_point_report,
+    )
+
+    df = spark.createDataFrame([(t, 5.0) for t in range(10)], "t int, v double")
+    r = change_point_report(df, order_col="t", value_col="v").first()
+    assert r["cusum_stat"] == 0.0
+    assert r["split_after"] is None
+
+
+def test_change_point_excludes_nulls(spark):
+    from dsci_524_g26_data_validation_spark.operators.timeseries import (
+        change_point_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (None, 9.0), (3, 1.0), (4, 9.0), (5, 9.0)],
+        "t int, v double",
+    )
+    r = change_point_report(df, order_col="t", value_col="v").first()
+    assert r["n_before"] + r["n_after"] == 4  # the two NULL rows excluded
+    assert r["split_after"] == 3
