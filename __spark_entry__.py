@@ -1042,13 +1042,17 @@ def _dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing (rows-only): deterministic fake media table →
-    mapInPandas decode + feature extraction + frame sampling."""
+    """Multimodal plumbing, fully oracle-checkable: portable-hash fake
+    media table → mapInPandas decode + feature extraction + frame
+    sampling. The fake payload is md5-derived bytes, so even the
+    Arrow-batched numpy feature path (byte groups → float32 means →
+    norms) is replicated value-for-value by the SQL oracle — proving
+    the batching/schema plumbing, not just row counts."""
     from dsci_524_g26_data_validation_spark.operators import multimodal as mm
 
     # few partitions on purpose: 2000 rows across 32 partitions would pay
     # 32 Python-worker launches per mapInPandas stage
-    m = mm.media_table(spark, 2000, num_partitions=4)
+    m = mm.media_table(spark, 2000, num_partitions=4, hash_fn="portable")
     dec = mm.decode_images(m).agg(
         F.count(F.lit(1)).alias("n_images"),
         F.sum("n_pixels").alias("total_pixels"),
@@ -2012,6 +2016,65 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'o_orderdate', count(DISTINCT o_orderdate)
                 FROM orders
             ) ORDER BY col_name
+        """,
+        "media_pipeline": """
+            WITH ids AS (
+                SELECT unnest(generate_series(0, 1999)) AS id
+            ), derived AS (
+                SELECT id,
+                       CAST(('0x'||substr(md5('m:'||id||':1:42'),1,15))
+                            AS BIGINT) % 10 AS u_kind,
+                       32 + CAST(('0x'||substr(md5('m:'||id||':2:42'),1,15))
+                            AS BIGINT) % 1024 AS width,
+                       32 + CAST(('0x'||substr(md5('m:'||id||':3:42'),1,15))
+                            AS BIGINT) % 1024 AS height,
+                       1000 + CAST(('0x'||substr(md5('m:'||id||':4:42'),1,15))
+                            AS BIGINT) % 60000 AS duration_ms,
+                       md5('m'||id) AS digest
+                FROM ids
+            ), typed AS (
+                SELECT *,
+                       CASE WHEN u_kind < 6 THEN 'image'
+                            WHEN u_kind < 9 THEN 'audio'
+                            ELSE 'video' END AS kind
+                FROM derived
+            ), feat AS (
+                SELECT id,
+                       sqrt(4 * (
+                         pow((CAST(('0x'||substr(digest, 1,2)) AS INT)
+                            + CAST(('0x'||substr(digest, 3,2)) AS INT)
+                            + CAST(('0x'||substr(digest, 5,2)) AS INT)
+                            + CAST(('0x'||substr(digest, 7,2)) AS INT))
+                            / 4.0 / 255.0, 2)
+                       + pow((CAST(('0x'||substr(digest, 9,2)) AS INT)
+                            + CAST(('0x'||substr(digest,11,2)) AS INT)
+                            + CAST(('0x'||substr(digest,13,2)) AS INT)
+                            + CAST(('0x'||substr(digest,15,2)) AS INT))
+                            / 4.0 / 255.0, 2)
+                       + pow((CAST(('0x'||substr(digest,17,2)) AS INT)
+                            + CAST(('0x'||substr(digest,19,2)) AS INT)
+                            + CAST(('0x'||substr(digest,21,2)) AS INT)
+                            + CAST(('0x'||substr(digest,23,2)) AS INT))
+                            / 4.0 / 255.0, 2)
+                       + pow((CAST(('0x'||substr(digest,25,2)) AS INT)
+                            + CAST(('0x'||substr(digest,27,2)) AS INT)
+                            + CAST(('0x'||substr(digest,29,2)) AS INT)
+                            + CAST(('0x'||substr(digest,31,2)) AS INT))
+                            / 4.0 / 255.0, 2)
+                       )) AS norm
+                FROM typed
+            )
+            SELECT
+                (SELECT count(*) FROM typed WHERE kind = 'image')
+                    AS n_images,
+                (SELECT sum(width * height) FROM typed
+                 WHERE kind = 'image') AS total_pixels,
+                (SELECT count(*) FROM typed WHERE kind = 'image') AS n_ok,
+                (SELECT CAST(sum(CAST(floor((duration_ms - 1) / 5000)
+                                      AS BIGINT) + 1) AS BIGINT)
+                 FROM typed WHERE kind = 'video') AS n_frames,
+                (SELECT round(avg(norm), 4) FROM feat)
+                    AS avg_feature_norm
         """,
         "change_point_events": """
             WITH series AS (

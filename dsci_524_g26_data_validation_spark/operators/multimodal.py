@@ -65,12 +65,50 @@ def _require_codec(name: str):
     )
 
 
-def media_table(spark, n_rows: int, *, seed: int = 42, num_partitions: int | None = None) -> DataFrame:
+def media_table(
+    spark,
+    n_rows: int,
+    *,
+    seed: int = 42,
+    num_partitions: int | None = None,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """Deterministic fake media table (payload = hash-derived bytes) for
-    exercising the plumbing at any scale — pure Catalyst."""
+    exercising the plumbing at any scale — pure Catalyst.
+
+    ``hash_fn="portable"`` derives kind/meta from top-60-bits-of-md5
+    (the engine's standard cross-engine hash) instead of the faster
+    JVM-only xxhash64, making every downstream number — pixel totals,
+    frame counts, even the fake feature vectors (already md5-derived)
+    — reproducible in ANSI SQL; this is what lets the media pipeline's
+    driver oracle verify the full mapInPandas path value-for-value."""
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
     df = spark.range(0, n_rows, 1, num_partitions)
-    u = lambda salt, mod: F.pmod(F.xxhash64("id", F.lit(seed), F.lit(salt)), F.lit(mod))  # noqa: E731
+    if hash_fn == "portable":
+        u = lambda salt, mod: F.pmod(  # noqa: E731
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.lit("m"),
+                            F.col("id").cast("string"),
+                            F.lit(str(salt)),
+                            F.lit(str(seed)),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(mod),
+        )
+    elif hash_fn == "xxhash64":
+        u = lambda salt, mod: F.pmod(F.xxhash64("id", F.lit(seed), F.lit(salt)), F.lit(mod))  # noqa: E731
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'portable', got {hash_fn!r}")
     kind = (
         F.when(u(1, 10) < 6, "image").when(u(1, 10) < 9, "audio").otherwise("video")
     )
