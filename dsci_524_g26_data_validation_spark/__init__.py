@@ -30,6 +30,7 @@ from .types import (
     contract_to_json,
     table_contract_from_dict,
     table_contract_from_json,
+    table_contract_fingerprint,
     table_contract_to_dict,
     table_contract_to_json,
     dtypes_equivalent,
@@ -208,6 +209,7 @@ __all__ = [
     "contract_to_json",
     "table_contract_from_dict",
     "table_contract_from_json",
+    "table_contract_fingerprint",
     "table_contract_to_dict",
     "table_contract_to_json",
     "dtypes_equivalent",

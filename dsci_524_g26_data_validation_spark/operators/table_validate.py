@@ -391,19 +391,31 @@ def run_resumable_validation(
 
     Each distinct ``partition_col`` value is one unit of work: validated
     independently, then recorded in the manifest with metrics + lineage.
-    Already-recorded partitions are skipped on resume. Filtering on the
-    partition column prunes the scan on a partitioned table (Iceberg
-    partition spec / hive-partitioned parquet), so a resume touches only
+    Already-recorded partitions are skipped on resume — but ONLY when
+    their record carries the same contract fingerprint: a pass earned
+    under an edited contract's previous rules proves nothing about the
+    new ones, so such partitions re-run (and their records are
+    overwritten with the new fingerprint). Filtering on the partition
+    column prunes the scan on a partitioned table (Iceberg partition
+    spec / hive-partitioned parquet), so a resume touches only
     unfinished data.
 
     Returns {partition: manifest metrics} for partitions run this call.
     """
+    from ..types import table_contract_fingerprint
+
+    fp = table_contract_fingerprint(tc)
     parts = [
         str(r[0])
         for r in df.select(F.col(f"`{partition_col}`").cast("string")).distinct().collect()
     ]
+    done_under_this_contract = {
+        p
+        for p, rec in manifest.completed().items()
+        if rec.get("lineage", {}).get("contract_fingerprint") == fp
+    }
     ran: Dict[str, dict] = {}
-    for p in manifest.pending(parts):
+    for p in sorted(set(parts) - done_under_this_contract):
         sub = df.filter(F.col(f"`{partition_col}`").cast("string") == p)
         ref_sub = (
             reference.filter(F.col(f"`{partition_col}`").cast("string") == p)
@@ -421,7 +433,11 @@ def run_resumable_validation(
         manifest.record(
             p,
             metrics,
-            lineage={"partition_col": partition_col, "contract": tc.name},
+            lineage={
+                "partition_col": partition_col,
+                "contract": tc.name,
+                "contract_fingerprint": fp,
+            },
         )
         ran[p] = metrics
     return ran

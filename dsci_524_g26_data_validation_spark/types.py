@@ -45,6 +45,7 @@ __all__ = [
     "table_contract_from_dict",
     "table_contract_to_json",
     "table_contract_from_json",
+    "table_contract_fingerprint",
     "contract_from_json",
 ]
 
@@ -566,3 +567,24 @@ def table_contract_to_json(tc: "TableContract", indent: Optional[int] = None) ->
 
 def table_contract_from_json(text: str) -> "TableContract":
     return table_contract_from_dict(json.loads(text))
+
+
+def table_contract_fingerprint(tc: "TableContract") -> str:
+    """Stable content digest of a TableContract — sha256 of its
+    canonical (sorted-keys) JSON.
+
+    The resume-correctness key: a checkpoint manifest records which
+    partitions passed *under which contract*. Keying completion by the
+    contract NAME alone would let an edited contract silently inherit
+    pass-records earned under the old rules (the manifest says "done",
+    but nothing validated the new bounds) — so
+    ``run_resumable_validation`` stores this fingerprint in lineage and
+    re-runs any partition whose record carries a different one.
+    Sorted-keys JSON makes the digest independent of dict insertion
+    order; sets are serialized sorted by ``contract_to_dict``.
+    """
+    import hashlib
+
+    return hashlib.sha256(
+        table_contract_to_json(tc).encode("utf-8")
+    ).hexdigest()

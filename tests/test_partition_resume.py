@@ -100,3 +100,38 @@ def test_resume_on_partitioned_table(spark, part_path, tmp_path):
     # metrics reflect the contract outcome per partition value
     recs = m2.completed()
     assert all(r["metrics"]["n_issues"] >= 1 for r in recs.values())  # max 90 < 99
+
+
+def test_resume_invalidated_by_contract_edit(spark, part_path, tmp_path):
+    """A completed partition's pass was earned under a SPECIFIC
+    contract; resuming with an edited contract (same name!) must re-run
+    every partition, not inherit stale pass-records."""
+    from dsci_524_g26_data_validation_spark.types import (
+        table_contract_fingerprint,
+    )
+
+    df = spark.read.parquet(part_path)
+    tc1 = dv.TableContract(contract=CONTRACT)
+    m = FileManifestStore(str(tmp_path), "runB")
+    ran1 = run_resumable_validation(df, tc1, partition_col="source", manifest=m)
+    assert len(ran1) == 4
+    # same contract → nothing re-runs
+    assert run_resumable_validation(
+        df, tc1, partition_col="source", manifest=m
+    ) == {}
+    # edited contract, SAME name → different fingerprint → full re-run
+    edited = dv.Contract(
+        columns={
+            **CONTRACT.columns,
+            "score": dv.ColumnRule(dtype="double", min_value=0, max_value=10.0),
+        },
+        name=CONTRACT.name,
+    )
+    tc2 = dv.TableContract(contract=edited)
+    assert table_contract_fingerprint(tc2) != table_contract_fingerprint(tc1)
+    ran2 = run_resumable_validation(df, tc2, partition_col="source", manifest=m)
+    assert len(ran2) == 4
+    # records now carry the new fingerprint; resume under tc2 is clean
+    assert run_resumable_validation(
+        df, tc2, partition_col="source", manifest=m
+    ) == {}
