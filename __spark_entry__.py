@@ -925,6 +925,34 @@ def _winnow_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _span_dup_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level substring-duplication census (Lee et al. 2021 shape,
+    SURVEY §2.8): what fraction of 8-token windows occur more than once
+    corpus-wide, per source. Portable md5 gram hashes AND the mod-2
+    content-defined sampling path (the 10^12-token shuffle reducer) are
+    both replicated bit-for-bit by the DuckDB oracle."""
+    from dsci_524_g26_data_validation_spark.operators import spans
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", "source", _portable_token_ids().alias("tokens")
+    )
+    return spans.span_duplication_census(
+        d, group_col="source", k=8, hash_fn="portable", sample_mod=2
+    )
+
+
+def _top_dup_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 15 most-duplicated 8-token spans with bounded (min doc, min
+    pos) witnesses — the 'what IS the boilerplate' follow-up to the
+    census. Deterministic (count DESC, hash ASC) order on both engines."""
+    from dsci_524_g26_data_validation_spark.operators import spans
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", "source", _portable_token_ids().alias("tokens")
+    )
+    return spans.top_duplicate_spans(d, k=8, top_n=15, hash_fn="portable")
+
+
 def _ntok_invariant_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 analog on documents: n_chars == length(text) per-row invariant."""
     d = _read(spark, sf_dir, "documents")
@@ -1697,6 +1725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_ngram_documents": _langid_ngram_documents,
         "fingerprints_by_source": _fingerprints_by_source,
         "winnow_fingerprints_documents": _winnow_fingerprints_documents,
+        "span_dup_census_documents": _span_dup_census_documents,
+        "top_dup_spans_documents": _top_dup_spans_documents,
         "ntok_invariant_documents": _ntok_invariant_documents,
         "simsearch_topk": _simsearch_topk,
         "vector_stats_embeddings": _vector_stats_embeddings,
@@ -2910,6 +2940,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n_rows,
                    count(*) FILTER (WHERE n_chars != length(text)) AS n_bad
             FROM documents GROUP BY source
+        """,
+        # token-level substring-duplication census: portable md5 gram
+        # hashes + the mod-2 content-defined sampling path, both
+        # replicated bit-for-bit
+        "span_dup_census_documents": """
+            WITH docs AS (
+              SELECT doc_id, source,
+                     list_transform(string_split(text, ' '),
+                       w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 4096) AS toks
+              FROM documents
+            ), g AS (
+              SELECT source,
+                     [CAST(('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15)) AS BIGINT)
+                      for i in generate_series(1, greatest(len(toks) - 7, 0))] AS hs
+              FROM docs
+            ), occ AS (
+              SELECT source, unnest(hs) AS h FROM g
+            ), samp AS (
+              SELECT source, h FROM occ WHERE h % 2 = 0
+            ), cnt AS (
+              SELECT source, h, count(*) AS c FROM samp GROUP BY source, h
+            ), tot AS (
+              SELECT source, h, c, sum(c) OVER (PARTITION BY h) AS total FROM cnt
+            )
+            SELECT source,
+                   CAST(sum(c) AS BIGINT) AS n_occurrences,
+                   CAST(count(*) AS BIGINT) AS n_distinct_grams,
+                   CAST(coalesce(sum(c) FILTER (WHERE total >= 2), 0) AS BIGINT)
+                       AS dup_occurrences,
+                   round(coalesce(sum(c) FILTER (WHERE total >= 2), 0) / sum(c), 6)
+                       AS dup_frac,
+                   CAST(max(total) AS BIGINT) AS top_gram_count
+            FROM tot GROUP BY source
+        """,
+        # top duplicated 8-token spans with bounded (min doc, its min pos)
+        # witnesses; (count DESC, hash ASC) makes the LIMIT cut
+        # deterministic on both engines
+        "top_dup_spans_documents": """
+            WITH docs AS (
+              SELECT doc_id,
+                     list_transform(string_split(text, ' '),
+                       w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 4096) AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     [CAST(('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15)) AS BIGINT)
+                      for i in generate_series(1, greatest(len(toks) - 7, 0))] AS hs
+              FROM docs
+            ), occ AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(hs))) AS pos,
+                     unnest(hs) AS h
+              FROM g
+            ), per_doc AS (
+              SELECT h, doc_id, count(*) AS c, min(pos) AS min_pos
+              FROM occ GROUP BY h, doc_id
+            )
+            SELECT h AS gram_hash,
+                   CAST(sum(c) AS BIGINT) AS n_occurrences,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   min(doc_id) AS example_doc_id,
+                   CAST(arg_min(min_pos, doc_id) AS INTEGER) AS example_pos
+            FROM per_doc GROUP BY h
+            HAVING sum(c) >= 2
+            ORDER BY n_occurrences DESC, gram_hash ASC
+            LIMIT 15
         """,
         "simsearch_topk": """
             SELECT vec_id,

@@ -142,6 +142,11 @@ from .operators.structure import (
     structure_census,
     structure_violations,
 )
+from .operators.spans import (
+    span_duplication_census,
+    token_kgram_occurrences,
+    top_duplicate_spans,
+)
 from .operators.table_validate import (
     DriftThresholds,
     run_resumable_validation,
@@ -173,6 +178,9 @@ __all__ = [
     "table_diff_rows",
     "null_patterns",
     "comissingness",
+    "token_kgram_occurrences",
+    "span_duplication_census",
+    "top_duplicate_spans",
     "line_frequency",
     "frequent_lines",
     "strip_frequent_lines",
