@@ -139,11 +139,14 @@ def sketch_consistency_report(
     on a sample slice, not the 100 TB table; production uses the
     sketches alone) plus the sketch passes.
     """
-    direct = distinct_sketches(df, cols, lg_k=lg_k)
+    # each 1-row frame below is referenced once PER COLUMN in the report
+    # union — checkpoint them or every column branch re-runs its full
+    # corpus scan (C columns would cost 2C+1 scans instead of 3)
+    direct = distinct_sketches(df, cols, lg_k=lg_k).localCheckpoint()
     per_slice = distinct_sketches(
         df, cols, slice_col=slice_col, lg_k=lg_k
     ).localCheckpoint()  # tiny (one row per slice); reused by 3 plans below
-    merged = merged_distinct_estimates(per_slice, cols)
+    merged = merged_distinct_estimates(per_slice, cols).localCheckpoint()
     # two-stage merge: min slice separately, remainder separately, then
     # a binary hll_union of the two partial sketches
     first_slice = per_slice.orderBy(slice_col).limit(1)
@@ -154,7 +157,7 @@ def sketch_consistency_report(
         return frame.agg(F.hll_union_agg(F.col(_sk(c))).alias(alias))
     exact = df.agg(
         *[F.count_distinct(F.col(f"`{c}`")).alias(c) for c in cols]
-    )
+    ).localCheckpoint()
     def _tol(est, ex):
         return (
             F.when(

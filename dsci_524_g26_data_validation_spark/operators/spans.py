@@ -114,14 +114,25 @@ def token_kgram_occurrences(
             grams, lambda g: F.pmod(g["gram_hash"], F.lit(sample_mod)) == 0
         )
     # projection barrier: materialize the struct array once, then
-    # explode — inlining the O(n·k) gram expression into the generator
-    # re-evaluates it per output row (the winnow_expr trap, text.py).
+    # explode. explode_OUTER, deliberately: a plain explode triggers
+    # InferFiltersFromGenerate, whose `size(_g) > 0` filter gets
+    # predicate-pushed below this projection with the WHOLE gram
+    # expression inlined — including the tokens column's own definition
+    # re-evaluated inside the per-position slice lambda (measured: O(n²)
+    # hash evaluations per row, 7× wall on synthesized-token inputs).
+    # The rule skips outer generates; short rows' NULL placeholder is
+    # dropped by a cheap post-generate filter on the generated column.
     base = df.select(*[F.col(c) for c in keep], F.col(id_col), grams.alias("_g"))
-    return base.select(
-        *keep,
-        id_col,
-        F.explode("_g").alias("_o"),
-    ).select(*keep, id_col, F.col("_o.pos").alias("pos"), F.col("_o.gram_hash").alias("gram_hash"))
+    return (
+        base.select(*keep, id_col, F.explode_outer("_g").alias("_o"))
+        .filter(F.col("_o").isNotNull())
+        .select(
+            *keep,
+            id_col,
+            F.col("_o.pos").alias("pos"),
+            F.col("_o.gram_hash").alias("gram_hash"),
+        )
+    )
 
 
 def span_duplication_census(
