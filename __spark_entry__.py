@@ -918,8 +918,12 @@ def _winnow_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFram
         "source", text.kgram_hashes_expr("t", k=8, hash_fn="md5").alias("_kg")
     )
     win = text.winnow_expr(F.col("_kg"), window=4)
+    # explode_outer: a plain explode's inferred size()>0 filter gets
+    # pushed below the _kg projection with the winnow AND the k-gram
+    # hashing inlined (O(n²) md5 per row in the Filter alone)
     return (
-        base.select("source", F.explode(win).alias("fp"))
+        base.select("source", F.explode_outer(win).alias("fp"))
+        .filter(F.col("fp").isNotNull())
         .groupBy("source")
         .agg(F.countDistinct("fp").alias("n_fingerprints"))
     )

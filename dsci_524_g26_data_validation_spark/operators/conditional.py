@@ -152,6 +152,13 @@ def conditional_violations(
         .filter(any_bad)
         .select(
             *[F.col(f"`{c}`") for c in id_cols],
-            F.explode(F.filter(packed, lambda x: x.isNotNull())).alias("rule"),
+            # explode_outer: the inferred size()>0 filter of a plain
+            # explode would re-evaluate every rule predicate per row; the
+            # any_bad pre-filter guarantees ≥1 label, so no null row
+            # survives the cheap guard below
+            F.explode_outer(
+                F.filter(packed, lambda x: x.isNotNull())
+            ).alias("rule"),
         )
+        .filter(F.col("rule").isNotNull())
     )

@@ -57,12 +57,16 @@ def _exploded_gram_hashes(
         F.col(f"`{id_col}`").alias(out_id),
         word_ngrams_expr(text_col, n=n).alias("_grams"),
     )
+    # explode_outer sidesteps the inferred size()>0 filter, which would
+    # inline the n-gram build + hash transform below this projection and
+    # evaluate it an extra time per row; docs shorter than n contribute a
+    # null placeholder dropped by the cheap filter
     return base.select(
         out_id,
-        F.explode(
+        F.explode_outer(
             F.transform("_grams", lambda g: F.xxhash64(g))
         ).alias("_g"),
-    )
+    ).filter(F.col("_g").isNotNull())
 
 
 def contamination_pairs(

@@ -254,7 +254,13 @@ def minhash_lsh_candidates(
         seed=seed,
     ).select(
         "_id",
-        F.explode(
+        # explode_OUTER: a plain explode triggers InferFiltersFromGenerate,
+        # whose size()>0 filter is predicate-pushed below the signature
+        # projections with the WHOLE expression inlined — one extra full
+        # signature evaluation (num_hashes shingling passes) per row in
+        # the Filter. The rule skips outer generates; the band array is
+        # never empty, so no null row ever materializes.
+        F.explode_outer(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
@@ -266,7 +272,19 @@ def minhash_lsh_candidates(
                 ),
             )
         ).alias("bd"),
-    ).select("_id", F.col("bd.band").alias("band"), F.col("bd.digest").alias("digest"))
+    ).filter(
+        # field-level null guards, not just the struct: explode_outer makes
+        # bd (and its fields) nullable, so the self-join would infer
+        # isnotnull(band)/isnotnull(digest) on its two branches ONLY —
+        # breaking exchange reuse with the star branch. Enforcing the
+        # same filters here keeps all three derivations canonical-equal
+        # (one scan + ReusedExchange, asserted in test_plans.py).
+        F.col("bd").isNotNull()
+        & F.col("bd.band").isNotNull()
+        & F.col("bd.digest").isNotNull()
+    ).select(
+        "_id", F.col("bd.band").alias("band"), F.col("bd.digest").alias("digest")
+    )
     # One extra (band, digest)-keyed shuffle annotates every bucket with
     # its size and anchor (min id) before any pairing happens; anchor =
     # min id, so star edges are already (id_a < id_b).
@@ -561,10 +579,13 @@ def winnow_candidates(
     fps = winnowing_fingerprints(
         df, text_col=text_col, id_col=id_col, k=k, window=window, hash_fn=hash_fn
     )
+    # explode_outer: avoids the inferred size()>0 filter that would
+    # re-evaluate the winnow (and its inlined k-gram hashes, O(n²)) per
+    # row; short docs' null placeholder is dropped by the cheap filter
     exploded = fps.select(
         F.col(f"`{id_col}`").alias("_id"),
-        F.explode("fingerprints").alias("fp"),
-    )
+        F.explode_outer("fingerprints").alias("fp"),
+    ).filter(F.col("fp").isNotNull())
     small, star = _capped_split(exploded, ["fp"], max_bucket_size=max_bucket_size)
     a, b = small.alias("a"), small.alias("b")
     joined = a.join(

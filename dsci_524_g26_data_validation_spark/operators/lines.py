@@ -75,10 +75,20 @@ def _exploded(
 ) -> DataFrame:
     """(doc_id, pos, _ha, _hb) — one row per line occurrence. pos is
     0-based to match the rebuild lambda's filter index."""
-    return df.select(
-        F.col(f"`{id_col}`").alias("_doc"),
-        F.posexplode(lines_expr(text_col, sep=sep)).alias("_pos", "_line"),
-    ).select("_doc", "_pos", *_digest_cols(F.col("_line")))
+    # posexplode_OUTER: a plain posexplode gets an inferred size()>0
+    # filter pushed below this projection with the split inlined (one
+    # extra split per row); outer generates skip the rule. The null
+    # placeholder (NULL text rows) is dropped by the cheap filter.
+    return (
+        df.select(
+            F.col(f"`{id_col}`").alias("_doc"),
+            F.posexplode_outer(lines_expr(text_col, sep=sep)).alias(
+                "_pos", "_line"
+            ),
+        )
+        .filter(F.col("_line").isNotNull())
+        .select("_doc", "_pos", *_digest_cols(F.col("_line")))
+    )
 
 
 def line_frequency(
@@ -115,8 +125,9 @@ def line_frequency(
     # broadcast); min(line) is deterministic under 128-bit uniqueness
     exemplar = (
         df.select(
-            F.explode(lines_expr(text_col, sep=sep)).alias("_line")
+            F.explode_outer(lines_expr(text_col, sep=sep)).alias("_line")
         )
+        .filter(F.col("_line").isNotNull())
         .select("_line", *_digest_cols(F.col("_line")))
         .join(F.broadcast(counts), ["_ha", "_hb"])
         .groupBy("_ha", "_hb", "n_docs", "n_occurrences")
@@ -206,10 +217,16 @@ def strip_frequent_lines(
         min_docs=min_docs,
         min_doc_frac=min_doc_frac,
     ).select("_ha", "_hb")
-    occ = df.select(
-        F.col(f"`{id_col}`").alias("_doc"),
-        F.posexplode(lines_expr(text_col, sep=sep)).alias("_pos", "_line"),
-    ).filter(strip_len_ok).select("_doc", "_pos", *_digest_cols(F.col("_line")))
+    occ = (
+        df.select(
+            F.col(f"`{id_col}`").alias("_doc"),
+            F.posexplode_outer(lines_expr(text_col, sep=sep)).alias(
+                "_pos", "_line"
+            ),
+        )
+        .filter(strip_len_ok)  # NULL _line fails the length bound too
+        .select("_doc", "_pos", *_digest_cols(F.col("_line")))
+    )
     drops = (
         occ.join(F.broadcast(freq), ["_ha", "_hb"])
         .groupBy("_doc")

@@ -635,7 +635,14 @@ def dimension_stats(
         & (F.size(v) == F.lit(dim))
         & ~F.exists(vd, lambda x: F.isnan(x))
     )
-    ex = df.filter(clean).select(F.posexplode(vd).alias("pos", "x"))
+    # posexplode_outer sidesteps the inferred size()>0 filter (an extra
+    # array cast per row); clean rows are never empty, so the null
+    # placeholder guard is a no-op in practice
+    ex = (
+        df.filter(clean)
+        .select(F.posexplode_outer(vd).alias("pos", "x"))
+        .filter(F.col("pos").isNotNull())
+    )
     return ex.groupBy("pos").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sum_x"),

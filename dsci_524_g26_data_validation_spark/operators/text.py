@@ -119,7 +119,10 @@ def top_tokens(
     if lowercase:
         toks = F.transform(toks, lambda t: F.lower(t))
     counts = (
-        df.select(F.col(group_col), F.explode(toks).alias("token"))
+        # explode_outer sidesteps the inferred size()>0 filter (it would
+        # inline an extra split per row below this projection)
+        df.select(F.col(group_col), F.explode_outer(toks).alias("token"))
+        .filter(F.col("token").isNotNull())
         .groupBy(group_col, "token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
