@@ -414,15 +414,20 @@ def _monotonic_counters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Never-goes-backward counter validation: per-user counter =
     epoch-seconds of ts, ordered by event_id — any event whose ts sits
     below the user's running maximum regresses (out-of-order producer).
-    Planted NULLs: order NULLed on event_id % 41 (unplaceable row),
-    value NULLed on event_id % 37 (unprovable row). Census by kind."""
+    Planted faults: counter reset to 0 on event_id % 53 (a guaranteed
+    regression whenever the row has a placeable predecessor), order
+    NULLed on event_id % 41 (unplaceable row — excluded from the sweep,
+    so it can NOT create regressions by itself), value NULLed on
+    event_id % 37 (unprovable row). Census by kind."""
     e = _read(spark, sf_dir, "events")
     cnt = e.select(
         "user_id",
         F.when(F.col("event_id") % 41 != 0, F.col("event_id")).alias("seq"),
         F.when(
             F.col("event_id") % 37 != 0,
-            F.unix_timestamp(F.col("ts").cast("timestamp")),
+            F.when(F.col("event_id") % 53 == 0, F.lit(0)).otherwise(
+                F.unix_timestamp(F.col("ts").cast("timestamp"))
+            ),
         ).alias("counter"),
     )
     out = dv.monotonic_violations(
@@ -1918,27 +1923,36 @@ def oracle_sql() -> dict[str, str]:
                          ELSE ts + to_seconds(CAST(floor(value) AS INT))
                        END AS end_ts
                 FROM events
+            ), clean AS (
+                -- junk rows never enter the sweep (they'd poison the
+                -- running max end for valid rows of their key)
+                SELECT * FROM iv
+                WHERE key IS NOT NULL AND start_ts IS NOT NULL
+                  AND end_ts IS NOT NULL AND end_ts >= start_ts
             ), win AS (
-                SELECT key, start_ts, end_ts,
+                SELECT key, start_ts,
                        max(end_ts) OVER (
                            PARTITION BY key ORDER BY start_ts, end_ts
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND 1 PRECEDING) AS prev_max_end
-                FROM iv
+                FROM clean
             ), flagged AS (
+                SELECT key, 'overlap' AS overlap_kind
+                FROM win WHERE start_ts < prev_max_end
+                UNION ALL
                 SELECT key,
                        CASE
                          WHEN key IS NULL OR start_ts IS NULL
                               OR end_ts IS NULL THEN 'null_bounds'
                          WHEN end_ts < start_ts THEN 'inverted'
-                         WHEN start_ts < prev_max_end THEN 'overlap'
                        END AS overlap_kind
-                FROM win
+                FROM iv
+                WHERE key IS NULL OR start_ts IS NULL
+                   OR end_ts IS NULL OR end_ts < start_ts
             )
             SELECT overlap_kind, count(*) AS n,
                    count(DISTINCT key) AS n_keys
-            FROM flagged WHERE overlap_kind IS NOT NULL
-            GROUP BY overlap_kind
+            FROM flagged GROUP BY overlap_kind
         """,
         "pattern_violations_documents": """
             WITH dirty AS (
@@ -2217,22 +2231,28 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id AS key,
                        CASE WHEN event_id % 41 <> 0 THEN event_id END AS seq,
                        CASE WHEN event_id % 37 <> 0
-                            THEN CAST(epoch(ts) AS BIGINT) END AS counter
+                            THEN CASE WHEN event_id % 53 = 0 THEN 0
+                                 ELSE CAST(epoch(ts) AS BIGINT) END
+                       END AS counter
                 FROM events
             ), win AS (
+                -- NULL-order rows never enter the sweep (their value
+                -- would poison the running max for placeable rows)
                 SELECT key, seq, counter,
                        max(counter) OVER (
-                           PARTITION BY key ORDER BY seq ASC NULLS FIRST
+                           PARTITION BY key ORDER BY seq ASC
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND 1 PRECEDING) AS prev_max
-                FROM cnt
+                FROM cnt WHERE seq IS NOT NULL
             ), flagged AS (
                 SELECT key,
-                       CASE WHEN seq IS NULL THEN 'null_order'
-                            WHEN counter IS NULL THEN 'null_value'
+                       CASE WHEN counter IS NULL THEN 'null_value'
                             WHEN counter < prev_max THEN 'regression'
                        END AS kind
                 FROM win
+                UNION ALL
+                SELECT key, 'null_order' AS kind
+                FROM cnt WHERE seq IS NULL
             )
             SELECT kind, count(*) AS n, count(DISTINCT key) AS n_keys
             FROM flagged WHERE kind IS NOT NULL GROUP BY kind
@@ -2429,6 +2449,7 @@ def oracle_sql() -> dict[str, str]:
                        AS n_missing_bos,
                    CAST(count(*) FILTER (WHERE f_missing_eos) AS BIGINT)
                        AS n_missing_eos,
+                   CAST(0 AS BIGINT) AS n_null_element,
                    CAST(0 AS BIGINT) AS n_null_tokens,
                    CAST(count(*) FILTER (WHERE f_oov) AS BIGINT) AS n_oov,
                    CAST(count(*) FILTER (WHERE f_too_long) AS BIGINT)

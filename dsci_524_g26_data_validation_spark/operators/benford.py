@@ -69,7 +69,10 @@ def benford_report(df: DataFrame, col: str, *, scale: int = 100) -> DataFrame:
     )
     w = Window.partitionBy()  # ≤9 rows: the unpartitioned window is free
     total = F.sum("n").over(w)
-    obs = F.col("n") / total
+    # guard total = 0 (all-NULL / all-zero column): observed_frac and
+    # chi2_term degrade to NULL instead of raising ANSI DIVIDE_BY_ZERO —
+    # a validation operator must report on empty input, never abort
+    obs = F.when(total > 0, F.col("n") / total)
     chi2 = total * (obs - F.col("expected_frac")) * (obs - F.col("expected_frac")) / F.col("expected_frac")
     return (
         j.select(
@@ -89,6 +92,9 @@ def benford_stat(df: DataFrame, col: str, *, scale: int = 100) -> dict:
     conformance bands: <0.006 close, <0.012 acceptable, <0.015
     marginal). One tiny collect of 9 rows."""
     rows = benford_report(df, col, scale=scale).collect()
+    n = sum(r["n"] for r in rows)
+    if n == 0:  # empty/all-NULL column: report a neutral verdict
+        return {"chi_square": 0.0, "mad": 0.0, "n": 0}
     chi_square = sum(r["chi2_term"] for r in rows)
     mad = sum(abs(r["observed_frac"] - r["expected_frac"]) for r in rows) / 9.0
-    return {"chi_square": chi_square, "mad": mad, "n": sum(r["n"] for r in rows)}
+    return {"chi_square": chi_square, "mad": mad, "n": n}

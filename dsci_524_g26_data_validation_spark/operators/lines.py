@@ -185,7 +185,7 @@ def strip_frequent_lines(
     sep: str = "\n",
     min_docs: Optional[int] = None,
     min_doc_frac: Optional[float] = 0.01,
-    min_line_chars: int = 0,
+    min_line_chars: int = 1,
     out_col: Optional[str] = None,
     dropped_col: Optional[str] = "n_lines_dropped",
 ) -> DataFrame:
@@ -199,7 +199,10 @@ def strip_frequent_lines(
     ``min_line_chars``: lines shorter than this never strip, even when
     frequent — single-token lines ("Yes", "1.", "---") are frequent in
     ANY corpus and are content, not boilerplate; CCNet applies the same
-    guard. It is enforced once, when building the drop lists — the
+    guard. The default of 1 exists to protect the EMPTY line: '' is a
+    paragraph separator present in ~every multi-paragraph document, so
+    a 0 default would silently collapse paragraph structure corpus-wide
+    the moment blank lines cross the frequency threshold. It is enforced once, when building the drop lists — the
     rebuild lambda only consults positions, so it cannot disagree.
 
     Plan shape: digests-only census → broadcast frequent set → drop
@@ -273,7 +276,7 @@ def line_strip_report(
     sep: str = "\n",
     min_docs: Optional[int] = None,
     min_doc_frac: Optional[float] = 0.01,
-    min_line_chars: int = 0,
+    min_line_chars: int = 1,
 ) -> DataFrame:
     """Aggregate before/after census of a strip run — the validation
     artifact: (group?, n_docs, n_docs_changed, n_lines_dropped,

@@ -67,9 +67,12 @@ def reconcile_aggregate(
 
     Returns one row per key present on EITHER side (full outer):
       key, parent_units, child_units, n_child, diff_units, status
-    where status ∈ {'ok','mismatch','missing_child','orphan_child'};
-    NULL child measure rows contribute 0 units but still count in
-    n_child. ``abs_tol_units`` absorbs acceptable rounding slack.
+    where status ∈ {'ok','mismatch','missing_child','orphan_child',
+    'null_parent_measure'} — the last for a parent row that EXISTS but
+    whose measure evaluates to NULL (distinct from orphan_child, which
+    means no parent row at all). NULL child measure rows contribute 0
+    units but still count in n_child. ``abs_tol_units`` absorbs
+    acceptable rounding slack.
     """
     c = (
         child.groupBy(F.col(f"`{child_key}`").alias("key"))
@@ -83,12 +86,18 @@ def reconcile_aggregate(
     p = parent.select(
         F.col(f"`{parent_key}`").alias("key"),
         fixed_point_units(parent_measure, scale).alias("parent_units"),
+        F.lit(1).alias("_parent_present"),
         *[F.col(f"`{x}`") for x in parent_extra_cols],
     )
     j = p.join(c, on="key", how="full_outer")
     diff = F.col("parent_units") - F.col("child_units")
+    # presence is tested via the marker, NOT parent_units IS NULL: a
+    # parent row whose measure evaluates to NULL is a real upstream
+    # defect and gets its own status — misfiling it as 'orphan_child'
+    # (key present on the child side only) would misdirect triage
     status = (
-        F.when(F.col("parent_units").isNull(), F.lit("orphan_child"))
+        F.when(F.col("_parent_present").isNull(), F.lit("orphan_child"))
+        .when(F.col("parent_units").isNull(), F.lit("null_parent_measure"))
         .when(F.col("child_units").isNull(), F.lit("missing_child"))
         .when(F.abs(diff) <= F.lit(abs_tol_units), F.lit("ok"))
         .otherwise(F.lit("mismatch"))

@@ -42,7 +42,16 @@ def key_skew_report(
     if top_k <= 0:
         raise ValueError(f"top_k must be positive, got {top_k}")
     keys = [key] if isinstance(key, str) else list(key)
-    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    # EAGER by design: the (key, cnt) frame feeds two consumers (top-k
+    # and the 1-row global stats), and Spark plans an un-checkpointed
+    # frame twice — two corpus scans (measured; ReuseExchange does not
+    # collapse them even under AQE). The alternatives are worse at
+    # scale: an unpartitioned window funnels the |keys|-row frame
+    # through ONE task. localCheckpoint materializes the count rows
+    # once, distributed, and both consumers read the blocks.
+    counts = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint()
     totals = counts.agg(
         F.sum("cnt").alias("_total"), F.count(F.lit(1)).alias("_nkeys")
     )

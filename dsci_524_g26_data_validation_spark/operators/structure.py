@@ -112,6 +112,12 @@ def structure_flags(arr: Column, spec: SequenceSpec) -> dict:
     is_null = arr.isNull()
     flags: dict = {"null_tokens": is_null}
     nn = ~is_null  # guard: every non-null tag is False on NULL arrays
+    # NULL ELEMENTS are their own violation class: every other predicate
+    # evaluates to NULL on a NULL element (three-valued logic), so the
+    # when() tag slot silently drops and a [1, NULL, 2] row would
+    # otherwise pass as clean — exactly the rows downstream operators
+    # (spans.py hashing, packing) direct users here to screen out
+    flags["null_element"] = nn & F.exists(arr, lambda x: x.isNull())
     flags["empty"] = nn & (clen == 0)
     if spec.bos_id is not None:
         flags["missing_bos"] = nn & (clen > 0) & (

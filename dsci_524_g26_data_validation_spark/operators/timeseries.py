@@ -264,38 +264,51 @@ def interval_overlaps(
     standard); inverted intervals (``end < start``) flag as
     ``'inverted'``; genuine overlaps as ``'overlap'``, carrying the
     previous running max end (``prev_max_end``) as the witness.
+    Junk rows (null bounds / inverted) are excluded from the sweep
+    input — one NULL-start row with a far-future end must not poison
+    the running max and flag every later valid interval of its key —
+    so their ``prev_max_end`` is NULL.
 
     Returns: key, start, end, overlap_kind, prev_max_end — violating
     rows only.
     """
-    k, s, e = F.col(key_col), F.col(start_col), F.col(end_col)
+    src = df.select(
+        F.col(key_col).alias("key"),
+        F.col(start_col).alias("start"),
+        F.col(end_col).alias("end"),
+    )
+    end_type = df.schema[end_col].dataType
+    # junk rows (unplaceable or inverted) are CLASSIFIED but EXCLUDED
+    # from the sweep input: a NULL-start row with a huge end would
+    # otherwise sort first (nulls first) and poison the running max,
+    # falsely flagging every later valid interval of that key
+    bad_kind = F.when(
+        F.col("key").isNull() | F.col("start").isNull() | F.col("end").isNull(),
+        F.lit("null_bounds"),
+    ).when(F.col("end") < F.col("start"), F.lit("inverted"))
+    bad = (
+        src.withColumn("overlap_kind", bad_kind)
+        .filter(F.col("overlap_kind").isNotNull())
+        .withColumn("prev_max_end", F.lit(None).cast(end_type))
+    )
+    clean = src.filter(
+        F.col("key").isNotNull()
+        & F.col("start").isNotNull()
+        & F.col("end").isNotNull()
+        & (F.col("end") >= F.col("start"))
+    )
     w = (
-        Window.partitionBy(key_col)
-        .orderBy(F.col(start_col).asc(), F.col(end_col).asc())
+        Window.partitionBy("key")
+        .orderBy(F.col("start").asc(), F.col("end").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    prev_max = F.max(end_col).over(w)
-    base = df.select(
-        k.alias("key"),
-        s.alias("start"),
-        e.alias("end"),
-        prev_max.alias("prev_max_end"),
+    overlaps = (
+        clean.withColumn("prev_max_end", F.max("end").over(w))
+        .filter(F.col("start") < F.col("prev_max_end"))
+        .withColumn("overlap_kind", F.lit("overlap"))
     )
-    kind = (
-        F.when(
-            F.col("key").isNull()
-            | F.col("start").isNull()
-            | F.col("end").isNull(),
-            F.lit("null_bounds"),
-        )
-        .when(F.col("end") < F.col("start"), F.lit("inverted"))
-        .when(F.col("start") < F.col("prev_max_end"), F.lit("overlap"))
-    )
-    return (
-        base.withColumn("overlap_kind", kind)
-        .filter(F.col("overlap_kind").isNotNull())
-        .select("key", "start", "end", "overlap_kind", "prev_max_end")
-    )
+    cols = ["key", "start", "end", "overlap_kind", "prev_max_end"]
+    return overlaps.select(*cols).unionByName(bad.select(*cols))
 
 
 def monotonic_violations(
@@ -318,7 +331,9 @@ def monotonic_violations(
 
     NULL discipline: a NULL value can't be proven monotonic →
     ``kind='null_value'``; a NULL order column makes the row unplaceable
-    → ``kind='null_order'``; genuine drops → ``kind='regression'`` with
+    → ``kind='null_order'`` (excluded from the sweep input — its value
+    must not enter the running max and flag valid rows; its
+    ``prev_max`` is NULL); genuine drops → ``kind='regression'`` with
     the high-water mark (``prev_max``) as witness. Rows with a NULL key
     are reported as ``null_order`` only if their order is NULL too —
     otherwise they form their own single NULL-key group, matching the
@@ -326,26 +341,40 @@ def monotonic_violations(
 
     Returns violating rows only: (key, order, value, kind, prev_max).
     """
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy(F.col(order_col).asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    base = df.select(
+    src = df.select(
         F.col(key_col).alias("key"),
         F.col(order_col).alias("order"),
         F.col(value_col).alias("value"),
-        F.max(value_col).over(w).alias("prev_max"),
     )
-    kind = (
-        F.when(F.col("order").isNull(), F.lit("null_order"))
-        .when(F.col("value").isNull(), F.lit("null_value"))
-        .when(F.col("value") < F.col("prev_max"), F.lit("regression"))
+    val_type = df.schema[value_col].dataType
+    # unplaceable rows (NULL order) are CLASSIFIED but EXCLUDED from the
+    # sweep: sorted nulls-first, their value would otherwise enter the
+    # running max and falsely flag perfectly monotonic rows as
+    # regressions. (NULL values inside the sweep are harmless — max()
+    # skips them — and are flagged as null_value below.)
+    null_order = src.filter(F.col("order").isNull()).select(
+        "key",
+        "order",
+        "value",
+        F.lit("null_order").alias("kind"),
+        F.lit(None).cast(val_type).alias("prev_max"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy(F.col("order").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = src.filter(F.col("order").isNotNull()).withColumn(
+        "prev_max", F.max("value").over(w)
+    )
+    kind = F.when(F.col("value").isNull(), F.lit("null_value")).when(
+        F.col("value") < F.col("prev_max"), F.lit("regression")
     )
     return (
         base.withColumn("kind", kind)
         .filter(F.col("kind").isNotNull())
         .select("key", "order", "value", "kind", "prev_max")
+        .unionByName(null_order)
     )
 
 
@@ -519,7 +548,7 @@ def change_point_report(
         (F.col("_sd") > 0) & (F.col("_n") > 1),
         F.col("_absd") / (F.col("_sd") * F.sqrt(F.col("_n"))),
     ).otherwise(F.lit(0.0))
-    return best.select(
+    main = best.select(
         F.when(stat > 0, F.col("_o")).alias("split_after"),
         F.col("_t").alias("n_before"),
         (F.col("_n") - F.col("_t")).alias("n_after"),
@@ -528,3 +557,25 @@ def change_point_report(
         F.round(mean_after - mean_before, 6).alias("shift"),
         F.round(stat, 6).alias("cusum_stat"),
     )
+    # the documented one-row contract for degenerate series: with < 2
+    # usable rows no candidate split exists (the _t < _n filter empties
+    # `best`), so a fallback row carries the promised NULL split and
+    # cusum_stat = 0. Built from a 1-row aggregate, so it also covers
+    # the zero-usable-rows case; filtered away whenever n >= 2.
+    order_type = df.schema[order_col].dataType
+    fallback = (
+        base.agg(
+            F.count(F.lit(1)).alias("_n"), F.avg("_v").alias("_avg")
+        )
+        .filter(F.col("_n") <= 1)
+        .select(
+            F.lit(None).cast(order_type).alias("split_after"),
+            F.col("_n").alias("n_before"),
+            F.lit(0).cast("bigint").alias("n_after"),
+            F.round(F.col("_avg"), 6).alias("mean_before"),
+            F.lit(None).cast("double").alias("mean_after"),
+            F.lit(None).cast("double").alias("shift"),
+            F.lit(0.0).alias("cusum_stat"),
+        )
+    )
+    return main.unionByName(fallback)

@@ -62,3 +62,18 @@ def test_single_scan(spark):
 
 def test_public_api(spark):
     assert dv.benford_report is benford_report and dv.benford_stat is benford_stat
+
+
+def test_empty_and_all_null_columns_do_not_crash(spark):
+    """r3 review fix: ANSI divide-by-zero on a zero-total digit frame —
+    a validation operator must report on empty input, never abort."""
+    from dsci_524_g26_data_validation_spark.operators.benford import (
+        benford_report,
+        benford_stat,
+    )
+
+    nulls = spark.createDataFrame([(None,), (None,), (0.0,)], "x double")
+    rows = benford_report(nulls, "x").collect()
+    assert len(rows) == 9
+    assert all(r.n == 0 and r.observed_frac is None for r in rows)
+    assert benford_stat(nulls, "x") == {"chi_square": 0.0, "mad": 0.0, "n": 0}

@@ -100,3 +100,20 @@ def test_report_reconciles(corpus):
 def test_requires_threshold(corpus):
     with pytest.raises(ValueError):
         frequent_lines(corpus, min_docs=None, min_doc_frac=None)
+
+
+def test_blank_lines_never_strip_by_default(spark):
+    """r3 review fix: '' (the paragraph separator) is frequent in any
+    multi-paragraph corpus; the default min_line_chars=1 must protect
+    it or paragraph structure collapses corpus-wide."""
+    from dsci_524_g26_data_validation_spark.operators.lines import (
+        strip_frequent_lines,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"para one {i}\n\npara two {i}") for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    out = strip_frequent_lines(df, min_docs=2).collect()
+    assert all(r.text.count("\n\n") == 1 for r in out)
+    assert all(r.n_lines_dropped == 0 for r in out)

@@ -104,3 +104,33 @@ def test_child_exchange_carries_units_only(spark, pair):
     assert "amount" not in plan.split("Join")[0] or "sum" in plan
     exec_plan = _recon(parent, child)._jdf.queryExecution().executedPlan().toString()
     assert "partial_sum" in exec_plan or "partial" in exec_plan.lower()
+
+
+def test_null_parent_measure_is_not_orphan(spark):
+    """r3 review fix: a parent row that EXISTS but has a NULL measure is
+    a distinct failure class, not 'orphan_child' (= no parent row)."""
+    import dsci_524_g26_data_validation_spark as dv
+
+    parent = spark.createDataFrame(
+        [(42, None), (43, 10.0)], "k bigint, total double"
+    )
+    child = spark.createDataFrame(
+        [(42, 5.0), (42, 5.0), (43, 10.0), (44, 1.0)],
+        "k bigint, amt double",
+    )
+    rows = {
+        r.key: r.status
+        for r in dv.reconcile_aggregate(
+            child,
+            parent,
+            child_key="k",
+            parent_key="k",
+            child_measure="amt",
+            parent_measure="total",
+        ).collect()
+    }
+    assert rows == {
+        42: "null_parent_measure",
+        43: "ok",
+        44: "orphan_child",
+    }

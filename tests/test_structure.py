@@ -110,3 +110,20 @@ def test_structure_screen_is_single_stage(df):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_null_elements_are_their_own_violation_class(spark):
+    """r3 review fix: [1, NULL, 5, 2] previously passed as fully clean —
+    every other predicate is NULL on the NULL element and the tag slot
+    silently dropped."""
+    import dsci_524_g26_data_validation_spark as dv
+
+    spec = dv.SequenceSpec(bos_id=1, eos_id=2, pad_id=0, vocab_size=100)
+    df = spark.createDataFrame(
+        [(0, [1, None, 5, 2]), (1, [1, 5, 2])],
+        "doc_id bigint, tokens array<int>",
+    )
+    v = {r.doc_id: r.tags for r in dv.structure_violations(df, spec).collect()}
+    assert v == {0: ["null_element"]}
+    c = dv.structure_census(df, spec).first()
+    assert c.n_null_element == 1 and c.n_bad == 1

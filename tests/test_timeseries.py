@@ -320,3 +320,65 @@ def test_change_point_excludes_nulls(spark):
     r = change_point_report(df, order_col="t", value_col="v").first()
     assert r["n_before"] + r["n_after"] == 4  # the two NULL rows excluded
     assert r["split_after"] == 3
+
+
+def test_monotonic_null_order_does_not_poison_running_max(spark):
+    """r3 review fix: a NULL-order row's value must NOT enter the sweep
+    — it previously sorted nulls-first and flagged every later valid
+    row as a regression."""
+    from dsci_524_g26_data_validation_spark.operators.timeseries import (
+        monotonic_violations,
+    )
+
+    df = spark.createDataFrame(
+        [("k", None, 1000), ("k", 1, 5), ("k", 2, 6)],
+        "key string, o int, v int",
+    )
+    out = monotonic_violations(
+        df, key_col="key", order_col="o", value_col="v"
+    ).collect()
+    kinds = sorted(r.kind for r in out)
+    assert kinds == ["null_order"], out
+    null_row = out[0]
+    assert null_row.prev_max is None
+
+
+def test_interval_null_bounds_do_not_poison_sweep(spark):
+    """r3 review fix: a NULL-start row with a far-future end must not
+    flag later valid intervals of its key as overlaps."""
+    from dsci_524_g26_data_validation_spark.operators.timeseries import (
+        interval_overlaps,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("k", None, 2_000_000_000),
+            ("k", 100, 200),
+            ("k", 300, 400),
+            ("k", 350, 450),  # genuine overlap with (300, 400)
+        ],
+        "key string, s long, e long",
+    )
+    out = interval_overlaps(df, key_col="key", start_col="s", end_col="e")
+    rows = {(r.start, r.overlap_kind) for r in out.collect()}
+    assert rows == {(None, "null_bounds"), (350, "overlap")}
+
+
+def test_change_point_degenerate_series_contract(spark):
+    """r3 review fix: < 2 usable rows must return the documented single
+    row (NULL split, cusum_stat 0), never an empty frame."""
+    from dsci_524_g26_data_validation_spark.operators.timeseries import (
+        change_point_report,
+    )
+
+    one = spark.createDataFrame([(1, 10.0)], "t int, v double")
+    r = change_point_report(one, order_col="t", value_col="v").collect()
+    assert len(r) == 1
+    assert r[0].split_after is None and r[0].cusum_stat == 0.0
+    assert r[0].n_before == 1 and r[0].mean_before == 10.0
+
+    empty = spark.createDataFrame([], "t int, v double")
+    r = change_point_report(empty, order_col="t", value_col="v").collect()
+    assert len(r) == 1
+    assert r[0].split_after is None and r[0].cusum_stat == 0.0
+    assert r[0].n_before == 0 and r[0].mean_before is None
