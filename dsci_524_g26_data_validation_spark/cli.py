@@ -17,6 +17,13 @@ Commands (input = parquet path or catalog/Iceberg table name):
               [--text-col C] [--id-col C] [--threshold F]
     decontaminate --input T --benchmark T2 --output PATH
               [--ngram N] [--text-col C] [--id-col C]
+    quarantine --input T --contract contract.json --output PATH
+              (single-job routing: PATH/is_valid=true|false + counts)
+    strip-lines --input T --output PATH [--min-doc-frac F | --min-docs N]
+              [--min-line-chars N] [--text-col C] [--id-col C]
+    skew      --input T --key COL[,COL] [--top-k N] [--salt-target F]
+    span-census --input T [--tokens-col C] [--group-col C] [--k N]
+              [--sample-mod P]   (token-level duplicate-span census)
 
 Every command prints ONE JSON report to stdout (machine-parseable; logs
 go to stderr) and exits 0/1 per the verdict when --fail is given.
@@ -127,6 +134,35 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--bench-text-col", default="text")
     p.add_argument("--bench-id-col", default="bench_id")
 
+    p = sub.add_parser("quarantine")
+    p.add_argument("--input", required=True)
+    p.add_argument("--contract", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--fail", action="store_true")
+
+    p = sub.add_parser("strip-lines")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--min-doc-frac", type=float)
+    p.add_argument("--min-docs", type=int)
+    p.add_argument("--min-line-chars", type=int, default=1)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+
+    p = sub.add_parser("skew")
+    p.add_argument("--input", required=True)
+    p.add_argument("--key", required=True, help="column, or comma-list")
+    p.add_argument("--top-k", type=int, default=10)
+    p.add_argument("--salt-target", type=float, default=2.0)
+
+    p = sub.add_parser("span-census")
+    p.add_argument("--input", required=True)
+    p.add_argument("--tokens-col", default="tokens")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--group-col", default="source")
+    p.add_argument("--k", type=int, default=25)
+    p.add_argument("--sample-mod", type=int, default=1)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "compare":  # driver-only: no SparkSession needed
@@ -231,6 +267,75 @@ def main(argv: Optional[list] = None) -> int:
             "rows_in": n_in, "rows_out": n_out,
             "rows_contaminated": n_in - n_out, "ngram": args.ngram,
             "written": args.output,
+        }, sort_keys=True))
+        return 0
+
+    if args.cmd == "quarantine":
+        from .operators.quarantine import write_quarantine
+
+        with open(args.contract) as f:
+            contract = contract_from_json(f.read())
+        report = write_quarantine(
+            df, contract, args.output, mode="overwrite"
+        )
+        print(json.dumps({**report, "written": args.output}, sort_keys=True))
+        return 0 if (report["n_quarantined"] == 0 or not args.fail) else 1
+
+    if args.cmd == "strip-lines":
+        from .operators.lines import line_strip_report, strip_frequent_lines
+
+        kw = dict(
+            text_col=args.text_col,
+            id_col=args.id_col,
+            min_docs=args.min_docs,
+            min_doc_frac=(
+                args.min_doc_frac
+                if (args.min_doc_frac is not None or args.min_docs is not None)
+                else 0.01
+            ),
+        )
+        stripped = strip_frequent_lines(
+            df, min_line_chars=args.min_line_chars, **kw
+        )
+        stripped.write.mode("overwrite").parquet(args.output)
+        rep = line_strip_report(
+            df, min_line_chars=args.min_line_chars, **kw
+        ).first()
+        print(json.dumps({**rep.asDict(), "written": args.output}, sort_keys=True))
+        return 0
+
+    if args.cmd == "skew":
+        from .operators.skew import key_skew_report, suggested_salt
+
+        keys = [k.strip() for k in args.key.split(",")]
+        rows = [
+            r.asDict() for r in key_skew_report(df, keys, top_k=args.top_k).collect()
+        ]
+        top_skew = rows[0]["skew_factor"] if rows else 0.0
+        print(json.dumps({
+            "top_keys": rows,
+            "max_skew_factor": top_skew,
+            "suggested_salt": suggested_salt(top_skew, target=args.salt_target)
+            if rows else 1,
+        }, sort_keys=True, default=str))
+        return 0
+
+    if args.cmd == "span-census":
+        from .operators.spans import span_duplication_census
+
+        rows = [
+            r.asDict()
+            for r in span_duplication_census(
+                df,
+                group_col=args.group_col,
+                id_col=args.id_col,
+                tokens_col=args.tokens_col,
+                k=args.k,
+                sample_mod=args.sample_mod,
+            ).orderBy(args.group_col).collect()
+        ]
+        print(json.dumps({
+            "k": args.k, "sample_mod": args.sample_mod, "groups": rows,
         }, sort_keys=True))
         return 0
 

@@ -62,7 +62,9 @@ def _med_mad(
             _median("_x", approx, accuracy).alias("_med"),
             F.count("_x").alias("_n"),
         )
-    )
+    ).localCheckpoint()  # ≤|groups| rows; referenced by the dev pass AND
+    # the stats join — un-checkpointed, each broadcast branch would
+    # replay the median's full corpus scan (4+ scans instead of 3)
     dev = proj.join(F.broadcast(med), on=gcols or None, how="inner") if gcols \
         else proj.crossJoin(F.broadcast(med))
     dev = dev.withColumn("_dev", F.abs(F.col("_x") - F.col("_med")))
@@ -71,8 +73,12 @@ def _med_mad(
         if gcols
         else dev.agg(_median("_dev", approx, accuracy).alias("_mad"))
     )
-    stats = med.join(F.broadcast(mad), on=gcols or None, how="inner") if gcols \
+    stats = (
+        med.join(F.broadcast(mad), on=gcols or None, how="inner")
+        if gcols
         else med.crossJoin(F.broadcast(mad))
+    ).localCheckpoint()  # ≤|groups| rows; consumed by both the census and
+    # the row filter — pins the MAD pass to exactly one execution
     return proj, gcols, stats
 
 

@@ -203,3 +203,58 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     # score max 99 > 50 -> range issue; 1/3 missing <= 0.5 -> no
     # missingness issue; the Arrow UDF found exactly one equal pair
     assert rep == {"ok": False, "kinds": ["range"], "n_eq": 1}
+
+
+def test_cli_quarantine_routes_and_gates(spark, sf_dir, tmp_path, capsys):
+    cpath = str(tmp_path / "c.json")
+    # contract inferred from sf0.001 → sf0.01 naturally violates ranges
+    assert main(["infer", "--input", f"{sf_dir}/orders.parquet",
+                 "--output", cpath]) == 0
+    capsys.readouterr()
+    out = str(tmp_path / "routed")
+    rc = main(["quarantine", "--input", "/root/testdata/sf0.01/orders.parquet",
+               "--contract", cpath, "--output", out, "--fail"])
+    rep = _last_json(capsys)
+    assert rc == 1 and rep["n_quarantined"] > 0
+    assert rep["n_rows"] == rep["n_valid"] + rep["n_quarantined"]
+    valid = spark.read.parquet(rep["valid_path"])
+    quar = spark.read.parquet(rep["quarantine_path"])
+    assert valid.count() == rep["n_valid"]
+    assert quar.count() == rep["n_quarantined"]
+    assert "violations" in quar.columns
+
+
+def test_cli_strip_lines_and_skew_and_span_census(spark, tmp_path, capsys):
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"BANNER LINE\nbody text {i}", "s%d" % (i % 2))
+         for i in range(40)],
+        "doc_id bigint, text string, source string",
+    ).write.parquet(docs)
+
+    out = str(tmp_path / "stripped")
+    assert main(["strip-lines", "--input", docs, "--output", out,
+                 "--min-doc-frac", "0.5"]) == 0
+    rep = _last_json(capsys)
+    assert rep["n_docs_changed"] == 40 and rep["n_lines_dropped"] == 40
+    assert all(
+        r.text == f"body text {r.doc_id}"
+        for r in spark.read.parquet(out).collect()
+    )
+
+    assert main(["skew", "--input", docs, "--key", "source"]) == 0
+    rep = _last_json(capsys)
+    assert len(rep["top_keys"]) == 2 and rep["suggested_salt"] >= 1
+
+    toks = str(tmp_path / "toks")
+    spark.createDataFrame(
+        [(0, "a", list(range(30))), (1, "a", list(range(30))),
+         (2, "b", list(range(100, 130)))],
+        "doc_id bigint, source string, tokens array<int>",
+    ).write.parquet(toks)
+    assert main(["span-census", "--input", toks, "--k", "25"]) == 0
+    rep = _last_json(capsys)
+    by_src = {g["source"]: g for g in rep["groups"]}
+    # docs 0 and 1 are identical → every gram in source a is duplicated
+    assert by_src["a"]["dup_frac"] == 1.0
+    assert by_src["b"]["dup_occurrences"] == 0
