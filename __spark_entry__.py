@@ -239,6 +239,61 @@ def _interval_overlaps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: per-day PSI/JS of event_type vs DECLARED
+    baseline priors, over a file-stream of events with a planted novel
+    value ('click' → 'tap' on event_id % 7 — the enum-rename failure).
+    One watermarked fixed-vector aggregation; availableNow makes the
+    stream deterministic and the day windows SQL-replicable."""
+    import tempfile
+    import uuid
+
+    from dsci_524_g26_data_validation_spark.streaming import (
+        category_drift_stream,
+    )
+
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn(
+            "event_type",
+            F.when(
+                (F.col("event_type") == "click") & (F.col("event_id") % 7 == 0),
+                F.lit("tap"),
+            ).otherwise(F.col("event_type")),
+        )
+    )
+    baseline = Histogram(
+        labels=("click", "view", "purchase", "signup"),
+        fracs=(0.4, 0.4, 0.15, 0.05),
+    )
+    drifted = category_drift_stream(
+        stream,
+        baseline,
+        column="event_type",
+        time_col="ts",
+        window_duration="1 day",
+        watermark_delay="2 days",
+    )
+    name = f"cd_{uuid.uuid4().hex[:8]}"
+    q = (
+        drifted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dv_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    if q.isActive:
+        q.stop()
+        q.awaitTermination(60)
+    return spark.table(name).select(
+        "window_start", "n_rows", "n_observed", "novel_frac", "psi", "js"
+    )
+
+
 def _pattern_violations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Format-contract facet: lang must full-match [a-z]{2}; every
     doc_id % 17 == 0 row gets a corrupted value. The pattern predicate
@@ -1406,6 +1461,30 @@ def _near_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id")
 
 
+def _near_dedup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup QA: the SIZE DISTRIBUTION of near-dup components —
+    (cluster_size, n_clusters). A healthy corpus shows mostly pairs; a
+    heavy tail means template families (and is what the degenerate-
+    bucket caps exist for). Same pair graph as near_dedup_dropped; the
+    oracle recomputes components via the recursive CTE and histograms
+    their sizes."""
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 120).alias("text")
+    )
+    cand = dedup.jaccard_verify(
+        d,
+        dedup.minhash_lsh_candidates(d, num_hashes=16, bands=8),
+        threshold=0.5,
+    )
+    comp = dedup.resolve_components(cand)
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 def _simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs in PORTABLE token-hash mode (md5 top-60-bit
     int): the signature computation, pigeonhole blocking, and Hamming
@@ -1742,6 +1821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": _embedding_norms,
         "embedding_drift_labels": _embedding_drift_labels,
         "stream_violation_counts": _stream_violation_counts,
+        "stream_category_drift": _stream_category_drift,
+        "near_dedup_cluster_census": _near_dedup_cluster_census,
         "infer_profile_documents": _infer_profile_documents,
         "quantiles_orders": _quantiles_orders,
         "group_quantiles_documents": _group_quantiles_documents,
@@ -1953,6 +2034,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT overlap_kind, count(*) AS n,
                    count(DISTINCT key) AS n_keys
             FROM flagged GROUP BY overlap_kind
+        """,
+        # streaming drift monitor == per-day PSI/JS replica: same planted
+        # 'tap' rename, same declared priors, same eps-floored PSI and
+        # unsmoothed base-2 JS, novel values pooled into one bucket
+        "stream_category_drift": """
+            WITH planted AS (
+              SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+                     CASE WHEN event_type = 'click' AND event_id % 7 = 0
+                          THEN 'tap' ELSE event_type END AS et
+              FROM events
+            ), cnt AS (
+              SELECT window_start,
+                     count(*) AS n_rows,
+                     count(et) AS n_obs,
+                     count(*) FILTER (WHERE et = 'click') AS c0,
+                     count(*) FILTER (WHERE et = 'view') AS c1,
+                     count(*) FILTER (WHERE et = 'purchase') AS c2,
+                     count(*) FILTER (WHERE et = 'signup') AS c3,
+                     count(*) FILTER (WHERE et IS NOT NULL AND et NOT IN
+                         ('click','view','purchase','signup')) AS cn
+              FROM planted GROUP BY 1
+            ), lab AS (
+              SELECT c.window_start, c.n_rows, c.n_obs, v.i, v.q,
+                     CASE v.i WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2
+                              WHEN 3 THEN c3 ELSE cn END AS cc
+              FROM cnt c, (VALUES (0, 0.4), (1, 0.4), (2, 0.15),
+                                  (3, 0.05), (4, 0.0)) AS v(i, q)
+            ), term AS (
+              SELECT window_start, n_rows, n_obs, i, q,
+                     CASE WHEN n_obs > 0
+                          THEN cc / CAST(n_obs AS DOUBLE) ELSE 0.0 END AS p
+              FROM lab
+            )
+            SELECT window_start,
+                   CAST(max(n_rows) AS BIGINT) AS n_rows,
+                   CAST(max(n_obs) AS BIGINT) AS n_observed,
+                   round(max(CASE WHEN i = 4 THEN p END), 6) AS novel_frac,
+                   round(CASE WHEN max(n_obs) > 0 THEN
+                       sum((greatest(p, 1e-6) - greatest(q, 1e-6))
+                           * ln(greatest(p, 1e-6) / greatest(q, 1e-6)))
+                       ELSE 0.0 END, 6) AS psi,
+                   round(CASE WHEN max(n_obs) > 0 THEN
+                       sum(CASE WHEN p > 0
+                                THEN 0.5 * p * log2(p / ((p + q) / 2))
+                                ELSE 0.0 END
+                         + CASE WHEN q > 0
+                                THEN 0.5 * q * log2(q / ((p + q) / 2))
+                                ELSE 0.0 END)
+                       ELSE 0.0 END, 6) AS js
+            FROM term GROUP BY window_start
         """,
         "pattern_violations_documents": """
             WITH dirty AS (
@@ -3285,6 +3416,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         # components over ground-truth jaccard pairs via recursive CTE;
         # dropped = every component member except the component min
+        "near_dedup_cluster_census": """
+            WITH RECURSIVE t AS (
+              SELECT doc_id, string_split(substr(text,1,120), ' ') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(toks[i:i+2], ' ')
+                                    for i in generate_series(1, greatest(len(toks)-2, 1))]) AS sh
+              FROM t
+            ), e AS (
+              SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n FROM s
+            ), cpairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+                     any_value(a.n) AS na, any_value(b.n) AS nb
+              FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), jpairs AS (
+              SELECT id_a, id_b FROM cpairs
+              WHERE inter*1.0/(na+nb-inter) >= 0.5
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM jpairs
+              UNION
+              SELECT id_b, id_a FROM jpairs
+            ), reach(id, r) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e2.src, reach.r FROM edges e2 JOIN reach ON e2.dst = reach.id
+            ), comps AS (
+              SELECT id, min(r) AS comp FROM reach GROUP BY id
+            ), sizes AS (
+              SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM comps GROUP BY comp
+            )
+            SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+            FROM sizes GROUP BY cluster_size
+        """,
         "near_dedup_dropped": """
             WITH RECURSIVE t AS (
               SELECT doc_id, string_split(substr(text,1,120), ' ') AS toks

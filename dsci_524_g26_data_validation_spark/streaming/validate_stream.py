@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from typing import Callable, List, Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.rule_compiler import violation_predicates
@@ -32,6 +32,7 @@ from ..types import Contract, ValidationResult
 from ..operators.validate import validate_contract
 
 __all__ = [
+    "category_drift_stream",
     "violation_counts_stream",
     "violation_running_totals",
     "validate_each_batch",
@@ -249,3 +250,91 @@ def validate_each_batch(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start(), verdicts
+
+
+def category_drift_stream(
+    stream_df: DataFrame,
+    baseline,
+    *,
+    column: str,
+    time_col: str,
+    window_duration: str = "1 minute",
+    watermark_delay: str = "5 minutes",
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Streaming distribution-drift monitor: per-window PSI and JS of a
+    categorical column against a baseline :class:`types.Histogram` —
+    the continuous-ingest counterpart of the batch E3/E4 checks.
+
+    Design: ONE watermarked stateful aggregation whose state per window
+    is a FIXED count vector — one ``count_if`` per declared baseline
+    label plus a pooled ``__novel__`` bucket (values outside the
+    baseline domain) — so state is O(|labels|) per open window
+    regardless of stream volume, and the divergences are a pure
+    projection over the finished aggregate row (no second stateful
+    stage, which Structured Streaming would reject in append mode
+    anyway).
+
+    Formula parity with the batch scorers (``operators/drift.py``):
+    PSI = Σ (p−q)·ln(p/q) with both sides eps-floored, over non-NULL
+    mass; JS = base-2 Jensen-Shannon with no smoothing (0-mass terms
+    contribute 0). One DOCUMENTED difference: all novel values pool
+    into a single bucket, while the batch scorer keys each novel label
+    separately — a streaming aggregate cannot enumerate labels it has
+    not declared. Empty windows (no non-NULL rows) report 0.0, matching
+    the batch ``total == 0`` convention.
+
+    Output per window: (window_start, window_end, n_rows, n_observed,
+    novel_frac, psi, js).
+    """
+    if baseline.kind != "categorical":
+        raise ValueError(
+            f"category_drift_stream needs a categorical baseline, "
+            f"got kind={baseline.kind!r}"
+        )
+    c = F.col(column)
+    labels = list(baseline.labels)
+    fracs = [float(x) for x in baseline.fracs]
+    aggs = [
+        F.count_if(c == F.lit(l)).alias(f"_c{i}") for i, l in enumerate(labels)
+    ]
+    aggs += [
+        F.count_if(c.isNotNull() & ~c.isin(labels)).alias("_cnov"),
+        F.count_if(c.isNotNull()).alias("_n"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ]
+    agg = (
+        stream_df.withWatermark(time_col, watermark_delay)
+        .groupBy(F.window(time_col, window_duration).alias("_w"))
+        .agg(*aggs)
+    )
+    n = F.col("_n").cast("double")
+
+    def p_of(cnt: Column) -> Column:
+        return cnt.cast("double") / n
+
+    pairs = [(p_of(F.col(f"_c{i}")), F.lit(q)) for i, q in enumerate(fracs)]
+    pairs.append((p_of(F.col("_cnov")), F.lit(0.0)))
+    e = F.lit(float(eps))
+    psi_terms = []
+    js_terms = []
+    for p, q in pairs:
+        pe, qe = F.greatest(p, e), F.greatest(q, e)
+        psi_terms.append((pe - qe) * F.log(pe / qe))
+        m = (p + q) / F.lit(2.0)
+        js_terms.append(
+            F.when(p > 0, F.lit(0.5) * p * F.log2(p / m)).otherwise(F.lit(0.0))
+            + F.when(q > 0, F.lit(0.5) * q * F.log2(q / m)).otherwise(F.lit(0.0))
+        )
+    zero_safe = lambda expr: F.when(n > 0, expr).otherwise(F.lit(0.0))  # noqa: E731
+    total_psi = zero_safe(sum(psi_terms[1:], psi_terms[0]))
+    total_js = zero_safe(sum(js_terms[1:], js_terms[0]))
+    return agg.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        F.col("n_rows"),
+        F.col("_n").alias("n_observed"),
+        F.round(zero_safe(p_of(F.col("_cnov"))), 6).alias("novel_frac"),
+        F.round(total_psi, 6).alias("psi"),
+        F.round(total_js, 6).alias("js"),
+    )

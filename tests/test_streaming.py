@@ -282,3 +282,73 @@ def test_deduplicate_stream_by_content(spark, tmp_path):
     rows = spark.table(name).collect()
     assert len(rows) == 10
     assert len({r["content_digest"] for r in rows}) == 10
+
+
+def test_category_drift_stream_matches_batch_formula(spark, event_files):
+    """Per-window PSI/JS vs declared priors, cross-checked against the
+    batch scorers on the same windows (novel values pooled)."""
+    import math
+
+    from dsci_524_g26_data_validation_spark.streaming import (
+        category_drift_stream,
+    )
+
+    baseline = dv.Histogram(
+        labels=("click", "view"), fracs=(0.5, 0.5), kind="categorical"
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(event_files)
+    drift = category_drift_stream(
+        stream, baseline, column="event_type", time_col="ts",
+        window_duration="1 minute",
+    )
+    q = (
+        drift.writeStream.format("memory")
+        .queryName("cd")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"].minute: r
+        for r in spark.sql("select * from cd").collect()
+    }
+    batch = spark.read.parquet(event_files)
+    for minute in (0, 1):
+        rows = batch.filter(F.minute("ts") == minute)
+        n = rows.count()
+        counts = {
+            r["event_type"]: r["count"]
+            for r in rows.groupBy("event_type").count().collect()
+        }
+        obs = {
+            "click": counts.get("click", 0) / n,
+            "view": counts.get("view", 0) / n,
+            "novel": sum(v for k, v in counts.items()
+                         if k not in ("click", "view")) / n,
+        }
+        eps = 1e-6
+        psi = sum(
+            (max(p, eps) - max(q, eps)) * math.log(max(p, eps) / max(q, eps))
+            for p, q in [(obs["click"], 0.5), (obs["view"], 0.5),
+                         (obs["novel"], 0.0)]
+        )
+        r = got[minute]
+        assert r["n_rows"] == n and r["n_observed"] == n
+        assert r["psi"] == pytest.approx(psi, abs=1e-6)
+        assert r["novel_frac"] == pytest.approx(obs["novel"], abs=1e-6)
+        assert 0.0 <= r["js"] <= 1.0
+
+
+def test_category_drift_stream_rejects_numeric_baseline(spark, event_files):
+    from dsci_524_g26_data_validation_spark.streaming import (
+        category_drift_stream,
+    )
+
+    hist = dv.Histogram(labels=("0", "1"), fracs=(0.5, 0.5), kind="numeric",
+                        lo=0.0, hi=1.0, n_bins=1)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(event_files)
+    with pytest.raises(ValueError, match="categorical"):
+        category_drift_stream(
+            stream, hist, column="event_type", time_col="ts"
+        )
