@@ -294,6 +294,58 @@ def _stream_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric streaming drift: per-day PSI/JS of events.value vs a
+    DECLARED 5-bin equi-width baseline on [0, 100) — same `_bucket_label`
+    binning as the batch scorers. Out-of-range mass (underflow/overflow
+    bins, absent from the declared labels) pools into the novel bucket,
+    so novel_frac doubles as the out-of-range fraction."""
+    import tempfile
+    import uuid
+
+    from dsci_524_g26_data_validation_spark.streaming import (
+        histogram_drift_stream,
+    )
+
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    baseline = Histogram(
+        labels=("1", "2", "3", "4", "5"),
+        fracs=(0.2, 0.2, 0.2, 0.2, 0.2),
+        kind="numeric",
+        lo=0.0,
+        hi=100.0,
+        n_bins=5,
+    )
+    drifted = histogram_drift_stream(
+        stream,
+        baseline,
+        column="value",
+        time_col="ts",
+        window_duration="1 day",
+        watermark_delay="2 days",
+    )
+    name = f"nd_{uuid.uuid4().hex[:8]}"
+    q = (
+        drifted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dv_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    if q.isActive:
+        q.stop()
+        q.awaitTermination(60)
+    return spark.table(name).select(
+        "window_start", "n_rows", "n_observed", "novel_frac", "psi", "js"
+    )
+
+
 def _pattern_violations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Format-contract facet: lang must full-match [a-z]{2}; every
     doc_id % 17 == 0 row gets a corrupted value. The pattern predicate
@@ -1823,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_violation_counts": _stream_violation_counts,
         "stream_category_drift": _stream_category_drift,
         "near_dedup_cluster_census": _near_dedup_cluster_census,
+        "stream_numeric_drift": _stream_numeric_drift,
         "infer_profile_documents": _infer_profile_documents,
         "quantiles_orders": _quantiles_orders,
         "group_quantiles_documents": _group_quantiles_documents,
@@ -2034,6 +2087,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT overlap_kind, count(*) AS n,
                    count(DISTINCT key) AS n_keys
             FROM flagged GROUP BY overlap_kind
+        """,
+        # numeric streaming drift == per-day binned PSI/JS replica: same
+        # equi-width bucketing (floor((x-lo)/w)+1, hi-edge guard), bins
+        # outside the declared labels pool into the novel bucket
+        "stream_numeric_drift": """
+            WITH binned AS (
+              SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+                     CASE WHEN value IS NULL THEN NULL
+                          WHEN value < 0 THEN '0'
+                          WHEN value >= 100 THEN '6'
+                          ELSE CAST(least(CAST(floor(value / 20) AS BIGINT) + 1,
+                                          5) AS VARCHAR)
+                     END AS b
+              FROM events
+            ), cnt AS (
+              SELECT window_start,
+                     count(*) AS n_rows,
+                     count(b) AS n_obs,
+                     count(*) FILTER (WHERE b = '1') AS c0,
+                     count(*) FILTER (WHERE b = '2') AS c1,
+                     count(*) FILTER (WHERE b = '3') AS c2,
+                     count(*) FILTER (WHERE b = '4') AS c3,
+                     count(*) FILTER (WHERE b = '5') AS c4,
+                     count(*) FILTER (WHERE b IS NOT NULL AND b NOT IN
+                         ('1','2','3','4','5')) AS cn
+              FROM binned GROUP BY 1
+            ), lab AS (
+              SELECT c.window_start, c.n_rows, c.n_obs, v.i, v.q,
+                     CASE v.i WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2
+                              WHEN 3 THEN c3 WHEN 4 THEN c4 ELSE cn END AS cc
+              FROM cnt c, (VALUES (0, 0.2), (1, 0.2), (2, 0.2), (3, 0.2),
+                                  (4, 0.2), (5, 0.0)) AS v(i, q)
+            ), term AS (
+              SELECT window_start, n_rows, n_obs, i, q,
+                     CASE WHEN n_obs > 0
+                          THEN cc / CAST(n_obs AS DOUBLE) ELSE 0.0 END AS p
+              FROM lab
+            )
+            SELECT window_start,
+                   CAST(max(n_rows) AS BIGINT) AS n_rows,
+                   CAST(max(n_obs) AS BIGINT) AS n_observed,
+                   round(max(CASE WHEN i = 5 THEN p END), 6) AS novel_frac,
+                   round(CASE WHEN max(n_obs) > 0 THEN
+                       sum((greatest(p, 1e-6) - greatest(q, 1e-6))
+                           * ln(greatest(p, 1e-6) / greatest(q, 1e-6)))
+                       ELSE 0.0 END, 6) AS psi,
+                   round(CASE WHEN max(n_obs) > 0 THEN
+                       sum(CASE WHEN p > 0
+                                THEN 0.5 * p * log2(p / ((p + q) / 2))
+                                ELSE 0.0 END
+                         + CASE WHEN q > 0
+                                THEN 0.5 * q * log2(q / ((p + q) / 2))
+                                ELSE 0.0 END)
+                       ELSE 0.0 END, 6) AS js
+            FROM term GROUP BY window_start
         """,
         # streaming drift monitor == per-day PSI/JS replica: same planted
         # 'tap' rename, same declared priors, same eps-floored PSI and

@@ -4,6 +4,7 @@ from .dedup_stream import deduplicate_stream, deduplicate_stream_by_content
 from .validate_stream import (
     BatchVerdict,
     category_drift_stream,
+    histogram_drift_stream,
     validate_each_batch,
     violation_counts_stream,
     violation_running_totals,
@@ -12,6 +13,7 @@ from .validate_stream import (
 __all__ = [
     "BatchVerdict",
     "category_drift_stream",
+    "histogram_drift_stream",
     "deduplicate_stream",
     "deduplicate_stream_by_content",
     "validate_each_batch",

@@ -33,6 +33,7 @@ from ..operators.validate import validate_contract
 
 __all__ = [
     "category_drift_stream",
+    "histogram_drift_stream",
     "violation_counts_stream",
     "violation_running_totals",
     "validate_each_batch",
@@ -252,7 +253,7 @@ def validate_each_batch(
     return writer.start(), verdicts
 
 
-def category_drift_stream(
+def histogram_drift_stream(
     stream_df: DataFrame,
     baseline,
     *,
@@ -263,7 +264,9 @@ def category_drift_stream(
     eps: float = 1e-6,
 ) -> DataFrame:
     """Streaming distribution-drift monitor: per-window PSI and JS of a
-    categorical column against a baseline :class:`types.Histogram` —
+    column against a baseline :class:`types.Histogram` (categorical
+    labels or numeric equi-width bins — the same `_bucket_label`
+    bucketing as the batch scorers, so the two paths bin identically) —
     the continuous-ingest counterpart of the batch E3/E4 checks.
 
     Design: ONE watermarked stateful aggregation whose state per window
@@ -287,19 +290,18 @@ def category_drift_stream(
     Output per window: (window_start, window_end, n_rows, n_observed,
     novel_frac, psi, js).
     """
-    if baseline.kind != "categorical":
-        raise ValueError(
-            f"category_drift_stream needs a categorical baseline, "
-            f"got kind={baseline.kind!r}"
-        )
+    from ..operators.drift import _bucket_label
+
     c = F.col(column)
-    labels = list(baseline.labels)
+    lbl = _bucket_label(c, baseline)
+    labels = [str(x) for x in baseline.labels]
     fracs = [float(x) for x in baseline.fracs]
     aggs = [
-        F.count_if(c == F.lit(l)).alias(f"_c{i}") for i, l in enumerate(labels)
+        F.count_if(lbl == F.lit(l)).alias(f"_c{i}")
+        for i, l in enumerate(labels)
     ]
     aggs += [
-        F.count_if(c.isNotNull() & ~c.isin(labels)).alias("_cnov"),
+        F.count_if(c.isNotNull() & ~lbl.isin(labels)).alias("_cnov"),
         F.count_if(c.isNotNull()).alias("_n"),
         F.count(F.lit(1)).alias("n_rows"),
     ]
@@ -337,4 +339,33 @@ def category_drift_stream(
         F.round(zero_safe(p_of(F.col("_cnov"))), 6).alias("novel_frac"),
         F.round(total_psi, 6).alias("psi"),
         F.round(total_js, 6).alias("js"),
+    )
+
+
+def category_drift_stream(
+    stream_df: DataFrame,
+    baseline,
+    *,
+    column: str,
+    time_col: str,
+    window_duration: str = "1 minute",
+    watermark_delay: str = "5 minutes",
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Categorical-only front door for :func:`histogram_drift_stream`
+    (raises on a numeric baseline so a caller who meant bins gets a
+    clear error instead of label-string equality against bin indices)."""
+    if baseline.kind != "categorical":
+        raise ValueError(
+            f"category_drift_stream needs a categorical baseline, "
+            f"got kind={baseline.kind!r} — use histogram_drift_stream"
+        )
+    return histogram_drift_stream(
+        stream_df,
+        baseline,
+        column=column,
+        time_col=time_col,
+        window_duration=window_duration,
+        watermark_delay=watermark_delay,
+        eps=eps,
     )

@@ -352,3 +352,40 @@ def test_category_drift_stream_rejects_numeric_baseline(spark, event_files):
         category_drift_stream(
             stream, hist, column="event_type", time_col="ts"
         )
+
+
+def test_histogram_drift_stream_numeric_bins_match_batch(spark, event_files):
+    """Numeric baseline: the stream bins with the same equi-width rule
+    as the batch `_bucket_label` (underflow/overflow pool as novel)."""
+    from dsci_524_g26_data_validation_spark.streaming import (
+        histogram_drift_stream,
+    )
+
+    baseline = dv.Histogram(
+        labels=("1", "2"), fracs=(0.5, 0.5), kind="numeric",
+        lo=0.0, hi=100.0, n_bins=2,
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(event_files)
+    drift = histogram_drift_stream(
+        stream, baseline, column="value", time_col="ts",
+        window_duration="1 minute",
+    )
+    q = (
+        drift.writeStream.format("memory")
+        .queryName("nd")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["window_start"].minute: r
+           for r in spark.sql("select * from nd").collect()}
+    batch = spark.read.parquet(event_files)
+    for minute in (0, 1):
+        rows = batch.filter(F.minute("ts") == minute)
+        n = rows.count()
+        over = rows.filter("value >= 100 OR value < 0").count()
+        r = got[minute]
+        assert r["n_observed"] == n
+        assert r["novel_frac"] == pytest.approx(over / n, abs=1e-6)
+        assert r["psi"] > 0  # the fixture's values are not uniform
