@@ -34,6 +34,37 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _drain_stream(q) -> None:
+    """availableNow drain with the loaded-host guard: if the trigger has
+    not finished in time, stop rather than return a half-built result."""
+    q.awaitTermination(600)
+    if q.isActive:
+        q.stop()
+        q.awaitTermination(60)
+
+
+def _run_stream_to_memory(df: DataFrame, prefix: str, mode: str = "complete") -> str:
+    """One shared memory-sink run harness for every streaming query in
+    this file (six hand-maintained copies previously drifted in their
+    comments): uuid-named memory table, tmp checkpoint, availableNow
+    trigger, drained via :func:`_drain_stream`. Returns the table name."""
+    import tempfile
+    import uuid
+
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dv_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain_stream(q)
+    return name
+
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: validate sf0.001 documents against a drifted contract and
     return the issues as a DataFrame (≥0 rows, stable schema)."""
@@ -245,8 +276,6 @@ def _stream_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     value ('click' → 'tap' on event_id % 7 — the enum-rename failure).
     One watermarked fixed-vector aggregation; availableNow makes the
     stream deterministic and the day windows SQL-replicable."""
-    import tempfile
-    import uuid
 
     from dsci_524_g26_data_validation_spark.streaming import (
         category_drift_stream,
@@ -276,19 +305,7 @@ def _stream_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_duration="1 day",
         watermark_delay="2 days",
     )
-    name = f"cd_{uuid.uuid4().hex[:8]}"
-    q = (
-        drifted.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="dv_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
-    if q.isActive:
-        q.stop()
-        q.awaitTermination(60)
+    name = _run_stream_to_memory(drifted, "cd", mode="complete")
     return spark.table(name).select(
         "window_start", "n_rows", "n_observed", "novel_frac", "psi", "js"
     )
@@ -300,8 +317,6 @@ def _stream_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     binning as the batch scorers. Out-of-range mass (underflow/overflow
     bins, absent from the declared labels) pools into the novel bucket,
     so novel_frac doubles as the out-of-range fraction."""
-    import tempfile
-    import uuid
 
     from dsci_524_g26_data_validation_spark.streaming import (
         histogram_drift_stream,
@@ -328,19 +343,7 @@ def _stream_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_duration="1 day",
         watermark_delay="2 days",
     )
-    name = f"nd_{uuid.uuid4().hex[:8]}"
-    q = (
-        drifted.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="dv_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
-    if q.isActive:
-        q.stop()
-        q.awaitTermination(60)
+    name = _run_stream_to_memory(drifted, "nd", mode="complete")
     return spark.table(name).select(
         "window_start", "n_rows", "n_observed", "novel_frac", "psi", "js"
     )
@@ -1292,8 +1295,6 @@ _EVENTS_CONTRACT = dv.Contract(
 def _stream_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: per-day windowed violation counts over a
     file-stream of the events table (availableNow → deterministic)."""
-    import tempfile
-    import uuid
 
     stream = (
         spark.readStream.schema(_EVENTS_SCHEMA)
@@ -1304,19 +1305,7 @@ def _stream_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, _EVENTS_CONTRACT, time_col="ts", window_duration="1 day",
         watermark_delay="2 days",
     )
-    name = f"vc_{uuid.uuid4().hex[:8]}"
-    q = (
-        counted.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="dv_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
-    if q.isActive:  # loaded host: don't return a half-built memory table
-        q.stop()
-        q.awaitTermination(60)
+    name = _run_stream_to_memory(counted, "vc", mode="complete")
     return spark.table(name).select(
         "window_start", "column", "kind", "facet", "n_violations", "n_rows"
     )
@@ -1353,10 +1342,7 @@ def _stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
-    if q.isActive:
-        q.stop()
-        q.awaitTermination(60)
+    _drain_stream(q)
     last = {}
     for r in acc:  # update mode: one row per key per batch; keep latest
         last[r["key"]] = r
@@ -1394,10 +1380,7 @@ def _stream_batch_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=tempfile.mkdtemp(prefix="dv_ckpt_"),
         strict=False,
     )
-    q.awaitTermination(600)
-    if q.isActive:
-        q.stop()
-        q.awaitTermination(60)
+    _drain_stream(q)
     # batch replay: same contract over the same rows via the batch engine
     events = _read(spark, sf_dir, "events")
     batch = dv.validate_contract(events, _EVENTS_CONTRACT, strict=False)
@@ -1434,8 +1417,6 @@ def _stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest dedup (dropDuplicatesWithinWatermark): first
     event per user_id survives; output cardinality must equal the batch
     COUNT(DISTINCT user_id) — the oracle checks exactly that."""
-    import tempfile
-    import uuid
 
     from dsci_524_g26_data_validation_spark.streaming import deduplicate_stream
 
@@ -1447,19 +1428,7 @@ def _stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = deduplicate_stream(
         stream, id_cols=("user_id",), time_col="ts", watermark_delay="3650 days"
     )
-    name = f"sd_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="dv_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
-    if q.isActive:
-        q.stop()
-        q.awaitTermination(60)
+    name = _run_stream_to_memory(deduped, "sd", mode="append")
     return spark.table(name).agg(
         F.count(F.lit(1)).alias("n_survivors"),
         F.countDistinct("user_id").alias("n_distinct_users"),

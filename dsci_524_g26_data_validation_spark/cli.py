@@ -143,8 +143,9 @@ def main(argv: Optional[list] = None) -> int:
     p = sub.add_parser("strip-lines")
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
-    p.add_argument("--min-doc-frac", type=float)
-    p.add_argument("--min-docs", type=int)
+    g = p.add_mutually_exclusive_group()  # the thresholds contradict
+    g.add_argument("--min-doc-frac", type=float)
+    g.add_argument("--min-docs", type=int)
     p.add_argument("--min-line-chars", type=int, default=1)
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
@@ -282,26 +283,44 @@ def main(argv: Optional[list] = None) -> int:
         return 0 if (report["n_quarantined"] == 0 or not args.fail) else 1
 
     if args.cmd == "strip-lines":
-        from .operators.lines import line_strip_report, strip_frequent_lines
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
 
-        kw = dict(
+        from .operators.lines import strip_frequent_lines
+
+        # ONE strip pipeline: keep the original text alongside the
+        # rewrite, ride the report metrics on the write job via
+        # Observation (the quarantine-command pattern) — running
+        # line_strip_report separately would rebuild the whole census/
+        # strip plan a second time from the raw input
+        stripped = strip_frequent_lines(
+            df,
             text_col=args.text_col,
             id_col=args.id_col,
             min_docs=args.min_docs,
             min_doc_frac=(
-                args.min_doc_frac
-                if (args.min_doc_frac is not None or args.min_docs is not None)
-                else 0.01
+                args.min_doc_frac if args.min_doc_frac is not None
+                else (None if args.min_docs is not None else 0.01)
             ),
+            min_line_chars=args.min_line_chars,
+            out_col="__stripped",
+            dropped_col="n_lines_dropped",
         )
-        stripped = strip_frequent_lines(
-            df, min_line_chars=args.min_line_chars, **kw
+        obs = Observation()
+        observed = stripped.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("n_lines_dropped") > 0).alias("n_docs_changed"),
+            F.sum("n_lines_dropped").alias("n_lines_dropped"),
+            F.sum(F.length(F.col(args.text_col))).alias("chars_before"),
+            F.sum(F.length(F.col("__stripped"))).alias("chars_after"),
         )
-        stripped.write.mode("overwrite").parquet(args.output)
-        rep = line_strip_report(
-            df, min_line_chars=args.min_line_chars, **kw
-        ).first()
-        print(json.dumps({**rep.asDict(), "written": args.output}, sort_keys=True))
+        out_df = observed.drop(args.text_col).withColumnRenamed(
+            "__stripped", args.text_col
+        )
+        out_df.write.mode("overwrite").parquet(args.output)
+        rep = {k: int(v) for k, v in obs.get.items()}
+        print(json.dumps({**rep, "written": args.output}, sort_keys=True))
         return 0
 
     if args.cmd == "skew":

@@ -277,38 +277,46 @@ def interval_overlaps(
         F.col(start_col).alias("start"),
         F.col(end_col).alias("end"),
     )
-    end_type = df.schema[end_col].dataType
     # junk rows (unplaceable or inverted) are CLASSIFIED but EXCLUDED
-    # from the sweep input: a NULL-start row with a huge end would
-    # otherwise sort first (nulls first) and poison the running max,
-    # falsely flagging every later valid interval of that key
-    bad_kind = F.when(
-        F.col("key").isNull() | F.col("start").isNull() | F.col("end").isNull(),
-        F.lit("null_bounds"),
-    ).when(F.col("end") < F.col("start"), F.lit("inverted"))
-    bad = (
-        src.withColumn("overlap_kind", bad_kind)
-        .filter(F.col("overlap_kind").isNotNull())
-        .withColumn("prev_max_end", F.lit(None).cast(end_type))
+    # from the sweep: a NULL-start row with a huge end would otherwise
+    # poison the running max and falsely flag every later valid
+    # interval of its key. Exclusion happens INSIDE the one window —
+    # junk sorts last within its key and the max only aggregates clean
+    # ends — so the whole operator stays a single scan (a filtered
+    # clean/bad branch pair would read the source twice).
+    junk = (
+        F.col("key").isNull()
+        | F.col("start").isNull()
+        | F.col("end").isNull()
+        | (F.col("end") < F.col("start"))
     )
-    clean = src.filter(
-        F.col("key").isNotNull()
-        & F.col("start").isNotNull()
-        & F.col("end").isNotNull()
-        & (F.col("end") >= F.col("start"))
-    )
+    base = src.withColumn("_junk", junk)
     w = (
         Window.partitionBy("key")
-        .orderBy(F.col("start").asc(), F.col("end").asc())
+        .orderBy(F.col("_junk").asc(), F.col("start").asc(), F.col("end").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    overlaps = (
-        clean.withColumn("prev_max_end", F.max("end").over(w))
-        .filter(F.col("start") < F.col("prev_max_end"))
-        .withColumn("overlap_kind", F.lit("overlap"))
+    prev_clean_max = F.max(
+        F.when(~F.col("_junk"), F.col("end"))
+    ).over(w)
+    swept = base.withColumn(
+        "prev_max_end", F.when(~F.col("_junk"), prev_clean_max)
     )
-    cols = ["key", "start", "end", "overlap_kind", "prev_max_end"]
-    return overlaps.select(*cols).unionByName(bad.select(*cols))
+    kind = (
+        F.when(
+            F.col("key").isNull()
+            | F.col("start").isNull()
+            | F.col("end").isNull(),
+            F.lit("null_bounds"),
+        )
+        .when(F.col("end") < F.col("start"), F.lit("inverted"))
+        .when(F.col("start") < F.col("prev_max_end"), F.lit("overlap"))
+    )
+    return (
+        swept.withColumn("overlap_kind", kind)
+        .filter(F.col("overlap_kind").isNotNull())
+        .select("key", "start", "end", "overlap_kind", "prev_max_end")
+    )
 
 
 def monotonic_violations(
@@ -346,35 +354,33 @@ def monotonic_violations(
         F.col(order_col).alias("order"),
         F.col(value_col).alias("value"),
     )
-    val_type = df.schema[value_col].dataType
     # unplaceable rows (NULL order) are CLASSIFIED but EXCLUDED from the
-    # sweep: sorted nulls-first, their value would otherwise enter the
-    # running max and falsely flag perfectly monotonic rows as
-    # regressions. (NULL values inside the sweep are harmless — max()
-    # skips them — and are flagged as null_value below.)
-    null_order = src.filter(F.col("order").isNull()).select(
-        "key",
-        "order",
-        "value",
-        F.lit("null_order").alias("kind"),
-        F.lit(None).cast(val_type).alias("prev_max"),
-    )
+    # sweep: their value must never enter the running max (it would
+    # falsely flag perfectly monotonic rows as regressions). Exclusion
+    # happens INSIDE the one window — NULL-order rows sort LAST within
+    # their key and the max only aggregates placeable values — keeping
+    # the operator a single scan. (NULL values inside the sweep are
+    # harmless — max() skips them — and are flagged as null_value.)
+    junk = F.col("order").isNull()
+    base = src.withColumn("_junk", junk)
     w = (
         Window.partitionBy("key")
-        .orderBy(F.col("order").asc())
+        .orderBy(F.col("_junk").asc(), F.col("order").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    base = src.filter(F.col("order").isNotNull()).withColumn(
-        "prev_max", F.max("value").over(w)
+    prev_clean_max = F.max(F.when(~F.col("_junk"), F.col("value"))).over(w)
+    swept = base.withColumn(
+        "prev_max", F.when(~F.col("_junk"), prev_clean_max)
     )
-    kind = F.when(F.col("value").isNull(), F.lit("null_value")).when(
-        F.col("value") < F.col("prev_max"), F.lit("regression")
+    kind = (
+        F.when(F.col("order").isNull(), F.lit("null_order"))
+        .when(F.col("value").isNull(), F.lit("null_value"))
+        .when(F.col("value") < F.col("prev_max"), F.lit("regression"))
     )
     return (
-        base.withColumn("kind", kind)
+        swept.withColumn("kind", kind)
         .filter(F.col("kind").isNotNull())
         .select("key", "order", "value", "kind", "prev_max")
-        .unionByName(null_order)
     )
 
 
@@ -515,6 +521,13 @@ def change_point_report(
             F.col(f"`{value_col}`").cast("double").alias("_v"),
         )
         .filter(o.isNotNull() & v.isNotNull())
+        # EAGER by design: the series is bounded by time, not data
+        # volume (input contract above), but its UPSTREAM plan may be a
+        # corpus-scale aggregation (volume_calendar output). Both the
+        # prefix-sum chain and the degenerate-series fallback consume
+        # `base`; materializing it once means one upstream execution
+        # instead of one per consumer.
+        .localCheckpoint()
     )
     wp = (
         Window.partitionBy()

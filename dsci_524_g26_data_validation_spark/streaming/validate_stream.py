@@ -290,9 +290,19 @@ def histogram_drift_stream(
     Output per window: (window_start, window_end, n_rows, n_observed,
     novel_frac, psi, js).
     """
+    from pyspark.sql import types as T
+
     from ..operators.drift import _bucket_label
+    from ..plans.rule_compiler import categorical_cast
 
     c = F.col(column)
+    # bucketing parity with the batch path (observed_histogram_df):
+    # boolean categoricals render pandas-style 'True'/'False' there, so
+    # a batch-captured baseline would otherwise NEVER match Spark's
+    # plain 'true'/'false' cast and every row would pool as novel
+    dt = stream_df.schema[column].dataType
+    if baseline.kind == "categorical" and isinstance(dt, T.BooleanType):
+        c = categorical_cast(c, dt)
     lbl = _bucket_label(c, baseline)
     labels = [str(x) for x in baseline.labels]
     fracs = [float(x) for x in baseline.fracs]

@@ -389,3 +389,43 @@ def test_histogram_drift_stream_numeric_bins_match_batch(spark, event_files):
         assert r["n_observed"] == n
         assert r["novel_frac"] == pytest.approx(over / n, abs=1e-6)
         assert r["psi"] > 0  # the fixture's values are not uniform
+
+
+def test_boolean_baseline_matches_batch_capture(spark, tmp_path):
+    """r3 review fix: a batch-captured boolean baseline renders
+    'True'/'False' (pandas-style); the stream must bucket identically
+    or every row pools as novel (permanent max-drift alarm)."""
+    from dsci_524_g26_data_validation_spark.streaming import (
+        category_drift_stream,
+    )
+
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2026, 1, 1, 12, 0, i % 60), i % 3 == 0)
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, ts timestamp, flag boolean")
+    path = str(tmp_path / "flags")
+    df.write.parquet(path)
+    baseline = dv.capture_histograms(df, categorical_cols=["flag"])["flag"]
+    assert set(baseline.labels) == {"True", "False"}
+    stream = spark.readStream.schema(
+        "id bigint, ts timestamp, flag boolean"
+    ).parquet(path)
+    drift = category_drift_stream(
+        stream, baseline, column="flag", time_col="ts",
+        window_duration="1 minute",
+    )
+    q = (
+        drift.writeStream.format("memory")
+        .queryName("bd")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    r = spark.sql("select * from bd").first()
+    # identical data vs its own baseline: zero drift, zero novel mass
+    assert r["novel_frac"] == 0.0
+    assert r["psi"] == pytest.approx(0.0, abs=1e-6)

@@ -382,3 +382,23 @@ def test_change_point_degenerate_series_contract(spark):
     assert len(r) == 1
     assert r[0].split_after is None and r[0].cusum_stat == 0.0
     assert r[0].n_before == 0 and r[0].mean_before is None
+
+
+def test_sweeps_are_single_scan(spark, tmp_path):
+    """The junk-row exclusion lives INSIDE the one window (guarded max,
+    junk ordered last) — a clean/bad branch pair would scan twice."""
+    from dsci_524_g26_data_validation_spark.operators.timeseries import (
+        interval_overlaps,
+        monotonic_violations,
+    )
+
+    path = str(tmp_path / "sweep_src")
+    spark.createDataFrame(
+        [("k", i, i, i + 1) for i in range(50)],
+        "key string, o int, s long, e long",
+    ).write.parquet(path)
+    d = spark.read.parquet(path)
+    m = monotonic_violations(d, key_col="key", order_col="o", value_col="s")
+    assert m._jdf.queryExecution().executedPlan().toString().count("Scan parquet") == 1
+    iv = interval_overlaps(d, key_col="key", start_col="s", end_col="e")
+    assert iv._jdf.queryExecution().executedPlan().toString().count("Scan parquet") == 1
