@@ -1072,6 +1072,28 @@ def _top_dup_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans.top_duplicate_spans(d, k=8, top_n=15, hash_fn="portable")
 
 
+def _hygiene_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding/markup hygiene census with planted faults: mojibake
+    (U+FFFD) on doc_id % 31, markup + entity residue on % 29, a C0
+    control char on % 37. One scan, four regexp_counts per row, all in
+    the Java-regex ∩ RE2 subset the DuckDB oracle runs verbatim."""
+    d = _read(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 31 == 0, F.lit("� junk �")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 29 == 0,
+            F.lit('<div class="x">ad</div>&nbsp;'),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 37 == 0, F.lit("\x07")).otherwise(F.lit("")),
+    )
+    return text.encoding_hygiene(
+        d.select("source", planted.alias("text"))
+    )
+
+
 def _ntok_invariant_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 analog on documents: n_chars == length(text) per-row invariant."""
     d = _read(spark, sf_dir, "documents")
@@ -1845,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_category_drift": _stream_category_drift,
         "near_dedup_cluster_census": _near_dedup_cluster_census,
         "stream_numeric_drift": _stream_numeric_drift,
+        "hygiene_documents": _hygiene_documents,
         "infer_profile_documents": _infer_profile_documents,
         "quantiles_orders": _quantiles_orders,
         "group_quantiles_documents": _group_quantiles_documents,
@@ -3168,6 +3191,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, count(DISTINCT fp) AS n_fingerprints
             FROM (SELECT source, unnest(fps) AS fp FROM w) GROUP BY source
+        """,
+        "hygiene_documents": """
+            WITH planted AS (
+              SELECT source,
+                     text
+                     || CASE WHEN doc_id % 31 = 0
+                             THEN chr(65533) || ' junk ' || chr(65533)
+                             ELSE '' END
+                     || CASE WHEN doc_id % 29 = 0
+                             THEN '<div class="x">ad</div>&nbsp;'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 37 = 0 THEN chr(7) ELSE '' END AS t
+              FROM documents
+            ), m AS (
+              SELECT source,
+                     len(regexp_extract_all(t, chr(65533))) AS h_rep,
+                     len(regexp_extract_all(t,
+                         '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS h_ctl,
+                     len(regexp_extract_all(t, '<[A-Za-z/][^<>]*>')) AS h_tag,
+                     len(regexp_extract_all(t,
+                         '&(amp|lt|gt|quot|nbsp|#[0-9]{1,6});')) AS h_ent,
+                     CASE WHEN t IS NOT NULL AND length(t) > 0
+                          THEN (length(t) - len(regexp_extract_all(t,
+                               '[\\x20-\\x7e]'))) * 1.0 / length(t)
+                          ELSE 0.0 END AS nonascii
+              FROM planted
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) FILTER (WHERE h_rep > 0) AS BIGINT)
+                       AS docs_replacement,
+                   CAST(coalesce(sum(h_rep), 0) AS BIGINT) AS n_replacement,
+                   CAST(count(*) FILTER (WHERE h_ctl > 0) AS BIGINT)
+                       AS docs_control,
+                   CAST(coalesce(sum(h_ctl), 0) AS BIGINT) AS n_control,
+                   CAST(count(*) FILTER (WHERE h_tag > 0) AS BIGINT)
+                       AS docs_markup_tag,
+                   CAST(coalesce(sum(h_tag), 0) AS BIGINT) AS n_markup_tag,
+                   CAST(count(*) FILTER (WHERE h_ent > 0) AS BIGINT)
+                       AS docs_entity,
+                   CAST(coalesce(sum(h_ent), 0) AS BIGINT) AS n_entity,
+                   round(avg(nonascii), 6) AS avg_nonascii_frac
+            FROM m GROUP BY source
         """,
         "ntok_invariant_documents": """
             SELECT source, count(*) AS n_rows,

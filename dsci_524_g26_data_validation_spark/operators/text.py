@@ -42,6 +42,8 @@ __all__ = [
     "kgram_hashes_expr",
     "winnow_expr",
     "winnowing_fingerprints",
+    "HYGIENE_PATTERNS",
+    "encoding_hygiene",
 ]
 
 
@@ -538,3 +540,66 @@ def winnowing_fingerprints(
     return base.select(
         id_col, winnow_expr(F.col("_kg"), window=window).alias("fingerprints")
     )
+
+
+# -- encoding / markup hygiene ------------------------------------------------
+
+#: Hygiene patterns in the Java-regex ∩ RE2 subset (the pii.py
+#: convention, so the DuckDB oracle runs the SAME pattern): mojibake
+#: marker, C0 control characters (excluding \t \n \r, which are normal
+#: text), HTML/XML tag residue, and HTML entity residue.
+HYGIENE_PATTERNS = {
+    "replacement": "�",
+    "control": "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]",
+    "markup_tag": "<[A-Za-z/][^<>]*>",
+    "entity": "&(amp|lt|gt|quot|nbsp|#[0-9]{1,6});",
+}
+
+
+def encoding_hygiene(
+    df: DataFrame, *, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Per-group encoding/markup hygiene census — the web-corpus screens
+    document-level quality scores don't see: mojibake (U+FFFD
+    replacement characters mean an upstream decode already destroyed
+    bytes), C0 control characters (binary contamination), and HTML
+    tag/entity residue (extraction failure).
+
+    One Catalyst scan: four ``regexp_count`` projections per row, then
+    a |groups|-row aggregate (map-side combined). Zero UDFs, zero extra
+    shuffles — the same shape as ``detect_pii``. NULL text counts as a
+    document with no findings.
+
+    Output per group: n_docs, then per pattern `docs_<kind>` (documents
+    containing ≥1 hit) and `n_<kind>` (total occurrences), plus
+    avg_nonascii_frac (mean fraction of characters outside printable
+    ASCII — a blunt but language-aware-threshold-able signal; 0 for
+    empty docs).
+    """
+    c = F.col(text_col)
+    counts = {
+        k: F.regexp_count(c, F.lit(p)).alias(f"_h_{k}")
+        for k, p in HYGIENE_PATTERNS.items()
+    }
+    n_chars = F.length(c)
+    nonascii = n_chars - F.regexp_count(c, F.lit("[\\x20-\\x7e]"))
+    pre = df.select(
+        F.col(group_col),
+        *counts.values(),
+        F.when(
+            c.isNotNull() & (n_chars > 0),
+            nonascii.cast("double") / n_chars.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_nonascii"),
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_docs")]
+    for k in HYGIENE_PATTERNS:
+        aggs.append(
+            F.count_if(F.col(f"_h_{k}") > 0).cast("bigint").alias(f"docs_{k}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(f"_h_{k}"), F.lit(0)).cast("bigint").alias(f"n_{k}")
+        )
+    aggs.append(F.round(F.avg("_nonascii"), 6).alias("avg_nonascii_frac"))
+    return pre.groupBy(group_col).agg(*aggs)

@@ -833,3 +833,28 @@ def test_deduplicate_exact_null_id_contract(spark):
     kept = dedup.deduplicate_exact(df).collect()
     ids = sorted((r["doc_id"] for r in kept), key=lambda x: (x is None, x))
     assert ids == [1, None, None]
+
+
+def test_encoding_hygiene_planted(spark):
+    """Mojibake, control chars, markup residue each counted exactly;
+    clean and NULL docs contribute zero findings."""
+    from dsci_524_g26_data_validation_spark.operators.text import (
+        encoding_hygiene,
+    )
+
+    rows = [
+        (0, "s", "clean plain text here"),
+        (1, "s", "bad � decode �� here"),
+        (2, "s", '<div class="x">ad</div> more &nbsp; &#123; text'),
+        (3, "s", "ctrl\x07here\x1f"),
+        (4, "s", None),
+        (5, "s", "héllo wörld"),  # non-ascii but legitimate
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    r = encoding_hygiene(df).first()
+    assert r.n_docs == 6
+    assert r.docs_replacement == 1 and r.n_replacement == 3
+    assert r.docs_control == 1 and r.n_control == 2
+    assert r.docs_markup_tag == 1 and r.n_markup_tag == 2
+    assert r.docs_entity == 1 and r.n_entity == 2
+    assert 0 < r.avg_nonascii_frac < 0.2
