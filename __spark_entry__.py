@@ -1072,6 +1072,45 @@ def _top_dup_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans.top_duplicate_spans(d, k=8, top_n=15, hash_fn="portable")
 
 
+def _json_key_census_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload key census over events.props with planted rot:
+    NULLed payload on event_id % 43, non-object junk on % 41, an extra
+    'beta' key on % 11 — the report must account for 100% of rows
+    (pseudo-keys __null__/__invalid__/__empty_object__ included)."""
+    e = _read(spark, sf_dir, "events")
+    planted = e.select(
+        F.when(F.col("event_id") % 43 == 0, F.lit(None).cast("string"))
+        .when(F.col("event_id") % 41 == 0, F.lit("not json"))
+        .when(
+            F.col("event_id") % 11 == 0,
+            F.concat(
+                F.substring("props", 1, F.length("props") - 1),
+                F.lit(', "beta": true}'),
+            ),
+        )
+        .otherwise(F.col("props"))
+        .alias("props")
+    )
+    return dv.json_key_census(planted, col="props")
+
+
+def _json_field_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric health of the props.$.k field per event_type: missing /
+    non-numeric counts + min/max/avg, with planted faults (missing key
+    on event_id % 13, non-numeric value on % 17)."""
+    e = _read(spark, sf_dir, "events")
+    planted = e.select(
+        "event_type",
+        F.when(F.col("event_id") % 13 == 0, F.lit("{}"))
+        .when(F.col("event_id") % 17 == 0, F.lit('{"k": "oops"}'))
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    return dv.json_field_stats(
+        planted, col="props", field="k", group_col="event_type"
+    )
+
+
 def _hygiene_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoding/markup hygiene census with planted faults: mojibake
     (U+FFFD) on doc_id % 31, markup + entity residue on % 29, a C0
@@ -1868,6 +1907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup_cluster_census": _near_dedup_cluster_census,
         "stream_numeric_drift": _stream_numeric_drift,
         "hygiene_documents": _hygiene_documents,
+        "json_key_census_events": _json_key_census_events,
+        "json_field_stats_events": _json_field_stats_events,
         "infer_profile_documents": _infer_profile_documents,
         "quantiles_orders": _quantiles_orders,
         "group_quantiles_documents": _group_quantiles_documents,
@@ -3191,6 +3232,53 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, count(DISTINCT fp) AS n_fingerprints
             FROM (SELECT source, unnest(fps) AS fp FROM w) GROUP BY source
+        """,
+        "json_key_census_events": """
+            WITH planted AS (
+              SELECT CASE WHEN event_id % 43 = 0 THEN NULL
+                          WHEN event_id % 41 = 0 THEN 'not json'
+                          WHEN event_id % 11 = 0 THEN
+                               substr(props, 1, length(props) - 1)
+                               || ', "beta": true}'
+                          ELSE props END AS j
+              FROM events
+            ), keyed AS (
+              SELECT CASE
+                       WHEN j IS NULL THEN ['__null__']
+                       WHEN NOT json_valid(j) THEN ['__invalid__']
+                       WHEN json_type(j) != 'OBJECT' THEN ['__invalid__']
+                       WHEN len(json_keys(j)) = 0 THEN ['__empty_object__']
+                       ELSE json_keys(j) END AS ks
+              FROM planted
+            ), tot AS (SELECT count(*) AS n FROM planted)
+            SELECT key, CAST(count(*) AS BIGINT) AS n_rows,
+                   round(count(*) * 1.0 / (SELECT n FROM tot), 6) AS frac
+            FROM (SELECT unnest(ks) AS key FROM keyed)
+            GROUP BY key
+        """,
+        "json_field_stats_events": """
+            WITH planted AS (
+              SELECT event_type,
+                     CASE WHEN event_id % 13 = 0 THEN '{}'
+                          WHEN event_id % 17 = 0 THEN '{"k": "oops"}'
+                          ELSE props END AS j
+              FROM events
+            ), vals AS (
+              SELECT event_type,
+                     json_extract_string(j, '$.k') AS v,
+                     TRY_CAST(json_extract_string(j, '$.k') AS DOUBLE) AS n
+              FROM planted
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) FILTER (WHERE v IS NULL) AS BIGINT)
+                       AS n_missing,
+                   CAST(count(*) FILTER (WHERE v IS NOT NULL AND n IS NULL)
+                       AS BIGINT) AS n_nonnumeric,
+                   round(min(n), 6) AS min_value,
+                   round(max(n), 6) AS max_value,
+                   round(avg(n), 6) AS avg_value
+            FROM vals GROUP BY event_type
         """,
         "hygiene_documents": """
             WITH planted AS (

@@ -242,12 +242,15 @@ def _measure_scaling(n_rows: int, pair, reps: int) -> dict:
         results = {}
         reset_quiet_budget()
         for cpus in pair:
-            # the high level gets two extra reps: its runs are short, so
-            # an external load spike distorts it the most (the low
-            # level's own load dominates its wall-clock and damps
-            # noise). r3 run 5 showed even 3 high-level reps can ALL
-            # land inside one multi-minute neighbor-tenant wave.
-            n_reps = reps if cpus == pair[0] else reps + 2
+            # the high level gets one extra rep: its runs are short, so a
+            # single external load spike distorts it the most (the low
+            # level's own load dominates its wall-clock and damps noise).
+            # NOT more than one extra: r3 measured that a 4th high-level
+            # rep pushes the whole default bench past a 30-minute budget
+            # under neighbor-tenant load, risking the driver's timeout —
+            # a missing BENCH JSON is worse than a noisy efficiency number
+            # (BASELINE.md documents the clean-window protocol instead).
+            n_reps = reps if cpus == pair[0] else reps + 1
             best = None
             for _ in range(n_reps):
                 wait_quiet()

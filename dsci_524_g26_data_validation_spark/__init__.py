@@ -142,6 +142,7 @@ from .operators.structure import (
     structure_census,
     structure_violations,
 )
+from .operators.json_profile import json_field_stats, json_key_census
 from .operators.spans import (
     span_duplication_census,
     token_kgram_occurrences,
@@ -178,6 +179,8 @@ __all__ = [
     "table_diff_rows",
     "null_patterns",
     "comissingness",
+    "json_key_census",
+    "json_field_stats",
     "token_kgram_occurrences",
     "span_duplication_census",
     "top_duplicate_spans",

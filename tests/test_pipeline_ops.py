@@ -858,3 +858,43 @@ def test_encoding_hygiene_planted(spark):
     assert r.docs_markup_tag == 1 and r.n_markup_tag == 2
     assert r.docs_entity == 1 and r.n_entity == 2
     assert 0 < r.avg_nonascii_frac < 0.2
+
+
+def test_json_key_census_accounts_for_all_rows(spark):
+    import dsci_524_g26_data_validation_spark as dv
+
+    rows = [
+        (0, '{"a": 1, "b": 2}'),
+        (1, '{"a": 3}'),
+        (2, None),
+        (3, "junk"),
+        (4, "[1, 2]"),  # valid JSON, not an object -> invalid
+        (5, "{}"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, props string")
+    got = {r.key: (r.n_rows, r.frac) for r in dv.json_key_census(df).collect()}
+    assert got == {
+        "a": (2, 0.333333),
+        "b": (1, 0.166667),
+        "__null__": (1, 0.166667),
+        "__invalid__": (2, 0.333333),
+        "__empty_object__": (1, 0.166667),
+    }
+
+
+def test_json_field_stats_faults_classified(spark):
+    import dsci_524_g26_data_validation_spark as dv
+
+    rows = [
+        ('{"k": 10}',),
+        ('{"k": 30}',),
+        ('{"k": "oops"}',),
+        ("{}",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "props string")
+    r = dv.json_field_stats(df, col="props", field="k").first()
+    assert r.n_rows == 5
+    assert r.n_missing == 2  # absent key + NULL payload
+    assert r.n_nonnumeric == 1
+    assert (r.min_value, r.max_value, r.avg_value) == (10.0, 30.0, 20.0)
