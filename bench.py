@@ -239,6 +239,15 @@ def _measure_scaling(n_rows: int, pair, reps: int) -> dict:
         # Bounded quiet-window wait before each rep (module-level helper,
         # shared budget with the query suite): measure the engine, not
         # the neighbors. SPARK_GRAFT_QUIET_WAIT=0 disables.
+        #
+        # Phase deadline (graceful degradation): external load waves can
+        # stretch the 32M-row reps far past their clean-window times —
+        # two r3 --scaling runs were killed by outer timeouts at ~29 min
+        # with ZERO output. Past the budget, remaining reps are skipped
+        # (≥1 rep per level always runs) so a JSON with a noisier number
+        # is emitted instead of nothing.
+        budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "1200"))
+        t_phase = time.monotonic()
         results = {}
         reset_quiet_budget()
         for cpus in pair:
@@ -253,6 +262,13 @@ def _measure_scaling(n_rows: int, pair, reps: int) -> dict:
             n_reps = reps if cpus == pair[0] else reps + 1
             best = None
             for _ in range(n_reps):
+                if best is not None and time.monotonic() - t_phase > budget:
+                    print(
+                        f"scaling budget exceeded; skipping remaining "
+                        f"local[{cpus}] reps",
+                        file=sys.stderr,
+                    )
+                    break
                 wait_quiet()
                 env = dict(os.environ)
                 env["SPARK_GRAFT_CPUS"] = str(cpus)
