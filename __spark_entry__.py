@@ -19,7 +19,13 @@ from pyspark.sql import functions as F
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import dsci_524_g26_data_validation_spark as dv
-from dsci_524_g26_data_validation_spark.operators import dedup, similarity, sketches, text
+from dsci_524_g26_data_validation_spark.operators import (
+    dedup,
+    similarity,
+    sketches,
+    text,
+    urls as urls_mod,
+)
 from dsci_524_g26_data_validation_spark.operators.drift import observed_histogram_df
 from dsci_524_g26_data_validation_spark.streaming import (
     validate_each_batch,
@@ -1844,6 +1850,98 @@ def _anomaly_sources_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents + a deterministically derived ``url`` column exercising
+    every normalization axis: mixed-case scheme/host, explicit default
+    port, crawl-variant tracking params, fragments, multi-label TLDs.
+    Page ids repeat (doc_id % 50) so canonicalization genuinely
+    collapses crawl variants of the same page."""
+    d = _read(spark, sf_dir, "documents")
+    tld = F.element_at(
+        F.array(*[F.lit(t) for t in ("com", "org", "co.uk", "net", "com.au")]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    prefix = F.element_at(
+        F.array(F.lit("www."), F.lit("cdn."), F.lit("")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    host = F.concat(prefix, F.lit("example-"), F.col("source"), F.lit("."), tld)
+    host_cased = F.when(F.col("doc_id") % 2 == 0, F.upper(host)).otherwise(host)
+    scheme = F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://")).otherwise(
+        F.lit("https://")
+    )
+    port = F.when(F.col("doc_id") % 4 == 0, F.lit(":443")).otherwise(F.lit(""))
+    path = F.concat(F.lit("/docs/"), (F.col("doc_id") % 50).cast("string"))
+    query = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&page="), (F.col("doc_id") % 5).cast("string")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("?page="), (F.col("doc_id") % 5).cast("string")),
+        )
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("#sec"), (F.col("doc_id") % 2).cast("string")),
+    ).otherwise(F.lit(""))
+    url = F.concat(scheme, host_cased, port, path, query, frag)
+    return d.select("doc_id", "source", "n_chars", url.alias("url"))
+
+
+def _domain_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain census over synthesized crawl URLs:
+    parse + eTLD+1 + canonicalization + census in one scan. The
+    n_urls − n_canonical gap is the crawl-variant dedup win the raw
+    URL strings hide (case/port/utm/fragment variants of one page)."""
+    from dsci_524_g26_data_validation_spark.operators import urls
+
+    withu = _with_synth_urls(spark, sf_dir)
+    return urls.domain_census(withu, url_col="url", weight_col="n_chars")
+
+
+def _normalize_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-normalization census with planted denormalized text:
+    NFC-decomposed accents on doc_id % 11, whitespace runs on % 13, a C0
+    control on % 17. The NFC step runs through the Arrow UDF on the
+    engine side and through utf8proc's nfc_normalize in the oracle —
+    Unicode normalization is a spec, so both sides must agree
+    value-for-value (the media_pipeline portable-hash trick applied to
+    a UDF whose semantics an independent engine implements natively)."""
+    from dsci_524_g26_data_validation_spark.operators import normalize
+
+    d = _read(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" cafe\u0301")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("  double  space\t")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 17 == 0, F.lit("\x01ctl")).otherwise(F.lit("")),
+    )
+    return normalize.normalization_census(
+        d.select("source", planted.alias("text")), text_col="text",
+        group_col="source",
+    )
+
+
+def _shard_plan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16-way shard plan for the documents corpus,
+    weighted by chars: the pre-write balance census whose assignment
+    (top-60-bits-of-md5 mod 16) any engine can recompute — the oracle
+    reproduces membership, counts, shares, and balance ratios exactly."""
+    from dsci_524_g26_data_validation_spark.sources import shards
+
+    d = _read(spark, sf_dir, "documents")
+    return shards.shard_plan(
+        d, id_col="doc_id", n_shards=16, weight_col="n_chars"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_orders": _profile_orders,
@@ -1939,9 +2037,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_sources_orders": _anomaly_sources_orders,
         "entropy_documents": _entropy_documents,
         "fd_violations_lineitem": _fd_violations_lineitem,
-        # rows-only (no SQL oracle): stubbed codecs (sandbox has no image
-        # libs) and SimHash (approximate by design; pinned by pytest
-        # including the degenerate-block cap instead)
+        "domain_census_documents": _domain_census_documents,
+        "normalize_census_documents": _normalize_census_documents,
+        "shard_plan_documents": _shard_plan_documents,
+        # fully oracled as of r3: media via portable-hash feature math,
+        # simhash via the portable token hash (oracle replays the full
+        # 64-bit bit-vote + pigeonhole block join in SQL)
         "media_pipeline": _media_pipeline,
         "simhash_near_dups": _simhash_near_dups,
     }
@@ -1963,6 +2064,10 @@ round((
 
 #: BPE split pattern as a DuckDB SQL string literal (quotes doubled)
 _BPE_RE_SQL = text.BPE_SPLIT_PATTERN.replace("'", "''")
+
+#: eTLD+1 multi-label suffix set as a SQL list literal (shared with the
+#: engine via urls.MULTI_LABEL_SUFFIXES so the two can never drift)
+_SUFFIX_SQL = ", ".join(f"'{s}'" for s in urls_mod.MULTI_LABEL_SUFFIXES)
 
 _LANG_HITS = {
     lang: "len(list_filter(string_split(lower(text),' '), t -> list_contains([{}], t)))".format(
@@ -4165,5 +4270,137 @@ def oracle_sql() -> dict[str, str]:
                    min(l_returnflag) AS witness_min,
                    max(l_returnflag) AS witness_max
             FROM pairs GROUP BY l_orderkey HAVING count(*) > 1
+        """,
+        "domain_census_documents": f"""
+            WITH base AS (
+              SELECT doc_id, source, n_chars,
+                ['www.','cdn.',''][CAST(doc_id % 3 AS INT) + 1]
+                  || 'example-' || source || '.'
+                  || ['com','org','co.uk','net','com.au'][CAST(doc_id % 5 AS INT) + 1]
+                  AS h
+              FROM documents
+            ), u AS (
+              SELECT doc_id, source, n_chars,
+                (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+                || (CASE WHEN doc_id % 2 = 0 THEN upper(h) ELSE h END)
+                || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+                || '/docs/' || CAST(doc_id % 50 AS VARCHAR)
+                || (CASE WHEN doc_id % 3 = 0
+                         THEN '?utm_source=feed&page=' || CAST(doc_id % 5 AS VARCHAR)
+                         WHEN doc_id % 3 = 1
+                         THEN '?page=' || CAST(doc_id % 5 AS VARCHAR)
+                         ELSE '' END)
+                || (CASE WHEN doc_id % 7 = 0
+                         THEN '#sec' || CAST(doc_id % 2 AS VARCHAR)
+                         ELSE '' END) AS url
+              FROM base
+            ), p AS (
+              SELECT n_chars, url,
+                lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+                  AS scheme,
+                lower(regexp_replace(regexp_replace(
+                    regexp_extract(url,
+                        '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+                    '^[^@]*@', ''), ':[0-9]*$', '')) AS host,
+                nullif(regexp_extract(regexp_replace(
+                    regexp_extract(url,
+                        '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+                    '^[^@]*@', ''), ':([0-9]+)$', 1), '') AS port,
+                regexp_extract(url,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+                regexp_extract(url, '^[^#]*\\?([^#]*)', 1) AS query
+              FROM u
+            ), rd AS (
+              SELECT *, string_split(host, '.') AS parts FROM p
+            ), rd2 AS (
+              SELECT *, len(parts) AS np,
+                parts[len(parts)-1] || '.' || parts[len(parts)] AS last2
+              FROM rd
+            ), rd3 AS (
+              SELECT n_chars, host, scheme, port, path, query,
+                CASE WHEN np >= 3 AND list_contains([{_SUFFIX_SQL}], last2)
+                     THEN parts[np-2] || '.' || last2
+                     WHEN np >= 2 THEN last2
+                     ELSE host END AS registered_domain
+              FROM rd2
+            ), kept AS (
+              SELECT *, list_filter(string_split(query, '&'),
+                  x -> x <> '' AND NOT regexp_matches(
+                      regexp_extract(x, '^([^=]*)', 1),
+                      '{urls_mod.TRACKING_PARAM_PATTERN}')) AS kq
+              FROM rd3
+            ), canon AS (
+              SELECT registered_domain, host, n_chars,
+                scheme || '://' || host
+                || (CASE WHEN port IS NULL
+                          OR (scheme = 'http' AND port = '80')
+                          OR (scheme = 'https' AND port = '443') THEN ''
+                     ELSE ':' || port END)
+                || (CASE WHEN path = '' THEN '/' ELSE path END)
+                || (CASE WHEN len(kq) > 0
+                         THEN '?' || array_to_string(kq, '&') ELSE '' END)
+                AS canonical
+              FROM kept
+            )
+            SELECT registered_domain,
+                   CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+                   CAST(count(DISTINCT canonical) AS BIGINT) AS n_canonical,
+                   CAST(sum(n_chars) AS BIGINT) AS total_weight
+            FROM canon GROUP BY registered_domain
+        """,
+        "normalize_census_documents": """
+            WITH t AS (
+              SELECT source,
+                text
+                || (CASE WHEN doc_id % 11 = 0 THEN ' cafe' || chr(769)
+                         ELSE '' END)
+                || (CASE WHEN doc_id % 13 = 0
+                         THEN '  double  space' || chr(9) ELSE '' END)
+                || (CASE WHEN doc_id % 17 = 0 THEN chr(1) || 'ctl'
+                         ELSE '' END) AS raw
+              FROM documents
+            ), s AS (
+              SELECT source, raw, nfc_normalize(raw) AS nfc FROM t
+            ), f AS (
+              SELECT source, raw, nfc,
+                trim(regexp_replace(regexp_replace(nfc,
+                    '[\\x00-\\x08\\x0E-\\x1F\\x7F]', '', 'g'),
+                    '[ \\t\\r\\n\\x0B\\f]+', ' ', 'g')) AS full_norm
+              FROM s
+            )
+            SELECT source,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(*) FILTER (WHERE nfc <> raw) AS BIGINT)
+                AS n_nfc_changed,
+              CAST(count(*) FILTER (WHERE regexp_matches(raw,
+                    '[\\x00-\\x08\\x0E-\\x1F\\x7F]')) AS BIGINT)
+                AS n_with_controls,
+              CAST(count(*) FILTER (WHERE trim(regexp_replace(raw,
+                    '[ \\t\\r\\n\\x0B\\f]+', ' ', 'g')) <> raw) AS BIGINT)
+                AS n_ws_changed,
+              CAST(count(*) FILTER (WHERE full_norm <> raw) AS BIGINT)
+                AS n_changed,
+              CAST(sum(length(raw)) AS BIGINT) AS chars_before,
+              CAST(sum(length(full_norm)) AS BIGINT) AS chars_after
+            FROM f GROUP BY source
+        """,
+        "shard_plan_documents": """
+            WITH a AS (
+              SELECT CAST(CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))
+                              AS BIGINT) % 16 AS INT) AS shard,
+                     n_chars
+              FROM documents
+            ), g AS (
+              SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(sum(n_chars) AS BIGINT) AS total_weight
+              FROM a GROUP BY shard
+            )
+            SELECT shard, n_rows, total_weight,
+                   round(n_rows / CAST(sum(n_rows) OVER () AS DOUBLE), 9)
+                     AS row_share,
+                   round(n_rows * 16.0 / CAST(sum(n_rows) OVER () AS DOUBLE), 9)
+                     AS balance_ratio
+            FROM g
         """,
     }

@@ -153,7 +153,15 @@ from .operators.table_validate import (
     run_resumable_validation,
     validate_table_contract,
 )
+from .operators.urls import (
+    canonicalize_urls,
+    domain_census,
+    filter_blocked_domains,
+    parse_urls,
+)
+from .operators.normalize import normalization_census, normalize_text
 from .sources.manifest import FileManifestStore
+from .sources.shards import assign_shards, shard_plan, write_shards
 from .sources.token_table import source_dim, token_table
 
 __version__ = "0.1.0"
@@ -285,4 +293,13 @@ __all__ = [
     "FileManifestStore",
     "source_dim",
     "token_table",
+    "parse_urls",
+    "canonicalize_urls",
+    "domain_census",
+    "filter_blocked_domains",
+    "normalize_text",
+    "normalization_census",
+    "assign_shards",
+    "shard_plan",
+    "write_shards",
 ]

@@ -268,3 +268,52 @@ def test_line_strip_text_never_in_exchange(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text" not in line, f"text shuffled: {line[:200]}"
+
+
+def test_url_ops_are_row_local(spark):
+    """parse + canonicalize are pure projections (zero exchanges); the
+    domain census needs exactly the groupBy exchanges, and no Exchange
+    ever carries the raw url string (only the domain key and the
+    projected census stubs)."""
+    from dsci_524_g26_data_validation_spark.operators import urls
+
+    df = spark.createDataFrame(
+        [(i, f"https://www.ex{i % 3}.com/p?utm_source=x&id={i}") for i in range(30)],
+        "doc_id long, url string",
+    )
+    proj_plan = _spark_plan(urls.canonicalize_urls(urls.parse_urls(df)))
+    assert "Exchange" not in proj_plan  # scan-rewrite only
+
+    census_plan = _final_plan(urls.domain_census(df, url_col="url"))
+    census_plan = census_plan.split("== Initial Plan ==")[0]
+    assert "Exchange" in census_plan  # the groupBy is real
+
+
+def test_normalize_text_no_shuffle(spark):
+    from dsci_524_g26_data_validation_spark.operators import normalize
+
+    df = spark.createDataFrame(
+        [(i, "text  %d" % i) for i in range(20)], "doc_id long, text string"
+    )
+    plan = _spark_plan(normalize.normalize_text(df))
+    assert "Exchange" not in plan
+    # the NFC hop is the ONLY python/arrow operator; regexp steps are codegen
+    assert plan.count("ArrowEvalPython") <= 1
+
+
+def test_shard_assignment_no_shuffle_and_plan_one_exchange(spark):
+    from dsci_524_g26_data_validation_spark.sources import shards
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    )
+    assign_plan = _spark_plan(
+        shards.assign_shards(df, id_col="doc_id", n_shards=8)
+    )
+    assert "Exchange" not in assign_plan  # pure projection
+
+    plan = _final_plan(shards.shard_plan(df, id_col="doc_id", n_shards=8))
+    plan = plan.split("== Initial Plan ==")[0]
+    # the per-shard aggregate: partial agg before the exchange, and the
+    # share/balance window runs on the 8-row result, adding no corpus pass
+    assert "partial_count" in plan or "partial" in plan.lower()
