@@ -1549,6 +1549,45 @@ def _near_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id")
 
 
+def _dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate-leakage matrix: which sources near-duplicate
+    each other (the CommonCrawl-vs-C4 curation question). Same verified
+    pair graph as minhash_candidates, labeled by each side's source with
+    two broadcast joins, folded to unordered (group_a <= group_b) cells.
+    Oracle recomputes ground-truth jaccard pairs and the same fold."""
+    docs = _read(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.substring("text", 1, 120).alias("text"))
+    pairs = dedup.jaccard_verify(
+        d,
+        dedup.minhash_lsh_candidates(d, num_hashes=16, bands=8),
+        threshold=0.5,
+    )
+    return dedup.pair_group_matrix(
+        pairs, docs.select("doc_id", "source")
+    )
+
+
+def _fuzzy_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (MinHash) benchmark decontamination: the corpus (120-char
+    prefixes) vs a synthesized benchmark — the 110-char prefixes of every
+    37th document, i.e. lightly-truncated leaks whose shingle jaccard is
+    high but not 1. Bipartite banded LSH (16 hashes / 16 bands — the
+    near-exhaustive sizing for j >= 0.5) surfaces candidates; exact
+    shingle-jaccard >= 0.5 filters. The oracle computes the ground-truth
+    bipartite jaccard join directly."""
+    from dsci_524_g26_data_validation_spark.operators import contamination as ct
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", F.substring("text", 1, 120).alias("text"))
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.substring("text", 1, 110).alias("text"),
+    )
+    return ct.fuzzy_contamination_pairs(
+        corpus, bench, num_hashes=16, bands=16, threshold=0.5
+    )
+
+
 def _near_dedup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup QA: the SIZE DISTRIBUTION of near-dup components —
     (cluster_size, n_clusters). A healthy corpus shows mostly pairs; a
@@ -2017,6 +2056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_documents": _contamination_documents,
         "embedding_near_dups": _embedding_near_dups,
         "minhash_candidates": _minhash_candidates,
+        "dup_source_matrix": _dup_source_matrix,
+        "fuzzy_contamination_documents": _fuzzy_contamination_documents,
         "token_contract_pass": _token_contract_pass,
         "stream_running_totals": _stream_running_totals,
         "near_dedup_dropped": _near_dedup_dropped,
@@ -3749,6 +3790,78 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, round(inter*1.0/(na+nb-inter), 6) AS jaccard
             FROM pairs WHERE inter*1.0/(na+nb-inter) >= 0.5
+        """,
+        # ground-truth jaccard pairs labeled by source, folded to the
+        # unordered (group_a <= group_b) leakage matrix
+        "dup_source_matrix": """
+            WITH t AS (
+              SELECT doc_id, string_split(substr(text,1,120), ' ') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(toks[i:i+2], ' ')
+                                    for i in generate_series(1, greatest(len(toks)-2, 1))]) AS sh
+              FROM t
+            ), e AS (
+              SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n FROM s
+            ), cpairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+                     any_value(a.n) AS na, any_value(b.n) AS nb
+              FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), jpairs AS (
+              SELECT id_a, id_b FROM cpairs
+              WHERE inter*1.0/(na+nb-inter) >= 0.5
+            ), lab AS (
+              SELECT p.id_a, p.id_b, da.source AS sa, db.source AS sb
+              FROM jpairs p
+              JOIN documents da ON p.id_a = da.doc_id
+              JOIN documents db ON p.id_b = db.doc_id
+            ), canon AS (
+              SELECT least(sa, sb) AS group_a, greatest(sa, sb) AS group_b,
+                     CASE WHEN sa <= sb THEN id_a ELSE id_b END AS doc_a,
+                     CASE WHEN sa <= sb THEN id_b ELSE id_a END AS doc_b
+              FROM lab
+            )
+            SELECT group_a, group_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(count(DISTINCT doc_a) AS BIGINT) AS n_docs_a,
+                   CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_b
+            FROM canon GROUP BY group_a, group_b
+        """,
+        # ground-truth BIPARTITE jaccard join: corpus 120-char prefixes vs
+        # the 110-char-prefix benchmark (every 37th doc)
+        "fuzzy_contamination_documents": """
+            WITH ct AS (
+              SELECT doc_id, string_split(substr(text,1,120), ' ') AS toks
+              FROM documents
+            ), cs AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(toks[i:i+2], ' ')
+                                    for i in generate_series(1, greatest(len(toks)-2, 1))]) AS sh
+              FROM ct
+            ), ce AS (
+              SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n FROM cs
+            ), bt AS (
+              SELECT doc_id AS bench_id,
+                     string_split(substr(text,1,110), ' ') AS toks
+              FROM documents WHERE doc_id % 37 = 0
+            ), bs AS (
+              SELECT bench_id,
+                     list_distinct([array_to_string(toks[i:i+2], ' ')
+                                    for i in generate_series(1, greatest(len(toks)-2, 1))]) AS sh
+              FROM bt
+            ), be AS (
+              SELECT bench_id, unnest(sh) AS shingle, len(sh) AS n FROM bs
+            ), pairs AS (
+              SELECT c.doc_id, b.bench_id, count(*) AS inter,
+                     any_value(c.n) AS nc, any_value(b.n) AS nb
+              FROM ce c JOIN be b ON c.shingle = b.shingle
+              GROUP BY 1, 2
+            )
+            SELECT doc_id, bench_id,
+                   round(inter*1.0/(nc+nb-inter), 6) AS jaccard
+            FROM pairs WHERE inter*1.0/(nc+nb-inter) >= 0.5
         """,
         # components over ground-truth jaccard pairs via recursive CTE;
         # dropped = every component member except the component min

@@ -31,6 +31,9 @@ __all__ = [
     "contamination_pairs",
     "contaminated_ids",
     "decontaminate",
+    "fuzzy_contamination_pairs",
+    "fuzzy_contaminated_ids",
+    "fuzzy_decontaminate",
 ]
 
 
@@ -141,6 +144,134 @@ def decontaminate(
     """Corpus minus contaminated rows — broadcast anti-join on the (tiny)
     contaminated-id set; the corpus is never shuffled."""
     bad = contaminated_ids(corpus, benchmark, id_col=id_col, **kwargs)
+    bad = bad.withColumnRenamed("doc_id", "_contaminated")
+    return corpus.join(
+        F.broadcast(bad),
+        corpus[f"`{id_col}`"] == bad["_contaminated"],
+        "left_anti",
+    )
+
+
+# -- fuzzy (MinHash) decontamination ------------------------------------------
+#
+# Exact n-gram overlap misses PARAPHRASED / lightly-edited leakage — a
+# benchmark item whose whitespace, casing, or a few words were changed
+# shares no 13-gram with its source yet is still contamination (the gap
+# GPT-3's appendix C acknowledges and later pipelines — e.g. Llama/Dolma
+# fuzzy decontamination — close with MinHash). The fuzzy path reuses the
+# dedup module's banded-MinHash machinery BIPARTITELY: corpus band digests
+# join benchmark band digests (broadcast — the benchmark is tiny), and
+# only the surfaced candidates pay for an exact shingle-Jaccard verify.
+
+
+def fuzzy_contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    shingle_size: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    seed: int = 42,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_id, bench_id, jaccard) for corpus docs near-duplicating a
+    benchmark doc at exact shingle-Jaccard ≥ ``threshold``, surfaced by
+    bipartite banded MinHash-LSH.
+
+    Scale shape (unlike the self-join in
+    :func:`~.dedup.minhash_lsh_candidates`, NO degenerate-bucket cap is
+    needed): the candidate set is corpus × benchmark band collisions,
+    structurally bounded by |corpus| × bands rows even if every corpus
+    doc hits a boilerplate benchmark bucket — O(n), never O(n²). The
+    benchmark band table broadcasts; the corpus streams through its
+    signature pipeline scan-bound with no shuffle before the candidate
+    distinct (|candidates| tiny tuples). The verify step prunes the
+    corpus to candidate docs with a broadcast semi-join before computing
+    shingle sets, so full text is re-read only for hits.
+
+    Determinism: signatures are seeded xxhash64 — a pair is either
+    surfaced or not, identically on every run/cluster size. Recall at
+    the threshold boundary follows the banded-LSH S-curve
+    (1-(1-j^r)^b); size bands for the j you must not miss.
+    """
+    from .dedup import minhash_band_digests, shingles_expr
+
+    c_bands = minhash_band_digests(
+        corpus,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_size=shingle_size,
+        num_hashes=num_hashes,
+        bands=bands,
+        seed=seed,
+    ).withColumnRenamed("_id", "doc_id")
+    b_bands = minhash_band_digests(
+        benchmark,
+        text_col=bench_text_col,
+        id_col=bench_id_col,
+        shingle_size=shingle_size,
+        num_hashes=num_hashes,
+        bands=bands,
+        seed=seed,
+    ).withColumnRenamed("_id", "bench_id")
+    candidates = (
+        c_bands.join(F.broadcast(b_bands), on=["band", "digest"])
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    # exact verify on candidates only: prune the corpus to hit docs first
+    # (broadcast semi-join on the tiny candidate-id set), THEN shingle
+    hit_ids = candidates.select(F.col("doc_id").alias("_hit")).distinct()
+    c_sh = corpus.join(
+        F.broadcast(hit_ids),
+        corpus[f"`{id_col}`"] == F.col("_hit"),
+        "left_semi",
+    ).select(
+        F.col(f"`{id_col}`").alias("doc_id"),
+        shingles_expr(text_col, size=shingle_size).alias("_sh_c"),
+    )
+    b_sh = benchmark.select(
+        F.col(f"`{bench_id_col}`").alias("bench_id"),
+        shingles_expr(bench_text_col, size=shingle_size).alias("_sh_b"),
+    )
+    return (
+        candidates.join(c_sh, "doc_id")
+        .join(F.broadcast(b_sh), "bench_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sh_c", "_sh_b")).cast("double")
+            / F.size(F.array_union("_sh_c", "_sh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "bench_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def fuzzy_contaminated_ids(
+    corpus: DataFrame, benchmark: DataFrame, **kwargs
+) -> DataFrame:
+    """Distinct corpus ids fuzzy-contaminated by any benchmark doc."""
+    return (
+        fuzzy_contamination_pairs(corpus, benchmark, **kwargs)
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Corpus minus fuzzy-contaminated rows — the same zero-corpus-shuffle
+    broadcast anti-join as :func:`decontaminate`."""
+    bad = fuzzy_contaminated_ids(corpus, benchmark, id_col=id_col, **kwargs)
     bad = bad.withColumnRenamed("doc_id", "_contaminated")
     return corpus.join(
         F.broadcast(bad),

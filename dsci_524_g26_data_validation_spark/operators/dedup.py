@@ -41,8 +41,10 @@ __all__ = [
     "shingles_expr",
     "minhash_signature_expr",
     "minhash_signatures",
+    "minhash_band_digests",
     "minhash_lsh_candidates",
     "jaccard_verify",
+    "pair_group_matrix",
     "simhash",
     "simhash_near_duplicates",
     "winnow_candidates",
@@ -200,6 +202,69 @@ def minhash_signatures(
     return sig
 
 
+def minhash_band_digests(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """(_id, band, digest) — one row per (document, LSH band), where
+    ``digest`` is the 8-byte xxhash64 of that band's signature slice.
+
+    The shared candidate-key pipeline behind :func:`minhash_lsh_candidates`
+    (self-join dedup) and :func:`~.contamination.fuzzy_contamination_pairs`
+    (bipartite corpus-vs-benchmark join). Keeping ONE construction means
+    both paths produce canonical-equal plans, so Spark's ReuseExchange can
+    collapse repeated derivations onto a single shuffle (asserted in
+    tests/test_plans.py for the self-join path)."""
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rpb = num_hashes // bands
+    return minhash_signatures(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_size=shingle_size,
+        num_hashes=num_hashes,
+        seed=seed,
+    ).select(
+        "_id",
+        # explode_OUTER: a plain explode triggers InferFiltersFromGenerate,
+        # whose size()>0 filter is predicate-pushed below the signature
+        # projections with the WHOLE expression inlined — one extra full
+        # signature evaluation (num_hashes shingling passes) per row in
+        # the Filter. The rule skips outer generates; the band array is
+        # never empty, so no null row ever materializes.
+        F.explode_outer(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(F.slice(F.col("_sig"), b * rpb + 1, rpb), ","),
+                        F.lit(seed),
+                    ).alias("digest"),
+                ),
+            )
+        ).alias("bd"),
+    ).filter(
+        # field-level null guards, not just the struct: explode_outer makes
+        # bd (and its fields) nullable, so the self-join would infer
+        # isnotnull(band)/isnotnull(digest) on its two branches ONLY —
+        # breaking exchange reuse with the star branch. Enforcing the
+        # same filters here keeps all three derivations canonical-equal
+        # (one scan + ReusedExchange, asserted in test_plans.py).
+        F.col("bd").isNotNull()
+        & F.col("bd.band").isNotNull()
+        & F.col("bd.digest").isNotNull()
+    ).select(
+        "_id", F.col("bd.band").alias("band"), F.col("bd.digest").alias("digest")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     *,
@@ -243,47 +308,14 @@ def minhash_lsh_candidates(
     branch) onto a single (band, digest) shuffle, so the cap costs one
     windowed count over already-shuffled data, not extra scans.
     """
-    assert num_hashes % bands == 0, "bands must divide num_hashes"
-    rpb = num_hashes // bands
-    banded = minhash_signatures(
+    banded = minhash_band_digests(
         df,
         text_col=text_col,
         id_col=id_col,
         shingle_size=shingle_size,
         num_hashes=num_hashes,
+        bands=bands,
         seed=seed,
-    ).select(
-        "_id",
-        # explode_OUTER: a plain explode triggers InferFiltersFromGenerate,
-        # whose size()>0 filter is predicate-pushed below the signature
-        # projections with the WHOLE expression inlined — one extra full
-        # signature evaluation (num_hashes shingling passes) per row in
-        # the Filter. The rule skips outer generates; the band array is
-        # never empty, so no null row ever materializes.
-        F.explode_outer(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(F.slice(F.col("_sig"), b * rpb + 1, rpb), ","),
-                        F.lit(seed),
-                    ).alias("digest"),
-                ),
-            )
-        ).alias("bd"),
-    ).filter(
-        # field-level null guards, not just the struct: explode_outer makes
-        # bd (and its fields) nullable, so the self-join would infer
-        # isnotnull(band)/isnotnull(digest) on its two branches ONLY —
-        # breaking exchange reuse with the star branch. Enforcing the
-        # same filters here keeps all three derivations canonical-equal
-        # (one scan + ReusedExchange, asserted in test_plans.py).
-        F.col("bd").isNotNull()
-        & F.col("bd.band").isNotNull()
-        & F.col("bd.digest").isNotNull()
-    ).select(
-        "_id", F.col("bd.band").alias("band"), F.col("bd.digest").alias("digest")
     )
     # One extra (band, digest)-keyed shuffle annotates every bucket with
     # its size and anchor (min id) before any pairing happens; anchor =
@@ -343,6 +375,66 @@ def jaccard_verify(
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
     return out
+
+
+def pair_group_matrix(
+    pairs: DataFrame,
+    labels: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    label_col: str = "source",
+) -> DataFrame:
+    """Cross-group duplicate-leakage matrix from a verified pair set.
+
+    The corpus-curation question behind every dedup pass: *which sources
+    duplicate each other?* (CommonCrawl vs C4 overlap, mirrored sites,
+    re-crawls of one feed). Given near-dup ``pairs`` (id_a, id_b) and a
+    ``labels`` frame mapping ids to a group label, returns one row per
+    unordered label pair:
+
+      (group_a, group_b, n_pairs, n_docs_a, n_docs_b)
+
+    with ``group_a <= group_b`` canonical ordering (so (X,Y) and (Y,X)
+    collapse) and ``n_docs_*`` = distinct documents of each side involved
+    — n_pairs counts edges, n_docs counts the blast radius.
+
+    Scale shape: the verified pair set is a vanishing fraction of the
+    corpus, so both label lookups broadcast the PAIR side against the
+    (id, label)-projected corpus scan — the corpus contributes two
+    column-pruned scans and never shuffles; the final groupBy runs on
+    |pairs| rows keyed by tiny label tuples.
+    """
+    lab = labels.select(
+        F.col(id_col).alias("_lid"), F.col(label_col).alias("_lab")
+    )
+    p = pairs.select("id_a", "id_b")
+    tagged = (
+        F.broadcast(p)
+        .join(lab, p["id_a"] == lab["_lid"])
+        .select("id_a", "id_b", F.col("_lab").alias("_lab_a"))
+    )
+    tagged = (
+        F.broadcast(tagged)
+        .join(lab, tagged["id_b"] == lab["_lid"])
+        .select("id_a", "id_b", "_lab_a", F.col("_lab").alias("_lab_b"))
+    )
+    # canonicalize the unordered label pair, carrying each side's doc id
+    # with its label so n_docs_a counts documents of group_a specifically
+    canon = tagged.select(
+        F.least("_lab_a", "_lab_b").alias("group_a"),
+        F.greatest("_lab_a", "_lab_b").alias("group_b"),
+        F.when(F.col("_lab_a") <= F.col("_lab_b"), F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("_doc_a"),
+        F.when(F.col("_lab_a") <= F.col("_lab_b"), F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("_doc_b"),
+    )
+    return canon.groupBy("group_a", "group_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("_doc_a").alias("n_docs_a"),
+        F.countDistinct("_doc_b").alias("n_docs_b"),
+    )
 
 
 # -- SimHash -----------------------------------------------------------------

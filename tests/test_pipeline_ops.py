@@ -898,3 +898,112 @@ def test_json_field_stats_faults_classified(spark):
     assert r.n_missing == 2  # absent key + NULL payload
     assert r.n_nonnumeric == 1
     assert (r.min_value, r.max_value, r.avg_value) == (10.0, 30.0, 20.0)
+
+
+# -- fuzzy (MinHash) decontamination ------------------------------------------
+
+
+def test_fuzzy_contamination_catches_edited_leak(spark):
+    """A benchmark doc with every 13-gram broken by sparse edits is
+    invisible to exact n-gram decontamination but caught by the fuzzy
+    (MinHash + exact-Jaccard) path — the scenario the operator exists for."""
+    from dsci_524_g26_data_validation_spark.operators import contamination as ct
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(40))) for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    # benchmark 200 = corpus doc 5 with words 12/25/38 swapped: the longest
+    # untouched run is 12 words, so NO 13-gram survives; shingle jaccard
+    # stays ~0.6. benchmark 201 shares nothing.
+    words = [f"w5x{j}" for j in range(40)]
+    for p in (12, 25, 38):
+        words[p] = f"edited{p}"
+    bench = spark.createDataFrame(
+        [(200, " ".join(words)), (201, "totally novel benchmark text here")],
+        "bench_id bigint, text string",
+    )
+    exact = ct.contamination_pairs(corpus, bench, n=13).collect()
+    assert exact == []  # the exact path is blind to this leak
+
+    pairs = ct.fuzzy_contamination_pairs(
+        corpus, bench, num_hashes=16, bands=16, threshold=0.5
+    ).collect()
+    hits = {(r["doc_id"], r["bench_id"]): r["jaccard"] for r in pairs}
+    assert (5, 200) in hits
+    assert 0.5 <= hits[(5, 200)] < 1.0
+    assert all(b != 201 for (_, b) in hits)
+
+    clean = ct.fuzzy_decontaminate(
+        corpus, bench, num_hashes=16, bands=16, threshold=0.5
+    )
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert kept == set(range(30)) - {5}
+
+
+def test_fuzzy_contamination_broadcasts_benchmark(spark):
+    """Both the band join and the verify joins must broadcast the
+    benchmark/candidate side — the corpus never sort-merge-shuffles."""
+    from dsci_524_g26_data_validation_spark.operators import contamination as ct
+
+    corpus = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("body text of document "), F.col("id").cast("string")).alias(
+            "text"
+        ),
+    )
+    bench = spark.createDataFrame(
+        [(1, "body text of document 7")], "bench_id bigint, text string"
+    )
+    # threshold 0.7: every corpus doc shares the 2 generic shingles with
+    # the benchmark (jaccard exactly 0.5); only doc 7 is the true leak
+    pairs = ct.fuzzy_contamination_pairs(
+        corpus, bench, num_hashes=16, bands=8, threshold=0.7
+    )
+    plan = pairs._jdf.queryExecution().sparkPlan().toString()
+    assert "SortMergeJoin" not in plan
+    got = pairs.collect()
+    assert {(r.doc_id, r.bench_id) for r in got} == {(7, 1)}
+    assert got[0].jaccard == 1.0
+
+
+# -- cross-group duplicate-leakage matrix --------------------------------------
+
+
+def test_pair_group_matrix_canonical_and_counts(spark):
+    from dsci_524_g26_data_validation_spark.operators import dedup
+
+    labels = spark.createDataFrame(
+        [(1, "cc"), (2, "c4"), (3, "cc"), (4, "wiki"), (5, "c4"), (6, "c4")],
+        "doc_id bigint, source string",
+    )
+    # pairs deliberately mis-ordered vs label order: (c4,cc) must fold
+    # into (c4,cc) with group_a <= group_b regardless of id order
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 5), (2, 6), (1, 3)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {
+        (r.group_a, r.group_b): (r.n_pairs, r.n_docs_a, r.n_docs_b)
+        for r in dedup.pair_group_matrix(pairs, labels).collect()
+    }
+    # cc-c4 pairs: (1,2), (3,5) -> group_a='c4' docs {2,5}, group_b='cc' {1,3}
+    assert got[("c4", "cc")] == (2, 2, 2)
+    # same-group pair (2,6) both c4
+    assert got[("c4", "c4")] == (1, 1, 1)
+    assert got[("cc", "cc")] == (1, 1, 1)
+    assert set(got) == {("c4", "cc"), ("c4", "c4"), ("cc", "cc")}
+
+
+def test_pair_group_matrix_broadcasts_pairs(spark):
+    from dsci_524_g26_data_validation_spark.operators import dedup
+
+    labels = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 5).cast("string")).alias("source"),
+    )
+    pairs = spark.createDataFrame([(1, 6), (2, 7)], "id_a bigint, id_b bigint")
+    out = dedup.pair_group_matrix(pairs, labels)
+    plan = out._jdf.queryExecution().sparkPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
