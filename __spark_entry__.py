@@ -1879,6 +1879,17 @@ def _entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dv.column_entropies(d, ["lang", "source"])
 
 
+def _correlation_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson census over the lineitem value columns — all 6
+    pairs' sufficient statistics ride ONE fused scalar aggregation
+    (Deequ Correlation generalized); pairwise-complete NULL semantics
+    match SQL ``corr`` exactly, so the oracle is direct."""
+    li = _read(spark, sf_dir, "lineitem")
+    return dv.correlation_census(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
 def _anomaly_sources_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-clerk-prefix slice monitor: flag order-priority slices whose
     average total price is a ≥2σ outlier vs the population of slices —
@@ -2077,6 +2088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_range_orders": _sampled_range_orders,
         "anomaly_sources_orders": _anomaly_sources_orders,
         "entropy_documents": _entropy_documents,
+        "correlation_lineitem": _correlation_lineitem,
         "fd_violations_lineitem": _fd_violations_lineitem,
         "domain_census_documents": _domain_census_documents,
         "normalize_census_documents": _normalize_census_documents,
@@ -4351,6 +4363,44 @@ def oracle_sql() -> dict[str, str]:
                                THEN (m - mu) / sd END) > 2.0, FALSE))
                      AS is_anomaly
             FROM per, st ORDER BY "group"
+        """,
+        # same sufficient-statistics formula as the engine (n·Σxy − ΣxΣy
+        # over sqrt of the variance products) so no algorithmic fp drift
+        "correlation_lineitem": """
+            WITH melted AS (
+              SELECT p.col_a, p.col_b,
+                CASE p.col_a WHEN 'l_discount' THEN CAST(l.l_discount AS DOUBLE)
+                             WHEN 'l_extendedprice' THEN CAST(l.l_extendedprice AS DOUBLE)
+                             WHEN 'l_quantity' THEN CAST(l.l_quantity AS DOUBLE)
+                             ELSE CAST(l.l_tax AS DOUBLE) END AS x,
+                CASE p.col_b WHEN 'l_extendedprice' THEN CAST(l.l_extendedprice AS DOUBLE)
+                             WHEN 'l_quantity' THEN CAST(l.l_quantity AS DOUBLE)
+                             ELSE CAST(l.l_tax AS DOUBLE) END AS y
+              FROM lineitem l
+              CROSS JOIN (VALUES
+                ('l_discount','l_extendedprice'),
+                ('l_discount','l_quantity'),
+                ('l_discount','l_tax'),
+                ('l_extendedprice','l_quantity'),
+                ('l_extendedprice','l_tax'),
+                ('l_quantity','l_tax')) AS p(col_a, col_b)
+            ), stats AS (
+              SELECT col_a, col_b,
+                     count(*) AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x*x) AS sxx, sum(y*y) AS syy,
+                     sum(x*y) AS sxy
+              FROM melted
+              WHERE x IS NOT NULL AND y IS NOT NULL
+              GROUP BY col_a, col_b
+            )
+            SELECT col_a, col_b, CAST(n AS BIGINT) AS n_pairwise,
+                   round(CASE WHEN n >= 2 AND n*sxx - sx*sx > 0
+                                   AND n*syy - sy*sy > 0
+                         THEN (n*sxy - sx*sy)
+                              / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))
+                         END, 6) AS pearson_r
+            FROM stats
         """,
         "entropy_documents": """
             WITH pairs AS (

@@ -38,6 +38,7 @@ from .types import (
 )
 from .operators.infer import (
     column_entropies,
+    correlation_census,
     group_quantiles,
     infer_contract,
     infer_profile,
@@ -256,6 +257,7 @@ __all__ = [
     "ks",
     "psi",
     "column_entropies",
+    "correlation_census",
     "drift_scores",
     "read_compatibility",
     "functional_dependency_violations",

@@ -41,6 +41,7 @@ __all__ = [
     "infer_profile",
     "group_quantiles",
     "column_entropies",
+    "correlation_census",
     "DEFAULT_MAX_CATEGORIES",
 ]
 
@@ -338,3 +339,77 @@ def column_entropies(df: DataFrame, cols) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+def correlation_census(df: DataFrame, cols=None) -> DataFrame:
+    """(col_a, col_b, n_pairwise, pearson_r) for every unordered pair of
+    numeric columns — ALL pairs in ONE scan (Deequ's ``Correlation``
+    analyzer, generalized to the full pairwise census).
+
+    The redundancy/consistency profile: |r| ≈ 1 flags a derived or
+    duplicated column (storage waste and leakage risk if one is a label),
+    a KNOWN-correlated pair drifting to r ≈ 0 flags a broken extractor
+    upstream. NULL handling is pairwise-complete (a row contributes to a
+    pair iff BOTH cells are non-null — the standard ``corr`` semantics,
+    so every cell is engine-reproducible).
+
+    Plan: one fused hash-aggregate emits the six sufficient statistics
+    (n, Σx, Σy, Σx², Σy², Σxy) per pair — k columns → 6·k(k−1)/2 counter
+    terms riding a single column-pruned scan, the same shape as the
+    fused contract pass; the 1-row result unpivots lazily via ``inline``
+    (the aggregate_checks_report pattern). No shuffle beyond the scalar
+    aggregation; safe at any row count (state is O(pairs), not O(rows)).
+
+    ``pearson_r`` is NULL when fewer than 2 complete pairs exist or when
+    either side is constant on the pairwise-complete subset (zero
+    variance — correlation undefined).
+    """
+    if cols is None:
+        cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, T.NumericType)
+        ]
+    cols = sorted(cols)
+    if len(cols) < 2:
+        raise ValueError("correlation_census needs at least 2 numeric columns")
+
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    terms = []
+    for i, (a, b) in enumerate(pairs):
+        x = F.col(f"`{a}`").cast("double")
+        y = F.col(f"`{b}`").cast("double")
+        both = x.isNotNull() & y.isNotNull()
+        terms += [
+            F.count_if(both).alias(f"n{i}"),
+            F.sum(F.when(both, x)).alias(f"sx{i}"),
+            F.sum(F.when(both, y)).alias(f"sy{i}"),
+            F.sum(F.when(both, x * x)).alias(f"sxx{i}"),
+            F.sum(F.when(both, y * y)).alias(f"syy{i}"),
+            F.sum(F.when(both, x * y)).alias(f"sxy{i}"),
+        ]
+    row = df.agg(*terms)
+
+    def _r(i: int):
+        n = F.col(f"n{i}").cast("double")
+        var_a = n * F.col(f"sxx{i}") - F.col(f"sx{i}") * F.col(f"sx{i}")
+        var_b = n * F.col(f"syy{i}") - F.col(f"sy{i}") * F.col(f"sy{i}")
+        cov = n * F.col(f"sxy{i}") - F.col(f"sx{i}") * F.col(f"sy{i}")
+        # strict > 0 guards both the undefined-variance case and the
+        # sqrt-of-negative-epsilon fp artifact; ANSI mode would abort on
+        # a 0-denominator division, hence the WHEN gate rather than /0
+        return F.when(
+            (F.col(f"n{i}") >= 2) & (var_a > 0) & (var_b > 0),
+            cov / F.sqrt(var_a * var_b),
+        )
+
+    structs = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col(f"n{i}").cast("bigint").alias("n_pairwise"),
+            F.round(_r(i), 6).alias("pearson_r"),
+        )
+        for i, (a, b) in enumerate(pairs)
+    ]
+    return row.select(F.inline(F.array(*structs)))

@@ -329,3 +329,75 @@ def test_fd_violations_two_stage_plan(spark):
     )
     assert "collect_set" not in plan
     assert plan.count("Exchange") <= 2
+
+
+# -- correlation census --------------------------------------------------------
+
+
+def test_correlation_census_values(spark):
+    import math
+
+    import dsci_524_g26_data_validation_spark as dv
+
+    # y = 2x exactly (r=1), z anti-correlated with x (r=-1 on complete
+    # pairs), w constant (r undefined -> NULL), plus planted NULLs so the
+    # pairwise-complete semantics are exercised per pair
+    rows = [
+        (1.0, 2.0, 9.0, 5.0),
+        (2.0, 4.0, 7.0, 5.0),
+        (3.0, 6.0, None, 5.0),
+        (4.0, 8.0, 3.0, 5.0),
+        (None, 1.0, 1.0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, z double, w double")
+    got = {
+        (r.col_a, r.col_b): (r.n_pairwise, r.pearson_r)
+        for r in dv.correlation_census(df).collect()
+    }
+    assert set(got) == {
+        ("w", "x"), ("w", "y"), ("w", "z"),
+        ("x", "y"), ("x", "z"), ("y", "z"),
+    }
+    assert got[("x", "y")] == (4, 1.0)
+    # x,z complete pairs: (1,9),(2,7),(4,3) -> perfectly linear, r=-1
+    assert got[("x", "z")] == (3, -1.0)
+    # constant column: correlation undefined
+    assert got[("w", "x")] == (4, None)
+    # y,z pairs: (2,9),(4,7),(8,3),(1,1) -> verify against closed form
+    ys, zs = [2.0, 4.0, 8.0, 1.0], [9.0, 7.0, 3.0, 1.0]
+    n = 4
+    sx, sy = sum(ys), sum(zs)
+    sxx, syy = sum(v * v for v in ys), sum(v * v for v in zs)
+    sxy = sum(a * b for a, b in zip(ys, zs))
+    r = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert got[("y", "z")] == (4, round(r, 6))
+
+
+def test_correlation_census_single_scan(spark, sf_dir):
+    """All pairs ride ONE fused aggregation over one column-pruned scan."""
+    import dsci_524_g26_data_validation_spark as dv
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = dv.correlation_census(
+        df, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    assert "Exchange hashpartitioning" not in plan  # scalar agg only
+    schema = [
+        l for l in plan.splitlines() if "ReadSchema" in l or "FileScan" in l
+    ]
+    # column pruning: only the 4 requested columns reach the scan
+    assert "l_orderkey" not in "".join(schema)
+
+
+def test_correlation_census_needs_two_columns(spark):
+    import pytest as _pytest
+
+    import dsci_524_g26_data_validation_spark as dv
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with _pytest.raises(ValueError):
+        dv.correlation_census(df)
