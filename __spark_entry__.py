@@ -1879,6 +1879,20 @@ def _entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dv.column_entropies(d, ["lang", "source"])
 
 
+def _lm_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-proxy quality gate: train an add-alpha word
+    bigram LM on the even-doc_id half of the corpus, score the odd half,
+    report per-source fluency (n_docs, avg/min/max doc nll). The oracle
+    replays the exact closed-form model in SQL — counts, smoothing,
+    log2 terms and the two rounding points all replicated."""
+    from dsci_524_g26_data_validation_spark.operators import lm
+
+    docs = _read(spark, sf_dir, "documents")
+    baseline = docs.filter(F.col("doc_id") % 2 == 0)
+    corpus = docs.filter(F.col("doc_id") % 2 == 1)
+    return lm.lm_quality_census(corpus, baseline)
+
+
 def _correlation_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson census over the lineitem value columns — all 6
     pairs' sufficient statistics ride ONE fused scalar aggregation
@@ -2088,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_range_orders": _sampled_range_orders,
         "anomaly_sources_orders": _anomaly_sources_orders,
         "entropy_documents": _entropy_documents,
+        "lm_quality_documents": _lm_quality_documents,
         "correlation_lineitem": _correlation_lineitem,
         "fd_violations_lineitem": _fd_violations_lineitem,
         "domain_census_documents": _domain_census_documents,
@@ -4363,6 +4378,55 @@ def oracle_sql() -> dict[str, str]:
                                THEN (m - mu) / sd END) > 2.0, FALSE))
                      AS is_anomaly
             FROM per, st ORDER BY "group"
+        """,
+        # the full add-alpha bigram LM replayed in SQL: train counts on
+        # even doc_ids, score odd doc_ids, the same two rounding points
+        "lm_quality_documents": """
+            WITH btoks AS (
+              SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 t -> t <> '') AS t
+              FROM documents WHERE doc_id % 2 = 0
+            ), uni AS (
+              SELECT u AS w1, count(*) AS c
+              FROM (SELECT unnest(t) AS u FROM btoks) GROUP BY 1
+            ), bi AS (
+              SELECT g.w1, g.w2, count(*) AS c
+              FROM (
+                SELECT unnest([{'w1': t[i], 'w2': t[i+1]}
+                               for i in generate_series(1, len(t)-1)]) AS g
+                FROM btoks WHERE len(t) >= 2
+              ) GROUP BY 1, 2
+            ), vocab AS (
+              SELECT CAST(count(*) AS DOUBLE) AS V FROM uni
+            ), ctoks AS (
+              SELECT doc_id, source,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 t -> t <> '') AS t
+              FROM documents WHERE doc_id % 2 = 1
+            ), cgrams AS (
+              SELECT doc_id, unnest([{'w1': t[i], 'w2': t[i+1]}
+                                     for i in generate_series(1, len(t)-1)]) AS g
+              FROM ctoks WHERE len(t) >= 2
+            ), nll AS (
+              SELECT doc_id,
+                     -log2((coalesce(bi.c, 0) + 0.5)
+                           / (coalesce(uni.c, 0) + 0.5 * vocab.V)) AS v
+              FROM cgrams
+              LEFT JOIN bi ON cgrams.g.w1 = bi.w1 AND cgrams.g.w2 = bi.w2
+              LEFT JOIN uni ON cgrams.g.w1 = uni.w1
+              CROSS JOIN vocab
+            ), per_doc AS (
+              SELECT c.doc_id, c.source,
+                     coalesce(count(nll.v), 0) AS n_bigrams,
+                     round(avg(nll.v), 6) AS avg_nll
+              FROM ctoks c LEFT JOIN nll ON c.doc_id = nll.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   round(avg(avg_nll), 6) AS avg_doc_nll,
+                   round(min(avg_nll), 6) AS min_doc_nll,
+                   round(max(avg_nll), 6) AS max_doc_nll
+            FROM per_doc GROUP BY source
         """,
         # same sufficient-statistics formula as the engine (n·Σxy − ΣxΣy
         # over sqrt of the variance products) so no algorithmic fp drift
