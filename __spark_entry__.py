@@ -1879,6 +1879,33 @@ def _entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dv.column_entropies(d, ["lang", "source"])
 
 
+def _group_contract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cohort contract validation: aggregate facets evaluated per
+    order priority — the group-level breach table-level validation
+    dilutes away (a cohort's min/max/missingness/invalid-category state,
+    one grouped fused scan). Bounds picked so the facets fire for SOME
+    priorities only; the 'P' status fires category everywhere; the
+    pattern rule fails exactly for priorities 4 and 5."""
+    from dsci_524_g26_data_validation_spark.types import ColumnRule, Contract
+
+    o = _read(spark, sf_dir, "orders")
+    contract = Contract(
+        columns={
+            "o_totalprice": ColumnRule(
+                dtype="double", min_value=1050.0, max_value=499900.0
+            ),
+            "o_orderstatus": ColumnRule(
+                dtype="string", allowed_values={"O", "F"}
+            ),
+            "o_custkey": ColumnRule(dtype="bigint", max_missing_frac=0.0),
+            "o_orderpriority": ColumnRule(
+                dtype="string", pattern="[1-3]-[A-Z ]+"
+            ),
+        }
+    )
+    return dv.validate_by_group(o, contract, group_col="o_orderpriority")
+
+
 def _lm_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity-proxy quality gate: train an add-alpha word
     bigram LM on the even-doc_id half of the corpus, score the odd half,
@@ -2102,6 +2129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_range_orders": _sampled_range_orders,
         "anomaly_sources_orders": _anomaly_sources_orders,
         "entropy_documents": _entropy_documents,
+        "group_contract_orders": _group_contract_orders,
         "lm_quality_documents": _lm_quality_documents,
         "correlation_lineitem": _correlation_lineitem,
         "fd_violations_lineitem": _fd_violations_lineitem,
@@ -4378,6 +4406,45 @@ def oracle_sql() -> dict[str, str]:
                                THEN (m - mu) / sd END) > 2.0, FALSE))
                      AS is_anomaly
             FROM per, st ORDER BY "group"
+        """,
+        # per-priority aggregate facets with validate_contract's exact
+        # thresholds (strict > missingness, independent range sides,
+        # NULL-excluded category, full-match pattern)
+        "group_contract_orders": """
+            WITH s AS (
+              SELECT o_orderpriority AS grp,
+                avg(CASE WHEN o_totalprice IS NULL THEN 1.0 ELSE 0.0 END) AS nf1,
+                min(CAST(o_totalprice AS DOUBLE)) AS mn1,
+                max(CAST(o_totalprice AS DOUBLE)) AS mx1,
+                avg(CASE WHEN o_orderstatus IS NULL THEN 1.0 ELSE 0.0 END) AS nf2,
+                count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                                   AND o_orderstatus NOT IN ('O','F')) AS inv2,
+                avg(CASE WHEN o_custkey IS NULL THEN 1.0 ELSE 0.0 END) AS nf3,
+                avg(CASE WHEN o_orderpriority IS NULL THEN 1.0 ELSE 0.0 END) AS nf4,
+                count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                                   AND NOT regexp_full_match(
+                                         o_orderpriority, '[1-3]-[A-Z ]+')) AS bp4
+              FROM orders GROUP BY 1
+            ), u AS (
+              SELECT grp, 'missingness' AS kind, 'o_totalprice' AS col,
+                     nf1 AS observed, 0.0 AS expected, nf1 > 0.0 AS fired FROM s
+              UNION ALL SELECT grp, 'range', 'o_totalprice', mn1, 1050.0,
+                        mn1 < 1050.0 FROM s
+              UNION ALL SELECT grp, 'range', 'o_totalprice', mx1, 499900.0,
+                        mx1 > 499900.0 FROM s
+              UNION ALL SELECT grp, 'missingness', 'o_orderstatus', nf2, 0.0,
+                        nf2 > 0.0 FROM s
+              UNION ALL SELECT grp, 'category', 'o_orderstatus',
+                        CAST(inv2 AS DOUBLE), NULL, inv2 > 0 FROM s
+              UNION ALL SELECT grp, 'missingness', 'o_custkey', nf3, 0.0,
+                        nf3 > 0.0 FROM s
+              UNION ALL SELECT grp, 'missingness', 'o_orderpriority', nf4, 0.0,
+                        nf4 > 0.0 FROM s
+              UNION ALL SELECT grp, 'pattern', 'o_orderpriority',
+                        CAST(bp4 AS DOUBLE), NULL, bp4 > 0 FROM s
+            )
+            SELECT grp AS "group", kind, col AS "column", observed, expected
+            FROM u WHERE fired
         """,
         # the full add-alpha bigram LM replayed in SQL: train counts on
         # even doc_ids, score odd doc_ids, the same two rounding points

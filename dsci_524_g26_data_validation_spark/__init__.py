@@ -46,6 +46,7 @@ from .operators.infer import (
 from .operators.validate import (
     partition_verdicts,
     validate_and_fail,
+    validate_by_group,
     validate_contract,
     violation_rows,
 )
@@ -162,6 +163,7 @@ from .operators.urls import (
 )
 from .operators.normalize import normalization_census, normalize_text
 from .sources.manifest import FileManifestStore
+from .sources.files import file_census, flag_outlier_files
 from .sources.shards import assign_shards, shard_plan, write_shards
 from .sources.token_table import source_dim, token_table
 
@@ -239,6 +241,7 @@ __all__ = [
     "infer_profile",
     "validate_contract",
     "validate_and_fail",
+    "validate_by_group",
     "violation_rows",
     "partition_verdicts",
     "compare_contracts",
@@ -302,6 +305,8 @@ __all__ = [
     "normalize_text",
     "normalization_census",
     "assign_shards",
+    "file_census",
+    "flag_outlier_files",
     "shard_plan",
     "write_shards",
 ]

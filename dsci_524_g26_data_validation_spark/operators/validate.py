@@ -50,6 +50,7 @@ __all__ = [
     "validate_and_fail",
     "violation_rows",
     "partition_verdicts",
+    "validate_by_group",
 ]
 
 #: Cap on the observed categorical set collected for a category Issue —
@@ -413,4 +414,140 @@ def partition_verdicts(
             .otherwise(F.lit("pass"))
             .alias("verdict"),
         )
+    )
+
+
+def validate_by_group(
+    df: DataFrame,
+    contract: Contract,
+    *,
+    group_col: str,
+) -> DataFrame:
+    """Per-cohort contract validation: the contract's DATA facets
+    evaluated independently for every value of ``group_col`` →
+    (group, kind, column, observed, expected) issue rows, lazily.
+
+    The gap :func:`partition_verdicts` can't cover: that counts ROW
+    violations per partition, but aggregate facets are group-level
+    properties — a source can violate ``max_missing_frac`` while the
+    whole table passes (its NULLs diluted by the other sources), and a
+    per-group range breach pinpoints WHICH cohort regressed. Facets and
+    thresholds are exactly :func:`validate_contract`'s (strict ``>`` on
+    missingness, independent lower/upper range, NULL-excluded category,
+    full-match pattern); schema-level kinds (missing/extra column,
+    dtype) are group-invariant and stay with ``validate_contract``.
+
+    Scale shape: ONE scan; the grouped fused aggregation shuffles
+    per-partition partials keyed by group (map-side combined — state is
+    O(groups × rules), never rows); issue assembly is a lazy ``inline``
+    unpivot over the |groups|-row aggregate. ``observed``/``expected``
+    are doubles (for category/pattern, observed = the offending count
+    and expected is NULL — the set/pattern itself lives in the
+    contract), so the frame is engine-comparable without string
+    formatting drift.
+    """
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    if group_col not in schema:
+        raise ValueError(f"group_col {group_col!r} not in DataFrame")
+
+    from ..plans.rule_compiler import is_numeric_spark_type, pattern_violation
+
+    aggs: List = []
+    checks: List = []  # (fired-condition builder deferred to aliases)
+
+    def slot(expr, name: str) -> str:
+        aggs.append(expr.alias(name))
+        return name
+
+    i = 0
+    for col, rule in contract.columns.items():
+        if col not in schema:
+            continue
+        # rules on the group key itself evaluate naturally (every row in
+        # a group shares the value, so e.g. its pattern facet becomes a
+        # per-group format verdict); a NULL group key forms its own group
+        c = F.col(f"`{col}`")
+        nf = slot(F.avg(c.isNull().cast("double")), f"nf{i}")
+        checks.append(
+            (
+                F.col(nf) > F.lit(rule.max_missing_frac),
+                "missingness",
+                col,
+                F.col(nf),
+                F.lit(float(rule.max_missing_frac)),
+            )
+        )
+        if is_numeric_spark_type(schema[col]):
+            if rule.min_value is not None:
+                mn = slot(F.min(c).cast("double"), f"mn{i}")
+                checks.append(
+                    (
+                        F.col(mn) < F.lit(float(rule.min_value)),
+                        "range",
+                        col,
+                        F.col(mn),
+                        F.lit(float(rule.min_value)),
+                    )
+                )
+            if rule.max_value is not None:
+                mx = slot(F.max(c).cast("double"), f"mx{i}")
+                checks.append(
+                    (
+                        F.col(mx) > F.lit(float(rule.max_value)),
+                        "range",
+                        col,
+                        F.col(mx),
+                        F.lit(float(rule.max_value)),
+                    )
+                )
+        if rule.allowed_values is not None:
+            sc = categorical_cast(c, schema[col])
+            inv = slot(
+                F.count_if(
+                    sc.isNotNull() & ~sc.isin(sorted(rule.allowed_values))
+                ),
+                f"inv{i}",
+            )
+            checks.append(
+                (
+                    F.col(inv) > 0,
+                    "category",
+                    col,
+                    F.col(inv).cast("double"),
+                    F.lit(None).cast("double"),
+                )
+            )
+        if rule.pattern is not None:
+            bp = slot(
+                F.count_if(pattern_violation(c, rule.pattern)), f"bp{i}"
+            )
+            checks.append(
+                (
+                    F.col(bp) > 0,
+                    "pattern",
+                    col,
+                    F.col(bp).cast("double"),
+                    F.lit(None).cast("double"),
+                )
+            )
+        i += 1
+
+    if not aggs:
+        raise ValueError("contract declares no data facet for any df column")
+
+    grouped = df.groupBy(F.col(f"`{group_col}`").alias("group")).agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(kind).alias("kind"),
+            F.lit(col).alias("column"),
+            observed.alias("observed"),
+            expected.alias("expected"),
+            fired.alias("_fired"),
+        )
+        for fired, kind, col, observed, expected in checks
+    ]
+    return (
+        grouped.select("group", F.inline(F.array(*structs)))
+        .filter(F.col("_fired"))
+        .drop("_fired")
     )

@@ -196,3 +196,94 @@ def test_partition_verdicts_by_column(spark, f1_contract):
 def test_zero_row_frame_passes(spark, f1_contract):
     df = spark.createDataFrame([], "age bigint, city string")
     assert validate_contract(df, f1_contract).ok is True
+
+
+# -- per-group (cohort) validation ---------------------------------------------
+
+
+def test_validate_by_group_facets(spark):
+    """Every data facet fires per group with validate_contract's exact
+    thresholds: strict > missingness, independent range sides,
+    NULL-excluded category, full-match pattern."""
+    import dsci_524_g26_data_validation_spark as dv
+    from dsci_524_g26_data_validation_spark.types import ColumnRule, Contract
+
+    rows = [
+        # group a: clean except upper range (x=15 > 10)
+        ("a", 5.0, "ok", "A1"),
+        ("a", 15.0, "ok", "A2"),
+        # group b: NULL x (missingness 0.5 > 0.2), bad category,
+        # pattern violation
+        ("b", None, "junk", "zz"),
+        ("b", 3.0, "ok", "B1"),
+        # group c: lower range (x=-1 < 0), missingness 0 passes
+        ("c", -1.0, "ok", "C1"),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, cat string, code string")
+    contract = Contract(
+        columns={
+            "x": ColumnRule(
+                dtype="double", max_missing_frac=0.2, min_value=0.0,
+                max_value=10.0,
+            ),
+            "cat": ColumnRule(dtype="string", allowed_values={"ok"}),
+            "code": ColumnRule(dtype="string", pattern="[A-C][0-9]"),
+        }
+    )
+    got = {
+        (r.group, r.kind, r.column): (r.observed, r.expected)
+        for r in dv.validate_by_group(df, contract, group_col="g").collect()
+    }
+    assert got[("a", "range", "x")] == (15.0, 10.0)
+    assert got[("b", "missingness", "x")] == (0.5, 0.2)
+    assert got[("b", "category", "cat")] == (1.0, None)
+    assert got[("b", "pattern", "code")] == (1.0, None)
+    assert got[("c", "range", "x")] == (-1.0, 0.0)
+    # nothing else fired: a's missingness is 0 (<= 0.2), c's category ok
+    assert set(got) == {
+        ("a", "range", "x"),
+        ("b", "missingness", "x"),
+        ("b", "category", "cat"),
+        ("b", "pattern", "code"),
+        ("c", "range", "x"),
+    }
+
+
+def test_validate_by_group_at_threshold_passes(spark):
+    """Missingness exactly AT max_missing_frac passes (strict >), matching
+    validate_contract; all-NULL groups emit no range issue (min/max NULL)."""
+    import dsci_524_g26_data_validation_spark as dv
+    from dsci_524_g26_data_validation_spark.types import ColumnRule, Contract
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("b", None), ("b", None)],
+        "g string, x double",
+    )
+    contract = Contract(
+        columns={"x": ColumnRule(dtype="double", max_missing_frac=0.5,
+                                 min_value=0.0)}
+    )
+    got = dv.validate_by_group(df, contract, group_col="g").collect()
+    # a: frac 0.5 == threshold -> passes; b: frac 1.0 fires, but min is
+    # NULL so no range row
+    assert [(r.group, r.kind) for r in got] == [("b", "missingness")]
+
+
+def test_validate_by_group_single_scan(spark, sf_dir):
+    import dsci_524_g26_data_validation_spark as dv
+    from dsci_524_g26_data_validation_spark.types import ColumnRule, Contract
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    contract = Contract(
+        columns={
+            "o_totalprice": ColumnRule(dtype="double", min_value=1050.0,
+                                       max_value=499900.0),
+            "o_orderstatus": ColumnRule(dtype="string",
+                                        allowed_values={"O", "F"}),
+        }
+    )
+    out = dv.validate_by_group(df, contract, group_col="o_orderpriority")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    # grouped agg -> exactly one hash-partitioned exchange on the group key
+    assert plan.count("Exchange hashpartitioning") == 1
