@@ -4443,7 +4443,9 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT grp, 'pattern', 'o_orderpriority',
                         CAST(bp4 AS DOUBLE), NULL, bp4 > 0 FROM s
             )
-            SELECT grp AS "group", kind, col AS "column", observed, expected
+            SELECT grp AS "group", kind, col AS "column",
+                   CAST(observed AS DOUBLE) AS observed,
+                   CAST(expected AS DOUBLE) AS expected
             FROM u WHERE fired
         """,
         # the full add-alpha bigram LM replayed in SQL: train counts on
