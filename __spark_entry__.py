@@ -1906,6 +1906,29 @@ def _group_contract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dv.validate_by_group(o, contract, group_col="o_orderpriority")
 
 
+_SPLITS_8_1_1 = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _split_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split census: realized counts and shares
+    per split vs the declared weights — membership a pure function of
+    md5(doc_id), so the oracle recomputes the identical partition."""
+    d = _read(spark, sf_dir, "documents")
+    return dv.split_census(d, _SPLITS_8_1_1, id_col="doc_id").orderBy("split")
+
+
+def _split_leakage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split exact-content leakage over the same 80/10/10 split:
+    the testdata's planted duplicate 40-char prefixes land in different
+    splits for some groups — each such group is an eval-set leak."""
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("prefix")
+    )
+    return dv.split_leakage(
+        d, _SPLITS_8_1_1, id_col="doc_id", content_col="prefix"
+    )
+
+
 def _lm_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity-proxy quality gate: train an add-alpha word
     bigram LM on the even-doc_id half of the corpus, score the odd half,
@@ -2130,6 +2153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_sources_orders": _anomaly_sources_orders,
         "entropy_documents": _entropy_documents,
         "group_contract_orders": _group_contract_orders,
+        "split_census_documents": _split_census_documents,
+        "split_leakage_documents": _split_leakage_documents,
         "lm_quality_documents": _lm_quality_documents,
         "correlation_lineitem": _correlation_lineitem,
         "fd_violations_lineitem": _fd_violations_lineitem,
@@ -4447,6 +4472,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(observed AS DOUBLE) AS observed,
                    CAST(expected AS DOUBLE) AS expected
             FROM u WHERE fired
+        """,
+        # the deterministic 80/10/10 split replayed from md5 arithmetic
+        "split_census_documents": """
+            WITH h AS (
+                SELECT CASE
+                    WHEN CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),
+                              1,15)) AS BIGINT) % 1000000 < 800000
+                        THEN 'train'
+                    WHEN CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),
+                              1,15)) AS BIGINT) % 1000000 < 900000
+                        THEN 'val'
+                    ELSE 'test' END AS split
+                FROM documents
+            ), s AS (
+                SELECT split, count(*) AS n_rows FROM h GROUP BY split
+            ), tot AS (SELECT sum(n_rows) AS t FROM s)
+            SELECT split, n_rows,
+                   round(CAST(n_rows AS DOUBLE) / t, 6) AS share,
+                   CASE split WHEN 'train' THEN 0.8 WHEN 'val' THEN 0.1
+                        ELSE 0.1 END AS declared_share
+            FROM s, tot ORDER BY split
+        """,
+        # same split + md5 content digest: groups spanning >= 2 splits
+        "split_leakage_documents": """
+            WITH h AS (
+                SELECT doc_id,
+                    md5(COALESCE(substr(text, 1, 40), '')) AS content_hash,
+                    CASE
+                      WHEN CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),
+                                1,15)) AS BIGINT) % 1000000 < 800000
+                          THEN 'train'
+                      WHEN CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),
+                                1,15)) AS BIGINT) % 1000000 < 900000
+                          THEN 'val'
+                      ELSE 'test' END AS split
+                FROM documents
+            )
+            SELECT content_hash,
+                   count(*) AS n_docs,
+                   count(DISTINCT split) AS n_splits,
+                   string_agg(DISTINCT split, ',' ORDER BY split) AS splits,
+                   min(doc_id) AS min_id
+            FROM h GROUP BY content_hash
+            HAVING count(DISTINCT split) >= 2
         """,
         # the full add-alpha bigram LM replayed in SQL: train counts on
         # even doc_ids, score odd doc_ids, the same two rounding points

@@ -107,6 +107,7 @@ from .operators.reconcile import (
 from .operators.pii import detect_pii, pii_by_group, pii_documents, redact_pii
 from .operators.packing import pack_sequences, packing_summary
 from .operators.sessions import session_stats, sessionize
+from .operators.splits import assign_splits, split_census, split_leakage
 from .operators.asof import asof_join
 from .operators.timeseries import (
     change_point_report,
@@ -284,6 +285,9 @@ __all__ = [
     "pack_sequences",
     "packing_summary",
     "sessionize",
+    "assign_splits",
+    "split_census",
+    "split_leakage",
     "asof_join",
     "freshness",
     "interarrival_stats",
