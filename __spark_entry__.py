@@ -1929,6 +1929,18 @@ def _split_leakage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _salient_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic terms per source (presence TF-IDF): share of the
+    source's docs carrying the term x smoothed IDF; the distinctive-
+    vocabulary report frequency-only top_tokens can't give."""
+    from dsci_524_g26_data_validation_spark.operators.terms import salient_terms
+
+    d = _read(spark, sf_dir, "documents")
+    return salient_terms(
+        d, text_col="text", group_col="source", top_k=3, min_df=2
+    )
+
+
 def _lm_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity-proxy quality gate: train an add-alpha word
     bigram LM on the even-doc_id half of the corpus, score the odd half,
@@ -2155,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_contract_orders": _group_contract_orders,
         "split_census_documents": _split_census_documents,
         "split_leakage_documents": _split_leakage_documents,
+        "salient_terms_documents": _salient_terms_documents,
         "lm_quality_documents": _lm_quality_documents,
         "correlation_lineitem": _correlation_lineitem,
         "fd_violations_lineitem": _fd_violations_lineitem,
@@ -4516,6 +4529,55 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS min_id
             FROM h GROUP BY content_hash
             HAVING count(DISTINCT split) >= 2
+        """,
+        # presence TF-IDF replayed: distinct terms per doc, per-group and
+        # corpus doc frequencies, smoothed-IDF score, per-group top-3
+        "salient_terms_documents": """
+            WITH toks AS (
+                SELECT source,
+                       list_filter(
+                         list_distinct(string_split(lower(text), ' ')),
+                         t -> t IS NOT NULL AND t <> ''
+                       ) AS ts
+                FROM documents
+            ),
+            docs AS (
+                SELECT source, count(*) AS n_docs_group
+                FROM documents GROUP BY source
+            ),
+            n AS (SELECT count(*) AS n_total FROM documents),
+            dfg AS (
+                SELECT source, unnest(coalesce(ts, [])) AS term FROM toks
+            ),
+            dfg2 AS (
+                SELECT source, term, count(*) AS df_group
+                FROM dfg GROUP BY source, term
+            ),
+            tot AS (
+                SELECT term, CAST(sum(df_group) AS BIGINT) AS df_total
+                FROM dfg2 GROUP BY term
+            ),
+            scored AS (
+                SELECT dfg2.source AS "group", dfg2.term, df_group,
+                       n_docs_group, df_total,
+                       round(CAST(df_group AS DOUBLE) / n_docs_group
+                             * (ln((n_total + 1.0) / (df_total + 1.0))
+                                + 1.0), 6) AS score
+                FROM dfg2
+                JOIN tot USING (term)
+                JOIN docs ON dfg2.source = docs.source
+                CROSS JOIN n
+                WHERE df_total >= 2
+            )
+            SELECT "group", term, df_group, n_docs_group, df_total,
+                   score, rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY "group"
+                    ORDER BY score DESC, term ASC
+                ) AS rank
+                FROM scored
+            ) WHERE rank <= 3
         """,
         # the full add-alpha bigram LM replayed in SQL: train counts on
         # even doc_ids, score odd doc_ids, the same two rounding points

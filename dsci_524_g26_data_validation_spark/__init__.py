@@ -108,6 +108,7 @@ from .operators.pii import detect_pii, pii_by_group, pii_documents, redact_pii
 from .operators.packing import pack_sequences, packing_summary
 from .operators.sessions import session_stats, sessionize
 from .operators.splits import assign_splits, split_census, split_leakage
+from .operators.terms import salient_terms
 from .operators.asof import asof_join
 from .operators.timeseries import (
     change_point_report,
@@ -288,6 +289,7 @@ __all__ = [
     "assign_splits",
     "split_census",
     "split_leakage",
+    "salient_terms",
     "asof_join",
     "freshness",
     "interarrival_stats",
