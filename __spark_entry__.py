@@ -1941,6 +1941,27 @@ def _salient_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kanon_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity census over the (user_id, event_type, day) quasi-
+    identifier tuple — 6k+ singleton combinations at sf0.01 make the
+    re-identification surface non-trivial."""
+    e = _read(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    return dv.k_anonymity_report(e, ["user_id", "event_type", "day"], k=3)
+
+
+def _kanon_witnesses_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The most identifying quasi tuples (smallest groups first,
+    deterministic tiebreak by the quasi values)."""
+    e = _read(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    return dv.smallest_quasi_groups(
+        e, ["user_id", "event_type", "day"], top_k=10
+    )
+
+
 def _lm_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity-proxy quality gate: train an add-alpha word
     bigram LM on the even-doc_id half of the corpus, score the odd half,
@@ -2168,6 +2189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_census_documents": _split_census_documents,
         "split_leakage_documents": _split_leakage_documents,
         "salient_terms_documents": _salient_terms_documents,
+        "kanon_report_events": _kanon_report_events,
+        "kanon_witnesses_events": _kanon_witnesses_events,
         "lm_quality_documents": _lm_quality_documents,
         "correlation_lineitem": _correlation_lineitem,
         "fd_violations_lineitem": _fd_violations_lineitem,
@@ -4529,6 +4552,37 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS min_id
             FROM h GROUP BY content_hash
             HAVING count(DISTINCT split) >= 2
+        """,
+        # Sweeney k-anonymity: group sizes over the quasi tuple, census
+        "kanon_report_events": """
+            WITH s AS (
+                SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+                       count(*) AS group_size
+                FROM events GROUP BY 1, 2, 3
+            )
+            SELECT 3 AS k,
+                   CAST(sum(group_size) AS BIGINT) AS n_rows,
+                   count(*) AS n_groups,
+                   min(group_size) AS min_group_size,
+                   count(*) FILTER (WHERE group_size < 3)
+                       AS n_groups_below_k,
+                   CAST(COALESCE(sum(group_size)
+                            FILTER (WHERE group_size < 3), 0) AS BIGINT)
+                       AS n_rows_below_k,
+                   round(CAST(COALESCE(sum(group_size)
+                            FILTER (WHERE group_size < 3), 0) AS DOUBLE)
+                         / sum(group_size), 6) AS frac_rows_below_k
+            FROM s
+        """,
+        "kanon_witnesses_events": """
+            SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+                   count(*) AS group_size
+            FROM events GROUP BY 1, 2, 3
+            ORDER BY group_size ASC,
+                     user_id ASC NULLS FIRST,
+                     event_type ASC NULLS FIRST,
+                     day ASC NULLS FIRST
+            LIMIT 10
         """,
         # presence TF-IDF replayed: distinct terms per doc, per-group and
         # corpus doc frequencies, smoothed-IDF score, per-group top-3

@@ -104,7 +104,14 @@ from .operators.reconcile import (
     reconcile_aggregate,
     reconcile_summary,
 )
-from .operators.pii import detect_pii, pii_by_group, pii_documents, redact_pii
+from .operators.pii import (
+    detect_pii,
+    k_anonymity_report,
+    pii_by_group,
+    pii_documents,
+    redact_pii,
+    smallest_quasi_groups,
+)
 from .operators.packing import pack_sequences, packing_summary
 from .operators.sessions import session_stats, sessionize
 from .operators.splits import assign_splits, split_census, split_leakage
@@ -290,6 +297,8 @@ __all__ = [
     "split_census",
     "split_leakage",
     "salient_terms",
+    "k_anonymity_report",
+    "smallest_quasi_groups",
     "asof_join",
     "freshness",
     "interarrival_stats",

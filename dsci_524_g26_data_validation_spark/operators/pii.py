@@ -32,6 +32,8 @@ __all__ = [
     "pii_by_group",
     "pii_documents",
     "redact_pii",
+    "k_anonymity_report",
+    "smallest_quasi_groups",
 ]
 
 #: kind → regex. Deliberately conservative (precision over recall): each
@@ -144,3 +146,79 @@ def redact_pii(
     for k, p in pats.items():
         expr = F.regexp_replace(expr, p, ph.get(k, f"<{k.upper()}>"))
     return df.withColumn(out_col or text_col, expr)
+
+
+# -- k-anonymity (quasi-identifier re-identification risk) -------------------
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols,
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """ONE-row k-anonymity census over a quasi-identifier tuple →
+    (k, n_rows, n_groups, min_group_size, n_groups_below_k,
+    n_rows_below_k, frac_rows_below_k).
+
+    The privacy failure the regex screens can't see: no cell contains
+    PII, yet the COMBINATION (zip, birth-year, device…) is unique enough
+    to re-identify — a row is k-anonymous iff at least ``k`` rows share
+    its quasi-identifier tuple (Sweeney 2002, public definition), so
+    ``frac_rows_below_k`` is the released corpus's re-identification
+    surface. NULL is a quasi-value like any other (an absent zip code
+    narrows identity too).
+
+    100 TB shape: groupBy(quasi tuple) with map-side combine — the
+    exchange carries (tuple, partial-count); worst case (every row
+    unique) that is the dedup-digest shuffle shape, ~the tuple bytes per
+    row and nothing else. The census fold over the group-size frame is
+    a second scalar aggregate to one row.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    quasi = [F.col(f"`{c}`") for c in quasi_cols]
+    if not quasi:
+        raise ValueError("quasi_cols must name at least one column")
+    sizes = df.groupBy(*quasi).agg(F.count(F.lit(1)).alias("group_size"))
+    below = F.col("group_size") < F.lit(k)
+    return sizes.agg(
+        F.lit(k).alias("k"),
+        F.sum("group_size").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("group_size").alias("min_group_size"),
+        F.count_if(below).alias("n_groups_below_k"),
+        F.coalesce(F.sum(F.when(below, F.col("group_size"))), F.lit(0)).alias(
+            "n_rows_below_k"
+        ),
+        F.round(
+            F.coalesce(F.sum(F.when(below, F.col("group_size"))), F.lit(0))
+            / F.sum("group_size"),
+            6,
+        ).alias("frac_rows_below_k"),
+    )
+
+
+def smallest_quasi_groups(
+    df: DataFrame,
+    quasi_cols,
+    *,
+    top_k: int = 10,
+) -> DataFrame:
+    """The witnesses: the ``top_k`` most identifying quasi-identifier
+    tuples (smallest groups first) → quasi columns + group_size.
+
+    Deterministic: ties break by the quasi values ascending (NULLs
+    first, Spark's asc default), so the same witnesses surface on every
+    run. orderBy().limit() plans TakeOrderedAndProject over the
+    group-size frame — no full sort.
+    """
+    if top_k <= 0:
+        raise ValueError(f"top_k must be > 0, got {top_k}")
+    quasi = [F.col(f"`{c}`") for c in quasi_cols]
+    if not quasi:
+        raise ValueError("quasi_cols must name at least one column")
+    sizes = df.groupBy(*quasi).agg(F.count(F.lit(1)).alias("group_size"))
+    return sizes.orderBy(
+        F.asc("group_size"), *[F.asc_nulls_first(f"`{c}`") for c in quasi_cols]
+    ).limit(top_k)

@@ -229,3 +229,66 @@ def test_packing_single_exchange(spark, sf_dir):
     )
     # the window's hash partitioning on source is reused by the groupBy
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# -- k-anonymity --------------------------------------------------------------
+
+
+@pytest.fixture()
+def quasi_df(spark):
+    """zip x year quasi-identifiers: (90210, 1980) has 4 rows, (10001,
+    1990) has 2, (10001, 1980) is a singleton; one NULL-zip pair."""
+    rows = (
+        [("90210", 1980)] * 4
+        + [("10001", 1990)] * 2
+        + [("10001", 1980)]
+        + [(None, 1990), (None, 1990)]
+    )
+    return spark.createDataFrame(rows, "zip string, birth_year int")
+
+
+def test_k_anonymity_report(quasi_df):
+    r = dv.k_anonymity_report(quasi_df, ["zip", "birth_year"], k=3).first()
+    assert r.k == 3 and r.n_rows == 9 and r.n_groups == 4
+    assert r.min_group_size == 1
+    # below k=3: the 2-row, 1-row and NULL 2-row groups
+    assert r.n_groups_below_k == 3 and r.n_rows_below_k == 5
+    assert r.frac_rows_below_k == round(5 / 9, 6)
+
+
+def test_k_anonymity_null_is_a_value(quasi_df):
+    # NULL zip forms its own group (2 rows), not dropped
+    r = dv.k_anonymity_report(quasi_df, ["zip", "birth_year"], k=2).first()
+    assert r.n_groups == 4 and r.n_rows == 9
+    assert r.n_groups_below_k == 1 and r.n_rows_below_k == 1
+
+
+def test_k_anonymity_all_anonymous(spark):
+    df = spark.createDataFrame([("a",)] * 10, "g string")
+    r = dv.k_anonymity_report(df, ["g"], k=5).first()
+    assert r.n_groups_below_k == 0 and r.frac_rows_below_k == 0.0
+
+
+def test_smallest_quasi_groups_witnesses(quasi_df):
+    rows = dv.smallest_quasi_groups(quasi_df, ["zip", "birth_year"], top_k=2).collect()
+    # smallest first; NULL zip sorts first among the size-2 ties
+    assert [(r.zip, r.birth_year, r.group_size) for r in rows] == [
+        ("10001", 1980, 1),
+        (None, 1990, 2),
+    ]
+
+
+def test_k_anonymity_validation(quasi_df):
+    with pytest.raises(ValueError, match="k must be"):
+        dv.k_anonymity_report(quasi_df, ["zip"], k=1)
+    with pytest.raises(ValueError, match="at least one"):
+        dv.k_anonymity_report(quasi_df, [])
+    with pytest.raises(ValueError, match="top_k"):
+        dv.smallest_quasi_groups(quasi_df, ["zip"], top_k=0)
+
+
+def test_smallest_quasi_groups_plan_topk(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = dv.smallest_quasi_groups(e, ["user_id", "event_type"], top_k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
