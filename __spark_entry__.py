@@ -1941,6 +1941,17 @@ def _salient_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zipf_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-health census per source: Zipf ln-ln OLS slope/r2 over
+    the top-1000 ranks + hapax fraction and type/token ratio — the
+    rank-frequency signature templated or over-deduplicated corpora
+    bend."""
+    from dsci_524_g26_data_validation_spark.operators.vocab import zipf_census
+
+    d = _read(spark, sf_dir, "documents")
+    return zipf_census(d, text_col="text", group_col="source")
+
+
 def _kanon_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity census over the (user_id, event_type, day) quasi-
     identifier tuple — 6k+ singleton combinations at sf0.01 make the
@@ -2191,6 +2202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salient_terms_documents": _salient_terms_documents,
         "kanon_report_events": _kanon_report_events,
         "kanon_witnesses_events": _kanon_witnesses_events,
+        "zipf_census_documents": _zipf_census_documents,
         "lm_quality_documents": _lm_quality_documents,
         "correlation_lineitem": _correlation_lineitem,
         "fd_violations_lineitem": _fd_violations_lineitem,
@@ -4552,6 +4564,54 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS min_id
             FROM h GROUP BY content_hash
             HAVING count(DISTINCT split) >= 2
+        """,
+        # Zipf ln-ln OLS + diversity ratios, identical sufficient stats
+        "zipf_census_documents": """
+            WITH tok AS (
+                SELECT source AS grp,
+                       unnest(string_split(lower(text), ' ')) AS token
+                FROM documents
+            ), f AS (
+                SELECT grp, token, count(*) AS n FROM tok
+                WHERE token IS NOT NULL AND token <> '' GROUP BY grp, token
+            ), ranked AS (
+                SELECT grp, n,
+                       row_number() OVER (
+                           PARTITION BY grp ORDER BY n DESC, token ASC
+                       ) AS rank
+                FROM f
+            ), s AS (
+                SELECT grp,
+                       CAST(sum(n) AS BIGINT) AS n_tokens,
+                       count(*) AS vocab_size,
+                       round(count(*) FILTER (WHERE n = 1)
+                             / CAST(count(*) AS DOUBLE), 6) AS hapax_frac,
+                       round(count(*) / CAST(sum(n) AS DOUBLE), 6)
+                           AS type_token_ratio,
+                       count(*) FILTER (WHERE rank <= 1000) AS m,
+                       sum(ln(rank)) FILTER (WHERE rank <= 1000) AS sx,
+                       sum(ln(n)) FILTER (WHERE rank <= 1000) AS sy,
+                       sum(ln(rank) * ln(rank))
+                           FILTER (WHERE rank <= 1000) AS sxx,
+                       sum(ln(n) * ln(n))
+                           FILTER (WHERE rank <= 1000) AS syy,
+                       sum(ln(rank) * ln(n))
+                           FILTER (WHERE rank <= 1000) AS sxy
+                FROM ranked GROUP BY grp
+            )
+            SELECT grp AS "group", n_tokens, vocab_size, hapax_frac,
+                   type_token_ratio,
+                   round(CASE WHEN m >= 2
+                              AND m * sxx - sx * sx > 0
+                         THEN (m * sxy - sx * sy) / (m * sxx - sx * sx)
+                         END, 6) AS zipf_slope,
+                   round(CASE WHEN m >= 2
+                              AND m * sxx - sx * sx > 0
+                              AND m * syy - sy * sy > 0
+                         THEN (m * sxy - sx * sy) * (m * sxy - sx * sy)
+                              / ((m * sxx - sx * sx) * (m * syy - sy * sy))
+                         END, 6) AS zipf_r2
+            FROM s
         """,
         # Sweeney k-anonymity: group sizes over the quasi tuple, census
         "kanon_report_events": """

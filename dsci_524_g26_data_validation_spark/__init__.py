@@ -116,6 +116,7 @@ from .operators.packing import pack_sequences, packing_summary
 from .operators.sessions import session_stats, sessionize
 from .operators.splits import assign_splits, split_census, split_leakage
 from .operators.terms import salient_terms
+from .operators.vocab import zipf_census
 from .operators.asof import asof_join
 from .operators.timeseries import (
     change_point_report,
@@ -299,6 +300,7 @@ __all__ = [
     "salient_terms",
     "k_anonymity_report",
     "smallest_quasi_groups",
+    "zipf_census",
     "asof_join",
     "freshness",
     "interarrival_stats",

@@ -1,0 +1,111 @@
+"""Vocabulary-health census: Zipf conformance + lexical-diversity stats.
+
+A natural-language corpus has a signature the per-document quality
+screens can't check: its RANK-FREQUENCY curve. Healthy text follows
+Zipf's law — log(freq) ≈ intercept + slope·log(rank) with slope ≈ −1
+(Zipf 1949; public corpus-analysis staple). Machine-generated spam,
+templated boilerplate, and over-deduplicated corpora bend the curve:
+a too-shallow slope means suspiciously uniform vocabulary use, a
+too-steep one means a few tokens dominating (template artifacts).
+Alongside the fit, two classic diversity ratios: type/token ratio
+(vocab / token occurrences) and hapax fraction (share of the vocab
+seen exactly once — collapsing hapaxes are an over-dedup or
+template-flood symptom).
+
+100 TB shape: ONE corpus scan — explode to (group, token) with
+map-side partial aggregation, so the exchange carries distinct-token
+partials, never occurrences. Ranking and the least-squares fold then
+run over the (groups × vocab) count frame: a per-group window for
+rank (one exchange on group), a groupBy(group) closed-form regression
+over the top-``fit_top_n`` ranks (ln-ln sums — no iterative fitting,
+no driver math, merge-order-independent doubles summed per group).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens_expr
+
+__all__ = ["zipf_census"]
+
+
+def zipf_census(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+    fit_top_n: int = 1000,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-group vocabulary census → (group, n_tokens, vocab_size,
+    hapax_frac, type_token_ratio, zipf_slope, zipf_r2).
+
+    The Zipf fit is ordinary least squares of ln(freq) on ln(rank)
+    over the ``fit_top_n`` most frequent tokens (rank ties break by
+    token ascending, so the fit is deterministic); the tail is
+    excluded because finite-sample counts flatten it below any
+    corpus-health signal. ``zipf_slope``/``zipf_r2`` are NULL for
+    groups with fewer than 2 ranked tokens or a degenerate variance
+    (all counts equal ⇒ r2 undefined). Empty-string tokens are
+    excluded; NULL texts contribute nothing.
+    """
+    if fit_top_n < 2:
+        raise ValueError(f"fit_top_n must be >= 2, got {fit_top_n}")
+    toks = tokens_expr(text_col)
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    counts = (
+        df.select(
+            F.col(f"`{group_col}`").alias("group"),
+            F.explode_outer(toks).alias("token"),
+        )
+        .filter(F.col("token").isNotNull() & (F.col("token") != F.lit("")))
+        .groupBy("group", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("group").orderBy(F.desc("n"), F.asc("token"))
+    ranked = counts.select(
+        "group",
+        "n",
+        F.row_number().over(w).alias("rank"),
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+    in_fit = F.col("rank") <= F.lit(fit_top_n)
+    agg = ranked.groupBy("group").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.round(
+            F.count_if(F.col("n") == 1) / F.count(F.lit(1)), 6
+        ).alias("hapax_frac"),
+        F.round(F.count(F.lit(1)) / F.sum("n"), 6).alias("type_token_ratio"),
+        # closed-form OLS sufficient statistics over the fitted head
+        F.count_if(in_fit).alias("_m"),
+        F.sum(F.when(in_fit, x)).alias("_sx"),
+        F.sum(F.when(in_fit, y)).alias("_sy"),
+        F.sum(F.when(in_fit, x * x)).alias("_sxx"),
+        F.sum(F.when(in_fit, y * y)).alias("_syy"),
+        F.sum(F.when(in_fit, x * y)).alias("_sxy"),
+    )
+    m = F.col("_m").cast("double")
+    cov = m * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    varx = m * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vary = m * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    slope = F.when((F.col("_m") >= 2) & (varx > 0), cov / varx)
+    r2 = F.when(
+        (F.col("_m") >= 2) & (varx > 0) & (vary > 0),
+        (cov * cov) / (varx * vary),
+    )
+    return agg.select(
+        "group",
+        "n_tokens",
+        "vocab_size",
+        "hapax_frac",
+        "type_token_ratio",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(r2, 6).alias("zipf_r2"),
+    )

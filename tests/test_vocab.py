@@ -1,0 +1,73 @@
+"""Zipf/vocabulary census (operators/vocab.py): closed-form OLS check
+against numpy, diversity ratios, degenerate-group NULLs, plan shape."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dsci_524_g26_data_validation_spark.operators.vocab import zipf_census
+
+
+def test_counts_and_diversity(spark):
+    # "a a a b b c" -> vocab 3, tokens 6, hapax 1/3, ttr 0.5
+    df = spark.createDataFrame([("g", "a a a b b c")], "source string, text string")
+    r = zipf_census(df).first()
+    assert (r.n_tokens, r.vocab_size) == (6, 3)
+    assert r.hapax_frac == round(1 / 3, 6)
+    assert r.type_token_ratio == 0.5
+
+
+def test_ols_matches_numpy(spark):
+    # counts 8,4,2,1 at ranks 1..4 — a perfect power law except rounding
+    text = " ".join(["w1"] * 8 + ["w2"] * 4 + ["w3"] * 2 + ["w4"])
+    df = spark.createDataFrame([("g", text)], "source string, text string")
+    r = zipf_census(df).first()
+    x = np.log(np.arange(1, 5, dtype=float))
+    y = np.log(np.array([8.0, 4.0, 2.0, 1.0]))
+    slope, intercept = np.polyfit(x, y, 1)
+    corr = np.corrcoef(x, y)[0, 1]
+    assert r.zipf_slope == pytest.approx(slope, abs=1e-6)
+    assert r.zipf_r2 == pytest.approx(corr * corr, abs=1e-6)
+
+
+def test_fit_top_n_restricts_head(spark):
+    text = " ".join(["w1"] * 8 + ["w2"] * 4 + ["w3"] * 2 + ["w4"])
+    df = spark.createDataFrame([("g", text)], "source string, text string")
+    r = zipf_census(df, fit_top_n=2).first()
+    x = np.log(np.array([1.0, 2.0]))
+    y = np.log(np.array([8.0, 4.0]))
+    slope, _ = np.polyfit(x, y, 1)
+    assert r.zipf_slope == pytest.approx(slope, abs=1e-6)
+    # diversity stats still cover the whole vocab
+    assert r.vocab_size == 4
+
+
+def test_degenerate_groups_null_fit(spark):
+    df = spark.createDataFrame(
+        [("one_tok", "only"), ("uniform", "x y"), ("empty", None)],
+        "source string, text string",
+    )
+    rows = {r.group: r for r in zipf_census(df).collect()}
+    # single token: m=1 -> no fit
+    assert rows["one_tok"].zipf_slope is None
+    # two tokens with equal counts: vary=0 -> slope 0? cov=0, varx>0 ->
+    # slope defined (0.0) but r2 NULL (vary=0)
+    assert rows["uniform"].zipf_slope == 0.0
+    assert rows["uniform"].zipf_r2 is None
+    # NULL text contributes no tokens -> group absent entirely
+    assert "empty" not in rows
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([("g", "a b")], "source string, text string")
+    with pytest.raises(ValueError, match="fit_top_n"):
+        zipf_census(df, fit_top_n=1)
+
+
+def test_single_scan_plan(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = zipf_census(d)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
