@@ -1567,6 +1567,28 @@ def _dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _near_dup_split_leakage_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fuzzy split leakage — the eval-integrity check exact digests miss:
+    the same verified near-dup pair graph as dup_source_matrix, but
+    labeled with each side's deterministic train/val/test split
+    (assign_splits) and folded to CROSS-split cells only. A non-empty
+    result means near-copies of training documents sit in eval splits."""
+    docs = _read(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.substring("text", 1, 120).alias("text"))
+    pairs = dedup.jaccard_verify(
+        d,
+        dedup.minhash_lsh_candidates(d, num_hashes=16, bands=8),
+        threshold=0.5,
+    )
+    labeled = dv.assign_splits(
+        docs.select("doc_id"), _SPLITS_8_1_1, id_col="doc_id"
+    )
+    m = dedup.pair_group_matrix(pairs, labeled, label_col="split")
+    return m.filter(F.col("group_a") != F.col("group_b"))
+
+
 def _fuzzy_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy (MinHash) benchmark decontamination: the corpus (120-char
     prefixes) vs a synthesized benchmark — the 110-char prefixes of every
@@ -2203,6 +2225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kanon_report_events": _kanon_report_events,
         "kanon_witnesses_events": _kanon_witnesses_events,
         "zipf_census_documents": _zipf_census_documents,
+        "near_dup_split_leakage_documents": _near_dup_split_leakage_documents,
         "lm_quality_documents": _lm_quality_documents,
         "correlation_lineitem": _correlation_lineitem,
         "fd_violations_lineitem": _fd_violations_lineitem,
@@ -3956,6 +3979,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT doc_a) AS BIGINT) AS n_docs_a,
                    CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_b
             FROM canon GROUP BY group_a, group_b
+        """,
+        # same ground-truth jaccard pair graph, labeled by the md5 split
+        # and folded to cross-split cells only
+        "near_dup_split_leakage_documents": """
+            WITH t AS (
+              SELECT doc_id, string_split(substr(text,1,120), ' ') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(toks[i:i+2], ' ')
+                                    for i in generate_series(1, greatest(len(toks)-2, 1))]) AS sh
+              FROM t
+            ), e AS (
+              SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n FROM s
+            ), cpairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+                     any_value(a.n) AS na, any_value(b.n) AS nb
+              FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), jpairs AS (
+              SELECT id_a, id_b FROM cpairs
+              WHERE inter*1.0/(na+nb-inter) >= 0.5
+            ), sp AS (
+              SELECT doc_id, CASE
+                  WHEN CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),
+                            1,15)) AS BIGINT) % 1000000 < 800000
+                      THEN 'train'
+                  WHEN CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),
+                            1,15)) AS BIGINT) % 1000000 < 900000
+                      THEN 'val'
+                  ELSE 'test' END AS split
+              FROM documents
+            ), lab AS (
+              SELECT p.id_a, p.id_b, da.split AS sa, db.split AS sb
+              FROM jpairs p
+              JOIN sp da ON p.id_a = da.doc_id
+              JOIN sp db ON p.id_b = db.doc_id
+            ), canon AS (
+              SELECT least(sa, sb) AS group_a, greatest(sa, sb) AS group_b,
+                     CASE WHEN sa <= sb THEN id_a ELSE id_b END AS doc_a,
+                     CASE WHEN sa <= sb THEN id_b ELSE id_a END AS doc_b
+              FROM lab
+            )
+            SELECT group_a, group_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(count(DISTINCT doc_a) AS BIGINT) AS n_docs_a,
+                   CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_b
+            FROM canon
+            WHERE group_a <> group_b
+            GROUP BY group_a, group_b
         """,
         # ground-truth BIPARTITE jaccard join: corpus 120-char prefixes vs
         # the 110-char-prefix benchmark (every 37th doc)
