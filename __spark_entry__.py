@@ -1963,6 +1963,40 @@ def _salient_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chat_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events recast as chat turns: conversation = user_id, order =
+    (ts, event_id), a deterministic role mapping under which 'error'
+    events become an UNKNOWN role — so every violation kind fires
+    naturally in the stream."""
+    return _read(spark, sf_dir, "events").select(
+        F.col("user_id").alias("conv_id"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type").isin("view", "click"), "user")
+        .when(F.col("event_type").isin("purchase", "signup"), "assistant")
+        .when(F.col("event_type") == "error", "error")
+        .otherwise("system")
+        .alias("role"),
+        F.col("props").alias("content"),
+    )
+
+
+def _chat_violations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn conversation-structure violations (unknown role, bad
+    opener, late system turn, role repeats, empty content) — one sorted
+    window on the conversation key, lazy inline unpivot."""
+    return dv.conversation_violations(
+        _chat_turns(spark, sf_dir), order_cols=("ts", "event_id")
+    ).drop("role")
+
+
+def _chat_census_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation structure verdicts from the same window pass."""
+    return dv.conversation_census(
+        _chat_turns(spark, sf_dir), order_cols=("ts", "event_id")
+    )
+
+
 def _zipf_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-health census per source: Zipf ln-ln OLS slope/r2 over
     the top-1000 ranks + hapax fraction and type/token ratio — the
@@ -2226,6 +2260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kanon_witnesses_events": _kanon_witnesses_events,
         "zipf_census_documents": _zipf_census_documents,
         "near_dup_split_leakage_documents": _near_dup_split_leakage_documents,
+        "chat_violations_events": _chat_violations_events,
+        "chat_census_events": _chat_census_events,
         "lm_quality_documents": _lm_quality_documents,
         "correlation_lineitem": _correlation_lineitem,
         "fd_violations_lineitem": _fd_violations_lineitem,
@@ -4637,6 +4673,85 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS min_id
             FROM h GROUP BY content_hash
             HAVING count(DISTINCT split) >= 2
+        """,
+        # the chat window replayed: same role mapping, same total order,
+        # row_number + lag, violation kinds unpivoted
+        "chat_violations_events": """
+            WITH t0 AS (
+              SELECT user_id AS conv_id, ts, event_id,
+                CASE WHEN event_type IN ('view','click') THEN 'user'
+                     WHEN event_type IN ('purchase','signup')
+                         THEN 'assistant'
+                     WHEN event_type = 'error' THEN 'error'
+                     ELSE 'system' END AS role,
+                props AS content
+              FROM events
+            ), t AS (
+              SELECT conv_id, role, content,
+                row_number() OVER w AS rn,
+                lag(role) OVER w AS prev_role
+              FROM t0
+              WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)
+            ), u AS (
+              SELECT conv_id, rn, 'unknown_role' AS kind,
+                     (role IS NULL OR role NOT IN
+                      ('system','user','assistant')) AS fired FROM t
+              UNION ALL SELECT conv_id, rn, 'empty_content',
+                     (content IS NULL OR trim(content) = '') FROM t
+              UNION ALL SELECT conv_id, rn, 'bad_first_role',
+                     (rn = 1 AND role IN ('system','user','assistant')
+                      AND role NOT IN ('system','user')) FROM t
+              UNION ALL SELECT conv_id, rn, 'system_not_first',
+                     (rn > 1 AND role IN ('system','user','assistant')
+                      AND role = 'system') FROM t
+              UNION ALL SELECT conv_id, rn, 'role_repeat',
+                     (rn > 1 AND role IS NOT DISTINCT FROM prev_role)
+                     FROM t
+            )
+            SELECT conv_id, CAST(rn AS BIGINT) AS turn, kind
+            FROM u WHERE COALESCE(fired, FALSE)
+        """,
+        "chat_census_events": """
+            WITH t0 AS (
+              SELECT user_id AS conv_id, ts, event_id,
+                CASE WHEN event_type IN ('view','click') THEN 'user'
+                     WHEN event_type IN ('purchase','signup')
+                         THEN 'assistant'
+                     WHEN event_type = 'error' THEN 'error'
+                     ELSE 'system' END AS role,
+                props AS content
+              FROM events
+            ), t AS (
+              SELECT conv_id, role, content,
+                row_number() OVER w AS rn,
+                lag(role) OVER w AS prev_role
+              FROM t0
+              WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)
+            ), c AS (
+              SELECT conv_id, count(*) AS n_turns,
+                count(*) FILTER (WHERE role IS NULL OR role NOT IN
+                    ('system','user','assistant')) AS n_unknown_role,
+                count(*) FILTER (WHERE content IS NULL
+                    OR trim(content) = '') AS n_empty_content,
+                count(*) FILTER (WHERE rn = 1
+                    AND role IN ('system','user','assistant')
+                    AND role NOT IN ('system','user'))
+                    AS n_bad_first_role,
+                count(*) FILTER (WHERE rn > 1
+                    AND role IN ('system','user','assistant')
+                    AND role = 'system') AS n_system_not_first,
+                count(*) FILTER (WHERE rn > 1
+                    AND role IS NOT DISTINCT FROM prev_role)
+                    AS n_role_repeat
+              FROM t GROUP BY conv_id
+            )
+            SELECT conv_id, n_turns, n_unknown_role, n_empty_content,
+                   n_bad_first_role, n_system_not_first, n_role_repeat,
+                   n_unknown_role + n_empty_content + n_bad_first_role
+                     + n_system_not_first + n_role_repeat AS n_violations,
+                   (n_unknown_role + n_empty_content + n_bad_first_role
+                     + n_system_not_first + n_role_repeat = 0) AS ok
+            FROM c
         """,
         # Zipf ln-ln OLS + diversity ratios, identical sufficient stats
         "zipf_census_documents": """

@@ -115,6 +115,7 @@ from .operators.pii import (
 from .operators.packing import pack_sequences, packing_summary
 from .operators.sessions import session_stats, sessionize
 from .operators.splits import assign_splits, split_census, split_leakage
+from .operators.chats import conversation_census, conversation_violations
 from .operators.terms import salient_terms
 from .operators.vocab import zipf_census
 from .operators.asof import asof_join
@@ -301,6 +302,8 @@ __all__ = [
     "k_anonymity_report",
     "smallest_quasi_groups",
     "zipf_census",
+    "conversation_violations",
+    "conversation_census",
     "asof_join",
     "freshness",
     "interarrival_stats",
