@@ -1963,6 +1963,16 @@ def _salient_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_agreement_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-vs-content label QA: the declared lang column cross-
+    tabulated against the stopword language_id prediction — off-diagonal
+    cells name which declared label carries which real content."""
+    d = text.language_id(_read(spark, sf_dir, "documents"))
+    return dv.label_agreement_census(
+        d, declared_col="lang", predicted_col="lang_pred"
+    )
+
+
 def _chat_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events recast as chat turns: conversation = user_id, order =
     (ts, event_id), a deterministic role mapping under which 'error'
@@ -2262,6 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_split_leakage_documents": _near_dup_split_leakage_documents,
         "chat_violations_events": _chat_violations_events,
         "chat_census_events": _chat_census_events,
+        "lang_agreement_documents": _lang_agreement_documents,
         "lm_quality_documents": _lm_quality_documents,
         "correlation_lineitem": _correlation_lineitem,
         "fd_violations_lineitem": _fd_violations_lineitem,
@@ -4673,6 +4684,20 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS min_id
             FROM h GROUP BY content_hash
             HAVING count(DISTINCT split) >= 2
+        """,
+        # declared lang x stopword-argmax prediction, row-normalized
+        "lang_agreement_documents": f"""
+            WITH p AS (
+                SELECT lang AS declared, {lang_case} AS predicted
+                FROM documents
+            ), c AS (
+                SELECT declared, predicted, count(*) AS n
+                FROM p GROUP BY declared, predicted
+            )
+            SELECT declared, predicted, n,
+                   round(n / CAST(sum(n) OVER (PARTITION BY declared)
+                             AS DOUBLE), 6) AS declared_frac
+            FROM c
         """,
         # the chat window replayed: same role mapping, same total order,
         # row_number + lag, violation kinds unpivoted

@@ -116,6 +116,7 @@ from .operators.packing import pack_sequences, packing_summary
 from .operators.sessions import session_stats, sessionize
 from .operators.splits import assign_splits, split_census, split_leakage
 from .operators.chats import conversation_census, conversation_violations
+from .operators.labels import label_agreement_census, label_agreement_summary
 from .operators.terms import salient_terms
 from .operators.vocab import zipf_census
 from .operators.asof import asof_join
@@ -304,6 +305,8 @@ __all__ = [
     "zipf_census",
     "conversation_violations",
     "conversation_census",
+    "label_agreement_census",
+    "label_agreement_summary",
     "asof_join",
     "freshness",
     "interarrival_stats",

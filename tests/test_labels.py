@@ -1,0 +1,62 @@
+"""Label-agreement census (operators/labels.py): confusion cells,
+row-normalized shares, NULL-as-a-cell semantics, summary fold."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dsci_524_g26_data_validation_spark.operators.labels import (
+    label_agreement_census,
+    label_agreement_summary,
+)
+
+
+@pytest.fixture()
+def labeled(spark):
+    rows = [
+        ("en", "en"), ("en", "en"), ("en", "fr"),   # en: 2/3 agree
+        ("fr", "fr"),                               # fr: clean
+        (None, "en"),                               # untagged
+        ("de", None),                               # classifier undecided
+        (None, None),                               # both null: agreement
+    ]
+    return spark.createDataFrame(rows, "lang string, lang_pred string")
+
+
+def test_census_cells_and_shares(spark, labeled):
+    got = {
+        (r.declared, r.predicted): (r.n, r.declared_frac)
+        for r in label_agreement_census(
+            labeled, declared_col="lang", predicted_col="lang_pred"
+        ).collect()
+    }
+    assert got[("en", "en")] == (2, round(2 / 3, 6))
+    assert got[("en", "fr")] == (1, round(1 / 3, 6))
+    assert got[("fr", "fr")] == (1, 1.0)
+    # NULLs are cells, not drops
+    assert got[(None, "en")] == (1, 0.5)
+    assert got[(None, None)] == (1, 0.5)
+    assert got[("de", None)] == (1, 1.0)
+    assert len(got) == 6
+
+
+def test_summary_null_safe_agreement(spark, labeled):
+    r = label_agreement_summary(
+        labeled, declared_col="lang", predicted_col="lang_pred"
+    ).first()
+    # agrees: en-en x2, fr-fr, null-null (null-safe) = 4 of 7
+    assert (r.n_rows, r.n_agree) == (7, 4)
+    assert r.agreement_rate == round(4 / 7, 6)
+    # count_distinct skips NULL by SQL semantics: en, fr, de
+    assert r.n_declared_labels == 3
+    assert r.n_offdiag_cells == 3
+
+
+def test_single_scan_plan(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "lang", F.lower(F.col("lang")).alias("lang_pred")
+    )
+    out = label_agreement_census(
+        d, declared_col="lang", predicted_col="lang_pred"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
