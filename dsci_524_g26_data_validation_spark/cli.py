@@ -24,6 +24,11 @@ Commands (input = parquet path or catalog/Iceberg table name):
     skew      --input T --key COL[,COL] [--top-k N] [--salt-target F]
     span-census --input T [--tokens-col C] [--group-col C] [--k N]
               [--sample-mod P]   (token-level duplicate-span census)
+    split     --input T --splits train=0.8,val=0.1,test=0.1
+              [--id-col C] [--salt S] [--content-col C]
+              [--output PATH]   (deterministic md5 split; census +
+              exact cross-split leakage audit when --content-col given;
+              PATH written partitioned by split)
 
 Every command prints ONE JSON report to stdout (machine-parseable; logs
 go to stderr) and exits 0/1 per the verdict when --fail is given.
@@ -163,6 +168,20 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--group-col", default="source")
     p.add_argument("--k", type=int, default=25)
     p.add_argument("--sample-mod", type=int, default=1)
+
+    p = sub.add_parser("split")
+    p.add_argument("--input", required=True)
+    p.add_argument(
+        "--splits", required=True,
+        help="name=weight comma-list, weights sum to 1",
+    )
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--salt", default="")
+    p.add_argument(
+        "--content-col", default=None,
+        help="run the exact cross-split leakage audit on this column",
+    )
+    p.add_argument("--output", default=None)
 
     args = ap.parse_args(argv)
 
@@ -356,6 +375,47 @@ def main(argv: Optional[list] = None) -> int:
         print(json.dumps({
             "k": args.k, "sample_mod": args.sample_mod, "groups": rows,
         }, sort_keys=True))
+        return 0
+
+    if args.cmd == "split":
+        from pyspark.sql import functions as F
+
+        from .operators.splits import (
+            assign_splits,
+            split_census,
+            split_leakage,
+        )
+
+        splits = {}
+        for spec in args.splits.split(","):
+            name, w = spec.split("=", 1)
+            splits[name.strip()] = float(w)
+        census = [
+            r.asDict()
+            for r in split_census(
+                df, splits, id_col=args.id_col, salt=args.salt
+            ).orderBy("split").collect()
+        ]
+        out = {"splits": splits, "census": census}
+        if args.content_col:
+            leaks = split_leakage(
+                df, splits, id_col=args.id_col,
+                content_col=args.content_col, salt=args.salt,
+            )
+            agg = leaks.agg(
+                F.count(F.lit(1)).alias("groups"),
+                F.coalesce(F.sum("n_docs"), F.lit(0)).alias("docs"),
+            ).first()
+            out["leakage"] = {
+                "leaked_content_groups": agg["groups"],
+                "leaked_docs": agg["docs"],
+            }
+        if args.output:
+            assign_splits(
+                df, splits, id_col=args.id_col, salt=args.salt
+            ).write.partitionBy("split").mode("overwrite").parquet(args.output)
+            out["written"] = args.output
+        print(json.dumps(out, sort_keys=True, default=str))
         return 0
 
     # table-validate

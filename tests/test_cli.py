@@ -258,3 +258,24 @@ def test_cli_strip_lines_and_skew_and_span_census(spark, tmp_path, capsys):
     # docs 0 and 1 are identical → every gram in source a is duplicated
     assert by_src["a"]["dup_frac"] == 1.0
     assert by_src["b"]["dup_occurrences"] == 0
+
+
+def test_cli_split_census_leakage_and_write(spark, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "split_out")
+    rc = main([
+        "split", "--input", f"{sf_dir}/documents.parquet",
+        "--splits", "train=0.8,val=0.1,test=0.1",
+        "--id-col", "doc_id", "--content-col", "text",
+        "--output", out,
+    ])
+    assert rc == 0
+    rep = _last_json(capsys)
+    census = {c["split"]: c for c in rep["census"]}
+    assert set(census) <= {"train", "val", "test"}
+    assert sum(c["n_rows"] for c in census.values()) > 0
+    assert census["train"]["declared_share"] == 0.8
+    assert "leaked_content_groups" in rep["leakage"]
+    # the written layout is partitioned by split and covers every row
+    back = spark.read.parquet(out)
+    assert back.count() == sum(c["n_rows"] for c in census.values())
+    assert set(r.split for r in back.select("split").distinct().collect()) == set(census)
