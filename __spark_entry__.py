@@ -1963,6 +1963,53 @@ def _salient_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _partition_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style partition reconciliation: orders vs a deterministic
+    'migrated' copy with one dropped partition, one corrupted partition
+    (+1 cent everywhere), one partially-dropped partition, and one
+    invented partition — all four statuses fire. Digests use the
+    portable md5 sum so the oracle replays them exactly; totalprice is
+    digested in integer cents (float-to-string formatting is not a
+    cross-engine invariant, cents are)."""
+    from dsci_524_g26_data_validation_spark.operators.rowdiff import (
+        partition_diff,
+    )
+
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    right = (
+        o.filter(
+            ~(
+                (F.col("o_orderpriority") == "4-NOT SPECIFIED")
+                & (F.col("o_orderkey") % 7 == 0)
+            )
+        )
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .withColumn(
+            "cents",
+            F.when(
+                F.col("o_orderpriority") == "2-HIGH", F.col("cents") + 1
+            ).otherwise(F.col("cents")),
+        )
+    )
+    fake = o.filter(F.col("o_orderkey") % 1000 == 0).withColumn(
+        "o_orderpriority", F.lit("9-FAKE")
+    )
+    right = right.unionByName(fake)
+    return partition_diff(
+        o,
+        right,
+        partition_col="o_orderpriority",
+        cols=["o_orderkey", "o_custkey", "o_orderstatus", "cents"],
+        hash_fn="portable",
+    )
+
+
 def _lang_agreement_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-vs-content label QA: the declared lang column cross-
     tabulated against the stopword language_id prediction — off-diagonal
@@ -2273,6 +2320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_violations_events": _chat_violations_events,
         "chat_census_events": _chat_census_events,
         "lang_agreement_documents": _lang_agreement_documents,
+        "partition_diff_orders": _partition_diff_orders,
         "lm_quality_documents": _lm_quality_documents,
         "correlation_lineitem": _correlation_lineitem,
         "fd_violations_lineitem": _fd_violations_lineitem,
@@ -4684,6 +4732,51 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS min_id
             FROM h GROUP BY content_hash
             HAVING count(DISTINCT split) >= 2
+        """,
+        # per-partition md5 digest sums over both sides of the synthetic
+        # migration, full-outer joined to the four statuses
+        "partition_diff_orders": """
+            WITH base AS (
+                SELECT o_orderkey AS k, o_custkey AS ck,
+                       o_orderstatus AS st, o_orderpriority AS p,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders
+            ), rightt AS (
+                SELECT k, ck, st, p,
+                       CASE WHEN p = '2-HIGH' THEN cents + 1
+                            ELSE cents END AS cents
+                FROM base
+                WHERE NOT (p = '4-NOT SPECIFIED' AND k % 7 = 0)
+                  AND p <> '1-URGENT'
+                UNION ALL
+                SELECT k, ck, st, '9-FAKE', cents FROM base
+                WHERE k % 1000 = 0
+            ), dl AS (
+                SELECT p AS part, count(*) AS n,
+                       sum(CAST(('0x'||substr(md5(concat_ws(chr(1),
+                           COALESCE(CAST(k AS VARCHAR), chr(0)),
+                           COALESCE(CAST(ck AS VARCHAR), chr(0)),
+                           COALESCE(st, chr(0)),
+                           COALESCE(CAST(cents AS VARCHAR), chr(0)))),
+                           1,15)) AS BIGINT)) AS d
+                FROM base GROUP BY p
+            ), dr AS (
+                SELECT p AS part, count(*) AS n,
+                       sum(CAST(('0x'||substr(md5(concat_ws(chr(1),
+                           COALESCE(CAST(k AS VARCHAR), chr(0)),
+                           COALESCE(CAST(ck AS VARCHAR), chr(0)),
+                           COALESCE(st, chr(0)),
+                           COALESCE(CAST(cents AS VARCHAR), chr(0)))),
+                           1,15)) AS BIGINT)) AS d
+                FROM rightt GROUP BY p
+            )
+            SELECT COALESCE(dl.part, dr.part) AS partition,
+                   dl.n AS n_rows_left, dr.n AS n_rows_right,
+                   CASE WHEN dr.n IS NULL THEN 'only_left'
+                        WHEN dl.n IS NULL THEN 'only_right'
+                        WHEN dl.n = dr.n AND dl.d = dr.d THEN 'match'
+                        ELSE 'differs' END AS status
+            FROM dl FULL OUTER JOIN dr ON dl.part = dr.part
         """,
         # declared lang x stopword-argmax prediction, row-normalized
         "lang_agreement_documents": f"""

@@ -145,7 +145,13 @@ from .operators.lines import (
     strip_frequent_lines,
 )
 from .operators.outliers import robust_outlier_rows, robust_outlier_stats
-from .operators.rowdiff import row_digest, table_diff, table_diff_rows
+from .operators.rowdiff import (
+    partition_diff,
+    partition_digests,
+    row_digest,
+    table_diff,
+    table_diff_rows,
+)
 from .operators.sketches import (
     distinct_sketches,
     merged_distinct_estimates,
@@ -200,6 +206,8 @@ __all__ = [
     "sketch_consistency_report",
     "table_diff",
     "table_diff_rows",
+    "partition_digests",
+    "partition_diff",
     "null_patterns",
     "comissingness",
     "json_key_census",

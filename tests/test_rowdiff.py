@@ -75,3 +75,77 @@ def test_digest_shuffle_carries_no_payload(left):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert " v#" not in line and " id#" not in line, line
+
+
+# -- per-partition digests -----------------------------------------------------
+
+
+def test_partition_digests_order_invariant(spark):
+    from dsci_524_g26_data_validation_spark.operators.rowdiff import (
+        partition_digests,
+    )
+
+    rows = [("p1", 1, "a"), ("p1", 2, "b"), ("p2", 3, "c")]
+    a = spark.createDataFrame(rows, "p string, k int, v string")
+    b = spark.createDataFrame(list(reversed(rows)), "p string, k int, v string").repartition(7)
+    da = {r.partition: (r.n_rows, r.digest_1, r.digest_2)
+          for r in partition_digests(a, partition_col="p", cols=["k", "v"]).collect()}
+    db = {r.partition: (r.n_rows, r.digest_1, r.digest_2)
+          for r in partition_digests(b, partition_col="p", cols=["k", "v"]).collect()}
+    assert da == db and set(da) == {"p1", "p2"}
+
+
+def test_partition_diff_statuses(spark):
+    from dsci_524_g26_data_validation_spark.operators.rowdiff import (
+        partition_diff,
+    )
+
+    left = spark.createDataFrame(
+        [("p1", 1, "a"), ("p1", 2, "b"), ("p2", 3, "c"), ("p3", 4, "d")],
+        "p string, k int, v string",
+    )
+    right = spark.createDataFrame(
+        [
+            ("p1", 1, "a"), ("p1", 2, "b"),       # identical
+            ("p2", 3, "MUTATED"),                  # same count, new content
+            ("p4", 9, "x"),                        # new partition
+        ],
+        "p string, k int, v string",
+    )
+    got = {r.partition: r.status
+           for r in partition_diff(left, right, partition_col="p").collect()}
+    assert got == {"p1": "match", "p2": "differs", "p3": "only_left",
+                   "p4": "only_right"}
+
+
+def test_partition_diff_swap_not_fooled(spark):
+    """Two rows swapping a value between them changes per-row digests;
+    the SUM invariant must still catch it (sum of different multisets)."""
+    from dsci_524_g26_data_validation_spark.operators.rowdiff import (
+        partition_diff,
+    )
+
+    left = spark.createDataFrame(
+        [("p", 1, "a"), ("p", 2, "b")], "p string, k int, v string"
+    )
+    right = spark.createDataFrame(
+        [("p", 1, "b"), ("p", 2, "a")], "p string, k int, v string"
+    )
+    got = partition_diff(left, right, partition_col="p").first()
+    assert got.status == "differs"
+
+
+def test_partition_digests_portable_and_validation(spark):
+    from dsci_524_g26_data_validation_spark.operators.rowdiff import (
+        partition_digests,
+    )
+
+    df = spark.createDataFrame([("p", 1)], "p string, k int")
+    out = partition_digests(
+        df, partition_col="p", cols=["k"], hash_fn="portable"
+    )
+    assert out.columns == ["partition", "n_rows", "digest_1"]
+    with pytest.raises(ValueError, match="hash_fn"):
+        partition_digests(df, partition_col="p", cols=["k"], hash_fn="md5")
+    with pytest.raises(ValueError, match="at least one"):
+        partition_digests(df, partition_col="p", cols=[])
