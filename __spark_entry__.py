@@ -1963,6 +1963,34 @@ def _salient_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _drift_calendar_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch drift calendar: per-day PSI/JS of events.value vs the
+    declared 5-bin [0,100) baseline, with a planted ×1.5 scale regime
+    from Jan 20 on — the series that localizes drift onset (and feeds
+    change_point_report). Same binning and formulas as the streaming
+    monitor and the scalar scorers."""
+    from dsci_524_g26_data_validation_spark.operators.drift import (
+        drift_calendar,
+    )
+
+    e = _read(spark, sf_dir, "events").withColumn(
+        "value",
+        F.when(
+            F.col("ts") >= F.lit("2024-01-20").cast("timestamp_ntz"),
+            F.col("value") * 1.5,
+        ).otherwise(F.col("value")),
+    )
+    baseline = Histogram(
+        labels=("1", "2", "3", "4", "5"),
+        fracs=(0.2, 0.2, 0.2, 0.2, 0.2),
+        kind="numeric",
+        lo=0.0,
+        hi=100.0,
+        n_bins=5,
+    )
+    return drift_calendar(e, baseline, column="value", time_col="ts")
+
+
 def _partition_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merkle-style partition reconciliation: orders vs a deterministic
     'migrated' copy with one dropped partition, one corrupted partition
@@ -2321,6 +2349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_census_events": _chat_census_events,
         "lang_agreement_documents": _lang_agreement_documents,
         "partition_diff_orders": _partition_diff_orders,
+        "drift_calendar_events": _drift_calendar_events,
         "lm_quality_documents": _lm_quality_documents,
         "correlation_lineitem": _correlation_lineitem,
         "fd_violations_lineitem": _fd_violations_lineitem,
@@ -4732,6 +4761,66 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS min_id
             FROM h GROUP BY content_hash
             HAVING count(DISTINCT split) >= 2
+        """,
+        # batch drift calendar == per-day divergence replica with the
+        # planted x1.5 scale regime from Jan 20
+        "drift_calendar_events": """
+            WITH scaled AS (
+              SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+                         AS bucket_start,
+                     CASE WHEN ts >= TIMESTAMP '2024-01-20'
+                          THEN value * 1.5 ELSE value END AS value
+              FROM events
+            ), binned AS (
+              SELECT bucket_start,
+                     CASE WHEN value IS NULL THEN NULL
+                          WHEN value < 0 THEN '0'
+                          WHEN value >= 100 THEN '6'
+                          ELSE CAST(least(CAST(floor(value / 20) AS BIGINT)
+                                          + 1, 5) AS VARCHAR)
+                     END AS b
+              FROM scaled
+            ), cnt AS (
+              SELECT bucket_start,
+                     count(*) AS n_rows,
+                     count(b) AS n_obs,
+                     count(*) FILTER (WHERE b = '1') AS c0,
+                     count(*) FILTER (WHERE b = '2') AS c1,
+                     count(*) FILTER (WHERE b = '3') AS c2,
+                     count(*) FILTER (WHERE b = '4') AS c3,
+                     count(*) FILTER (WHERE b = '5') AS c4,
+                     count(*) FILTER (WHERE b IS NOT NULL AND b NOT IN
+                         ('1','2','3','4','5')) AS cn
+              FROM binned GROUP BY 1
+            ), lab AS (
+              SELECT c.bucket_start, c.n_rows, c.n_obs, v.i, v.q,
+                     CASE v.i WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2
+                              WHEN 3 THEN c3 WHEN 4 THEN c4 ELSE cn END AS cc
+              FROM cnt c, (VALUES (0, 0.2), (1, 0.2), (2, 0.2), (3, 0.2),
+                                  (4, 0.2), (5, 0.0)) AS v(i, q)
+            ), term AS (
+              SELECT bucket_start, n_rows, n_obs, i, q,
+                     CASE WHEN n_obs > 0
+                          THEN cc / CAST(n_obs AS DOUBLE) ELSE 0.0 END AS p
+              FROM lab
+            )
+            SELECT bucket_start,
+                   CAST(max(n_rows) AS BIGINT) AS n_rows,
+                   CAST(max(n_obs) AS BIGINT) AS n_observed,
+                   round(max(CASE WHEN i = 5 THEN p END), 6) AS novel_frac,
+                   round(CASE WHEN max(n_obs) > 0 THEN
+                       sum((greatest(p, 1e-6) - greatest(q, 1e-6))
+                           * ln(greatest(p, 1e-6) / greatest(q, 1e-6)))
+                       ELSE 0.0 END, 6) AS psi,
+                   round(CASE WHEN max(n_obs) > 0 THEN
+                       sum(CASE WHEN p > 0
+                                THEN 0.5 * p * log2(p / ((p + q) / 2))
+                                ELSE 0.0 END
+                         + CASE WHEN q > 0
+                                THEN 0.5 * q * log2(q / ((p + q) / 2))
+                                ELSE 0.0 END)
+                       ELSE 0.0 END, 6) AS js
+            FROM term GROUP BY bucket_start
         """,
         # per-partition md5 digest sums over both sides of the synthetic
         # migration, full-outer joined to the four statuses

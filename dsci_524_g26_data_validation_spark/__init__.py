@@ -75,6 +75,7 @@ from .operators.drift import (
     js,
     ks,
     psi,
+    drift_calendar,
     token_distribution_drift,
     token_drift_movers,
     token_histogram,
@@ -282,6 +283,7 @@ __all__ = [
     "column_entropies",
     "correlation_census",
     "drift_scores",
+    "drift_calendar",
     "read_compatibility",
     "functional_dependency_violations",
     "group_metric_anomalies",

@@ -43,6 +43,9 @@ __all__ = [
     "token_drift_movers",
     "unseen_categories",
     "expected_distribution_check",
+    "fixed_vector_aggs",
+    "divergence_columns",
+    "drift_calendar",
 ]
 
 NULL_LABEL = "__null__"
@@ -643,3 +646,112 @@ def expected_distribution_check(
             F.col("expected_frac").isNotNull(), e < F.lit(float(min_expected))
         ).alias("low_expected"),
     ).orderBy("value")
+
+
+# -- fixed count-vector divergences (shared by the batch calendar and the
+#    streaming monitor) --------------------------------------------------------
+
+
+def fixed_vector_aggs(c: F.Column, lbl: F.Column, labels) -> list:
+    """The O(|labels|) aggregate vector: one ``count_if`` per declared
+    baseline label + a pooled ``__novel__`` bucket + non-NULL and total
+    counts. State stays labels-bounded per group no matter the volume —
+    the property the streaming monitor needs per open window and the
+    batch calendar needs per bucket."""
+    aggs = [
+        F.count_if(lbl == F.lit(l)).alias(f"_c{i}")
+        for i, l in enumerate(labels)
+    ]
+    aggs += [
+        F.count_if(c.isNotNull() & ~lbl.isin(list(labels))).alias("_cnov"),
+        F.count_if(c.isNotNull()).alias("_n"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ]
+    return aggs
+
+
+def divergence_columns(fracs, *, eps: float = 1e-6) -> dict:
+    """(n_observed, novel_frac, psi, js) Column expressions over a frame
+    produced with :func:`fixed_vector_aggs` — eps-floored PSI and
+    unsmoothed base-2 JS, formula parity with the scalar scorers
+    (:func:`psi` / :func:`js`); all novel mass pools into one bucket
+    (a fixed aggregate cannot enumerate labels it has not declared).
+    Empty groups (no non-NULL rows) report 0.0."""
+    n = F.col("_n").cast("double")
+
+    def p_of(cnt: F.Column) -> F.Column:
+        return cnt.cast("double") / n
+
+    pairs = [
+        (p_of(F.col(f"_c{i}")), F.lit(float(q)))
+        for i, q in enumerate(fracs)
+    ]
+    pairs.append((p_of(F.col("_cnov")), F.lit(0.0)))
+    e = F.lit(float(eps))
+    psi_terms, js_terms = [], []
+    for p, q in pairs:
+        pe, qe = F.greatest(p, e), F.greatest(q, e)
+        psi_terms.append((pe - qe) * F.log(pe / qe))
+        m = (p + q) / F.lit(2.0)
+        js_terms.append(
+            F.when(p > 0, F.lit(0.5) * p * F.log2(p / m)).otherwise(F.lit(0.0))
+            + F.when(q > 0, F.lit(0.5) * q * F.log2(q / m)).otherwise(F.lit(0.0))
+        )
+
+    def zero_safe(expr: F.Column) -> F.Column:
+        return F.when(n > 0, expr).otherwise(F.lit(0.0))
+
+    return {
+        "n_observed": F.col("_n"),
+        "novel_frac": F.round(zero_safe(p_of(F.col("_cnov"))), 6),
+        "psi": F.round(zero_safe(sum(psi_terms[1:], psi_terms[0])), 6),
+        "js": F.round(zero_safe(sum(js_terms[1:], js_terms[0])), 6),
+    }
+
+
+def drift_calendar(
+    df: DataFrame,
+    baseline: Histogram,
+    *,
+    column: str,
+    time_col: str,
+    bucket: str = "day",
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Batch drift SERIES: per-calendar-bucket PSI/JS of ``column``
+    against a declared baseline → (bucket_start, n_rows, n_observed,
+    novel_frac, psi, js), ordered by time once collected.
+
+    The one-number batch scorers (E3/E4) say THAT the week drifted;
+    the calendar says WHEN — and its (bucket, psi) series is exactly
+    the metric-series input :func:`timeseries.change_point_report`
+    expects, closing the loop from drift alarm to onset date. Same
+    ``_bucket_label`` bucketing and divergence formulas as the batch
+    scorers and the streaming monitor (novel mass pooled, documented
+    there).
+
+    100 TB shape: ONE scan; the aggregate is |buckets| × O(|labels|)
+    with map-side combine — the same fixed count vector as the
+    streaming monitor keyed by ``date_trunc`` instead of a watermarked
+    window.
+    """
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    c = F.col(f"`{column}`")
+    if baseline.kind == "categorical" and isinstance(
+        schema.get(column), T.BooleanType
+    ):
+        c = categorical_cast(c, schema[column])
+    lbl = _bucket_label(c, baseline)
+    labels = [str(x) for x in baseline.labels]
+    agg = df.groupBy(
+        F.date_trunc(bucket, F.col(f"`{time_col}`")).alias("bucket_start")
+    ).agg(*fixed_vector_aggs(c, lbl, labels))
+    d = divergence_columns([float(x) for x in baseline.fracs], eps=eps)
+    return agg.select(
+        "bucket_start",
+        "n_rows",
+        d["n_observed"].alias("n_observed"),
+        d["novel_frac"].alias("novel_frac"),
+        d["psi"].alias("psi"),
+        d["js"].alias("js"),
+    )

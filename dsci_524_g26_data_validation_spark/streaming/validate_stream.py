@@ -292,7 +292,11 @@ def histogram_drift_stream(
     """
     from pyspark.sql import types as T
 
-    from ..operators.drift import _bucket_label
+    from ..operators.drift import (
+        _bucket_label,
+        divergence_columns,
+        fixed_vector_aggs,
+    )
     from ..plans.rule_compiler import categorical_cast
 
     c = F.col(column)
@@ -305,50 +309,20 @@ def histogram_drift_stream(
         c = categorical_cast(c, dt)
     lbl = _bucket_label(c, baseline)
     labels = [str(x) for x in baseline.labels]
-    fracs = [float(x) for x in baseline.fracs]
-    aggs = [
-        F.count_if(lbl == F.lit(l)).alias(f"_c{i}")
-        for i, l in enumerate(labels)
-    ]
-    aggs += [
-        F.count_if(c.isNotNull() & ~lbl.isin(labels)).alias("_cnov"),
-        F.count_if(c.isNotNull()).alias("_n"),
-        F.count(F.lit(1)).alias("n_rows"),
-    ]
     agg = (
         stream_df.withWatermark(time_col, watermark_delay)
         .groupBy(F.window(time_col, window_duration).alias("_w"))
-        .agg(*aggs)
+        .agg(*fixed_vector_aggs(c, lbl, labels))
     )
-    n = F.col("_n").cast("double")
-
-    def p_of(cnt: Column) -> Column:
-        return cnt.cast("double") / n
-
-    pairs = [(p_of(F.col(f"_c{i}")), F.lit(q)) for i, q in enumerate(fracs)]
-    pairs.append((p_of(F.col("_cnov")), F.lit(0.0)))
-    e = F.lit(float(eps))
-    psi_terms = []
-    js_terms = []
-    for p, q in pairs:
-        pe, qe = F.greatest(p, e), F.greatest(q, e)
-        psi_terms.append((pe - qe) * F.log(pe / qe))
-        m = (p + q) / F.lit(2.0)
-        js_terms.append(
-            F.when(p > 0, F.lit(0.5) * p * F.log2(p / m)).otherwise(F.lit(0.0))
-            + F.when(q > 0, F.lit(0.5) * q * F.log2(q / m)).otherwise(F.lit(0.0))
-        )
-    zero_safe = lambda expr: F.when(n > 0, expr).otherwise(F.lit(0.0))  # noqa: E731
-    total_psi = zero_safe(sum(psi_terms[1:], psi_terms[0]))
-    total_js = zero_safe(sum(js_terms[1:], js_terms[0]))
+    d = divergence_columns([float(x) for x in baseline.fracs], eps=eps)
     return agg.select(
         F.col("_w.start").alias("window_start"),
         F.col("_w.end").alias("window_end"),
         F.col("n_rows"),
-        F.col("_n").alias("n_observed"),
-        F.round(zero_safe(p_of(F.col("_cnov"))), 6).alias("novel_frac"),
-        F.round(total_psi, 6).alias("psi"),
-        F.round(total_js, 6).alias("js"),
+        d["n_observed"].alias("n_observed"),
+        d["novel_frac"].alias("novel_frac"),
+        d["psi"].alias("psi"),
+        d["js"].alias("js"),
     )
 
 

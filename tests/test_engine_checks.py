@@ -516,3 +516,66 @@ def test_embedding_drift_identical_distributions(spark):
     assert r["centroid_l2"] == 0.0
     assert r["max_dim_shift"] == 0.0 and r["avg_dim_shift"] == 0.0
     assert r["rms_norm_base"] == r["rms_norm_cur"]
+
+
+# -- batch drift calendar ------------------------------------------------------
+
+
+def test_drift_calendar_localizes_onset(spark):
+    """Days before the regime change score ~0; after it, PSI/JS jump and
+    the novel value pools — per-day divergences match the scalar
+    scorers' formulas on the same counts."""
+    import datetime as dt
+    import math
+
+    from dsci_524_g26_data_validation_spark.operators.drift import (
+        drift_calendar,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # days 1-2: perfectly on-baseline (3 a : 1 b per 4 rows)
+    for day in range(2):
+        for i in range(8):
+            rows.append((base + dt.timedelta(days=day, hours=i),
+                         "a" if i % 4 else "b"))
+    # day 3: half the mass is a NOVEL label
+    for i in range(8):
+        rows.append((base + dt.timedelta(days=2, hours=i),
+                     "zzz" if i % 2 else "a"))
+    df = spark.createDataFrame(rows, "ts timestamp, kind string")
+    baseline = dv.Histogram(labels=("a", "b"), fracs=(0.75, 0.25))
+    out = {
+        r.bucket_start.day: r
+        for r in drift_calendar(
+            df, baseline, column="kind", time_col="ts"
+        ).collect()
+    }
+    assert out[1].psi == 0.0 and out[1].js == 0.0 and out[1].novel_frac == 0.0
+    assert out[2].psi == 0.0
+    d3 = out[3]
+    assert d3.novel_frac == 0.5 and d3.psi > 1.0 and 0 < d3.js <= 1.0
+    # closed form for day 3: p = (0.5, eps->0, 0.5) vs q = (0.75, 0.25, eps)
+    e = 1e-6
+    psi = ((0.5 - 0.75) * math.log(0.5 / 0.75)
+           + (e - 0.25) * math.log(e / 0.25)
+           + (0.5 - e) * math.log(0.5 / e))
+    assert d3.psi == round(psi, 6)
+    assert d3.n_rows == 8 and d3.n_observed == 8
+
+
+def test_drift_calendar_null_and_empty_semantics(spark):
+    import datetime as dt
+
+    from dsci_524_g26_data_validation_spark.operators.drift import (
+        drift_calendar,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(base, None), (base, None)], "ts timestamp, kind string"
+    )
+    baseline = dv.Histogram(labels=("a",), fracs=(1.0,))
+    r = drift_calendar(df, baseline, column="kind", time_col="ts").first()
+    # all-NULL day: no observed mass -> divergences 0 by convention
+    assert (r.n_rows, r.n_observed, r.psi, r.js) == (2, 0, 0.0, 0.0)
