@@ -1963,6 +1963,43 @@ def _salient_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _join_preflight_orders_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Join pre-flight: EXACT predicted cardinality and key-overlap
+    census of orders x lineitem on orderkey — computed from the two
+    (key, count) frames before any join runs."""
+    from dsci_524_g26_data_validation_spark.operators.joins import (
+        join_explosion_report,
+    )
+
+    o = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey")
+    )
+    l = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey")
+    )
+    return join_explosion_report(o, l, keys=["orderkey"])
+
+
+def _hot_join_keys_orders_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The offending keys: top-10 orderkeys by join fan-out (duplicate
+    order rows x their lineitems), deterministic tiebreak."""
+    from dsci_524_g26_data_validation_spark.operators.joins import (
+        hot_join_keys,
+    )
+
+    o = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey")
+    )
+    l = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey")
+    )
+    return hot_join_keys(o, l, keys=["orderkey"], top_k=10)
+
+
 def _drift_calendar_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch drift calendar: per-day PSI/JS of events.value vs the
     declared 5-bin [0,100) baseline, with a planted ×1.5 scale regime
@@ -2350,6 +2387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_agreement_documents": _lang_agreement_documents,
         "partition_diff_orders": _partition_diff_orders,
         "drift_calendar_events": _drift_calendar_events,
+        "join_preflight_orders_lineitem": _join_preflight_orders_lineitem,
+        "hot_join_keys_orders_lineitem": _hot_join_keys_orders_lineitem,
         "lm_quality_documents": _lm_quality_documents,
         "correlation_lineitem": _correlation_lineitem,
         "fd_violations_lineitem": _fd_violations_lineitem,
@@ -4761,6 +4800,45 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS min_id
             FROM h GROUP BY content_hash
             HAVING count(DISTINCT split) >= 2
+        """,
+        # exact join-size prediction from the two (key,count) frames
+        "join_preflight_orders_lineitem": """
+            WITH lc AS (
+                SELECT o_orderkey AS k, count(*) AS cl FROM orders GROUP BY 1
+            ), rc AS (
+                SELECT l_orderkey AS k, count(*) AS cr FROM lineitem GROUP BY 1
+            ), j AS (
+                SELECT lc.cl, rc.cr FROM lc FULL OUTER JOIN rc USING (k)
+            )
+            SELECT
+                CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows_left,
+                CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+                    AS n_rows_right,
+                count(*) FILTER (WHERE cl IS NOT NULL) AS n_keys_left,
+                count(*) FILTER (WHERE cr IS NOT NULL) AS n_keys_right,
+                count(*) FILTER (WHERE cl IS NOT NULL AND cr IS NOT NULL)
+                    AS n_shared_keys,
+                count(*) FILTER (WHERE cr IS NULL) AS n_keys_left_only,
+                count(*) FILTER (WHERE cl IS NULL) AS n_keys_right_only,
+                CAST(COALESCE(sum(COALESCE(cl,0) * COALESCE(cr,0)), 0)
+                    AS BIGINT) AS join_rows,
+                CAST(COALESCE(max(COALESCE(cl,0) * COALESCE(cr,0)), 0)
+                    AS BIGINT) AS max_key_fanout,
+                CAST(0 AS BIGINT) AS null_key_rows_left,
+                CAST(0 AS BIGINT) AS null_key_rows_right
+            FROM j
+        """,
+        "hot_join_keys_orders_lineitem": """
+            WITH lc AS (
+                SELECT o_orderkey AS k, count(*) AS cl FROM orders GROUP BY 1
+            ), rc AS (
+                SELECT l_orderkey AS k, count(*) AS cr FROM lineitem GROUP BY 1
+            )
+            SELECT lc.k AS orderkey, lc.cl AS n_left, rc.cr AS n_right,
+                   CAST(lc.cl * rc.cr AS BIGINT) AS join_rows
+            FROM lc JOIN rc USING (k)
+            ORDER BY join_rows DESC, orderkey ASC
+            LIMIT 10
         """,
         # batch drift calendar == per-day divergence replica with the
         # planted x1.5 scale regime from Jan 20

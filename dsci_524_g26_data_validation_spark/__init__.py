@@ -117,6 +117,7 @@ from .operators.packing import pack_sequences, packing_summary
 from .operators.sessions import session_stats, sessionize
 from .operators.splits import assign_splits, split_census, split_leakage
 from .operators.chats import conversation_census, conversation_violations
+from .operators.joins import hot_join_keys, join_explosion_report
 from .operators.labels import label_agreement_census, label_agreement_summary
 from .operators.terms import salient_terms
 from .operators.vocab import zipf_census
@@ -317,6 +318,8 @@ __all__ = [
     "conversation_census",
     "label_agreement_census",
     "label_agreement_summary",
+    "join_explosion_report",
+    "hot_join_keys",
     "asof_join",
     "freshness",
     "interarrival_stats",

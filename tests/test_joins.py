@@ -1,0 +1,70 @@
+"""Join pre-flight (operators/joins.py): exact predicted cardinality,
+key-overlap census, NULL-key semantics, hot-key witnesses, plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dsci_524_g26_data_validation_spark.operators.joins import (
+    hot_join_keys,
+    join_explosion_report,
+)
+
+
+@pytest.fixture()
+def sides(spark):
+    left = spark.createDataFrame(
+        [("k1",), ("k1",), ("k1",), ("k2",), ("k3",), (None,)],
+        "k string",
+    )
+    right = spark.createDataFrame(
+        [("k1",), ("k1",), ("k2",), ("k4",), (None,), (None,)],
+        "k string",
+    )
+    return left, right
+
+
+def test_report_exact_cardinality(spark, sides):
+    left, right = sides
+    r = join_explosion_report(left, right, keys=["k"]).first()
+    assert (r.n_rows_left, r.n_rows_right) == (6, 6)
+    assert (r.n_keys_left, r.n_keys_right) == (3, 3)
+    assert r.n_shared_keys == 2            # k1, k2
+    assert r.n_keys_left_only == 1         # k3
+    assert r.n_keys_right_only == 1        # k4
+    # join rows: k1 -> 3*2, k2 -> 1*1
+    assert r.join_rows == 7
+    assert r.max_key_fanout == 6
+    assert (r.null_key_rows_left, r.null_key_rows_right) == (1, 2)
+    # the prediction matches the real inner join exactly
+    assert left.join(right, on="k").count() == 7
+
+
+def test_hot_keys_ranked(spark, sides):
+    left, right = sides
+    rows = hot_join_keys(left, right, keys=["k"], top_k=5).collect()
+    assert [(r.k, r.n_left, r.n_right, r.join_rows) for r in rows] == [
+        ("k1", 3, 2, 6),
+        ("k2", 1, 1, 1),
+    ]
+
+
+def test_composite_keys_and_validation(spark):
+    left = spark.createDataFrame([("a", 1), ("a", 1), ("a", 2)], "x string, y int")
+    right = spark.createDataFrame([("a", 1), ("b", 2)], "x string, y int")
+    r = join_explosion_report(left, right, keys=["x", "y"]).first()
+    assert r.join_rows == 2 and r.n_shared_keys == 1
+    with pytest.raises(ValueError, match="at least one"):
+        join_explosion_report(left, right, keys=[])
+    with pytest.raises(ValueError, match="top_k"):
+        hot_join_keys(left, right, keys=["x"], top_k=0)
+
+
+def test_hot_keys_plan_topk(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = hot_join_keys(
+        o, c.withColumnRenamed("c_custkey", "o_custkey"),
+        keys=["o_custkey"], top_k=5,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
