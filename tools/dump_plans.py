@@ -58,6 +58,9 @@ def main() -> None:
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
         )
+        # control-byte literals (NULL sentinels, concat separators) appear
+        # verbatim in plan text; keep the artifact plain text
+        plan = plan.replace("\x00", "\\x00").replace("\x01", "\\x01")
         sections.append(f"## {title}\n\n{note}\n\n```\n{plan.strip()}\n```\n")
 
     plan = compile_stats_pass(orders, contract)
@@ -114,6 +117,49 @@ def main() -> None:
         "`TakeOrderedAndProject`: per-partition k-heaps, driver merges "
         "#partitions x k rows — no full sort.",
         similarity.cosine_topk_bruteforce(emb, q, k=10),
+    )
+
+    from dsci_524_g26_data_validation_spark.operators.joins import (
+        join_explosion_report,
+    )
+    from dsci_524_g26_data_validation_spark.operators.rowdiff import (
+        partition_diff,
+    )
+
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    add(
+        "Join pre-flight (exact predicted cardinality)",
+        "Each side collapses to its (key, count) frame before anything "
+        "joins: the exchanges carry distinct-key partials (map-side "
+        "combine), the full-outer join runs on key frames, and the report "
+        "is a 1-row fold — the real join's size is known without running it.",
+        join_explosion_report(
+            orders.select(F.col("o_orderkey").alias("k")),
+            lineitem.select(F.col("l_orderkey").alias("k")),
+            keys=["k"],
+        ),
+    )
+
+    add(
+        "Per-partition Merkle digest diff",
+        "Both sides reduce to |partitions|-row digest-sum frames (one "
+        "groupBy each, map-side combined); the full-outer join and status "
+        "projection never touch row payloads.",
+        partition_diff(
+            orders.select("o_orderpriority", "o_orderkey"),
+            orders.select("o_orderpriority", "o_orderkey").filter(
+                "o_orderkey % 7 != 0"
+            ),
+            partition_col="o_orderpriority",
+        ),
+    )
+
+    add(
+        "Per-cohort contract validation (one grouped fused agg)",
+        "Every aggregate facet for every group rides ONE scan and one "
+        "hash exchange on the group key; issues assemble via a lazy "
+        "`inline` unpivot over the |groups|-row aggregate.",
+        dv.validate_by_group(orders, contract, group_col="o_orderpriority"),
     )
 
     header = (
