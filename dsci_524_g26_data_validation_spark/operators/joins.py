@@ -43,14 +43,10 @@ def _joined_counts(
 ) -> DataFrame:
     lc = _key_counts(left, keys, "l")
     rc = _key_counts(right, keys, "r")
-    # NULL keys never match in a real equi-join; keep them as orphan
-    # rows on their own side (they surface in n_keys_*_only) by joining
-    # null-safely NOWHERE: drop NULL-key rows from the match but count
-    # them — here the simple way is an inner-semantics full outer join
-    # on the key columns, which never matches NULL to NULL under <=>?
-    # Spark's `on=[cols]` USING join DOES match NULLs like <=>, so make
-    # the NULL semantics explicit: tag NULL-key rows and exclude them
-    # from pairing.
+    # NULL keys never pair in a real equi-join, but Spark's USING-join
+    # on a column list matches NULL to NULL — so NULL-key rows are
+    # tagged and excluded from the pairing here, and reported as their
+    # own mass by the caller instead of silently inflating a side.
     null_key = None
     for k in keys:
         cond = F.col(f"`{k}`").isNull()

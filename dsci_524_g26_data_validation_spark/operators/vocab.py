@@ -23,8 +23,6 @@ no driver math, merge-order-independent doubles summed per group).
 
 from __future__ import annotations
 
-from typing import Optional
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
