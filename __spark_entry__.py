@@ -1963,6 +1963,20 @@ def _salient_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _frequent_values_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact FrequentItems profile: top-3 values of three orders columns
+    in one scan — which value dominates (stuck default / sentinel /
+    undeclared enum spelling)."""
+    from dsci_524_g26_data_validation_spark.operators.infer import (
+        frequent_values,
+    )
+
+    o = _read(spark, sf_dir, "orders")
+    return frequent_values(
+        o, ["o_orderstatus", "o_orderpriority", "o_custkey"], top_k=3
+    )
+
+
 def _join_preflight_orders_lineitem(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2389,6 +2403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_calendar_events": _drift_calendar_events,
         "join_preflight_orders_lineitem": _join_preflight_orders_lineitem,
         "hot_join_keys_orders_lineitem": _hot_join_keys_orders_lineitem,
+        "frequent_values_orders": _frequent_values_orders,
         "lm_quality_documents": _lm_quality_documents,
         "correlation_lineitem": _correlation_lineitem,
         "fd_violations_lineitem": _fd_violations_lineitem,
@@ -4800,6 +4815,30 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS min_id
             FROM h GROUP BY content_hash
             HAVING count(DISTINCT split) >= 2
+        """,
+        # exact FrequentItems: per-column top-3 with NULL-excluded mass
+        "frequent_values_orders": """
+            WITH pairs AS (
+                SELECT 'o_orderstatus' AS col_name,
+                       CAST(o_orderstatus AS VARCHAR) AS val FROM orders
+                UNION ALL
+                SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR)
+                FROM orders
+                UNION ALL
+                SELECT 'o_custkey', CAST(o_custkey AS VARCHAR)
+                FROM orders
+            ), c AS (
+                SELECT col_name, val, count(*) AS cnt FROM pairs
+                WHERE val IS NOT NULL GROUP BY col_name, val
+            ), r AS (
+                SELECT col_name, val, cnt,
+                       round(cnt / CAST(sum(cnt) OVER
+                           (PARTITION BY col_name) AS DOUBLE), 6) AS frac,
+                       row_number() OVER (PARTITION BY col_name
+                           ORDER BY cnt DESC, val ASC) AS rank
+                FROM c
+            )
+            SELECT col_name, val, cnt, frac, rank FROM r WHERE rank <= 3
         """,
         # exact join-size prediction from the two (key,count) frames
         "join_preflight_orders_lineitem": """

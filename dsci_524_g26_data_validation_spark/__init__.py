@@ -38,6 +38,7 @@ from .types import (
 )
 from .operators.infer import (
     column_entropies,
+    frequent_values,
     correlation_census,
     group_quantiles,
     infer_contract,
@@ -282,6 +283,7 @@ __all__ = [
     "ks",
     "psi",
     "column_entropies",
+    "frequent_values",
     "correlation_census",
     "drift_scores",
     "drift_calendar",

@@ -41,6 +41,7 @@ __all__ = [
     "infer_profile",
     "group_quantiles",
     "column_entropies",
+    "frequent_values",
     "correlation_census",
     "DEFAULT_MAX_CATEGORIES",
 ]
@@ -413,3 +414,60 @@ def correlation_census(df: DataFrame, cols=None) -> DataFrame:
         for i, (a, b) in enumerate(pairs)
     ]
     return row.select(F.inline(F.array(*structs)))
+
+
+def frequent_values(df: DataFrame, cols, *, top_k: int = 10) -> DataFrame:
+    """(col_name, val, cnt, frac, rank) — exact top-``top_k`` most
+    frequent values of every named column, ALL columns in ONE scan
+    (Deequ's FrequentItems analyzer, exact).
+
+    The profiling facet min/max/entropy can't give: WHICH value
+    dominates (the stuck default, the sentinel leaking into data, the
+    one enum spelling nobody declared). ``frac`` is over non-NULL rows
+    of that column; NULL is excluded like the P5 domain rule (its mass
+    already lives in the missingness facet). Deterministic: ties break
+    by value ascending.
+
+    Plan: the column_entropies explode trick emits (col, value) pairs
+    row-locally; map-side partial aggregation bounds the shuffle by
+    Σ cardinality, not rows; the per-column top-k runs as a
+    WindowGroupLimit over the counts frame (each task keeps ≤ k rows
+    per column before the exchange). Same bounded-cardinality caveat
+    (and HLL pre-check remedy) as the categorical-domain profile.
+    """
+    from pyspark.sql import Window
+
+    cols = list(cols)
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if top_k <= 0:
+        raise ValueError(f"top_k must be > 0, got {top_k}")
+    entries = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"`{c}`").cast("string").alias("val"),
+        )
+        for c in cols
+    ]
+    counts = (
+        df.select(F.explode(F.array(*entries)).alias("e"))
+        .filter(F.col("e.val").isNotNull())
+        .groupBy(F.col("e.col_name").alias("col_name"), F.col("e.val").alias("val"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_total = Window.partitionBy("col_name")
+    w_rank = Window.partitionBy("col_name").orderBy(
+        F.desc("cnt"), F.asc("val")
+    )
+    return (
+        counts.select(
+            "col_name",
+            "val",
+            "cnt",
+            F.round(F.col("cnt") / F.sum("cnt").over(w_total), 6).alias(
+                "frac"
+            ),
+            F.row_number().over(w_rank).alias("rank"),
+        )
+        .filter(F.col("rank") <= top_k)
+    )

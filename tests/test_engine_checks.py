@@ -579,3 +579,53 @@ def test_drift_calendar_null_and_empty_semantics(spark):
     r = drift_calendar(df, baseline, column="kind", time_col="ts").first()
     # all-NULL day: no observed mass -> divergences 0 by convention
     assert (r.n_rows, r.n_observed, r.psi, r.js) == (2, 0, 0.0, 0.0)
+
+
+# -- frequent values (exact FrequentItems) -------------------------------------
+
+
+def test_frequent_values_all_cols_one_scan(spark, sf_dir):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 2), ("a", None), (None, 2)],
+        "s string, x int",
+    )
+    from dsci_524_g26_data_validation_spark.operators.infer import (
+        frequent_values,
+    )
+
+    got = {
+        (r.col_name, r.val): (r.cnt, r.frac, r.rank)
+        for r in frequent_values(df, ["s", "x"], top_k=2).collect()
+    }
+    # NULLs excluded from mass: s has 4 non-null (a:3, b:1)
+    assert got[("s", "a")] == (3, 0.75, 1)
+    assert got[("s", "b")] == (1, 0.25, 2)
+    # x: 2 appears 3x of 4 non-null
+    assert got[("x", "2")] == (3, 0.75, 1)
+    assert got[("x", "1")] == (1, 0.25, 2)
+    with pytest.raises(ValueError, match="top_k"):
+        frequent_values(df, ["s"], top_k=0)
+    with pytest.raises(ValueError, match="non-empty"):
+        frequent_values(df, [])
+
+
+def test_frequent_values_deterministic_ties_and_plan(spark, sf_dir):
+    from dsci_524_g26_data_validation_spark.operators.infer import (
+        frequent_values,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = frequent_values(df, ["o_orderstatus", "o_orderpriority"], top_k=3)
+    # inspect the pre-execution plan (post-collect AQE prints Final AND
+    # Initial sections, double-counting every node)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    assert "WindowGroupLimit" in plan
+    rows = out.collect()
+    per_col = {}
+    for r in rows:
+        per_col.setdefault(r.col_name, []).append((r.rank, r.cnt, r.val))
+    for c, rs in per_col.items():
+        rs.sort()
+        cnts = [x[1] for x in rs]
+        assert cnts == sorted(cnts, reverse=True)
