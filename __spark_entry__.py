@@ -5100,6 +5100,8 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(count(*) AS DOUBLE), 6) AS hapax_frac,
                        round(count(*) / CAST(sum(n) AS DOUBLE), 6)
                            AS type_token_ratio,
+                       CAST(count(*) FILTER (WHERE n = 1) AS DOUBLE) AS f1,
+                       CAST(count(*) FILTER (WHERE n = 2) AS DOUBLE) AS f2,
                        count(*) FILTER (WHERE rank <= 1000) AS m,
                        sum(ln(rank)) FILTER (WHERE rank <= 1000) AS sx,
                        sum(ln(n)) FILTER (WHERE rank <= 1000) AS sy,
@@ -5113,6 +5115,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT grp AS "group", n_tokens, vocab_size, hapax_frac,
                    type_token_ratio,
+                   round(vocab_size + f1 * (f1 - 1.0) / (2.0 * (f2 + 1.0)),
+                         6) AS chao1_vocab,
                    round(CASE WHEN m >= 2
                               AND m * sxx - sx * sx > 0
                          THEN (m * sxy - sx * sy) / (m * sxx - sx * sx)

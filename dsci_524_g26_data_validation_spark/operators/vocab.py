@@ -40,7 +40,16 @@ def zipf_census(
     lowercase: bool = True,
 ) -> DataFrame:
     """Per-group vocabulary census → (group, n_tokens, vocab_size,
-    hapax_frac, type_token_ratio, zipf_slope, zipf_r2).
+    hapax_frac, type_token_ratio, chao1_vocab, zipf_slope, zipf_r2).
+
+    ``chao1_vocab`` is the Chao1 lower-bound estimate of the TRUE
+    vocabulary size including unseen types (Chao 1984, the classic
+    unseen-species estimator): D + f1·(f1−1)/(2·(f2+1)) with f1/f2 the
+    singleton/doubleton counts (bias-corrected form, defined even at
+    f2 = 0). chao1_vocab ≫ vocab_size means the corpus slice has not
+    begun to saturate its vocabulary — sampling more of it buys
+    genuinely new text, the data-acquisition question behind every
+    "do we need another crawl of this source" decision.
 
     The Zipf fit is ordinary least squares of ln(freq) on ln(rank)
     over the ``fit_top_n`` most frequent tokens (rank ties break by
@@ -81,6 +90,8 @@ def zipf_census(
             F.count_if(F.col("n") == 1) / F.count(F.lit(1)), 6
         ).alias("hapax_frac"),
         F.round(F.count(F.lit(1)) / F.sum("n"), 6).alias("type_token_ratio"),
+        F.count_if(F.col("n") == 1).alias("_f1"),
+        F.count_if(F.col("n") == 2).alias("_f2"),
         # closed-form OLS sufficient statistics over the fitted head
         F.count_if(in_fit).alias("_m"),
         F.sum(F.when(in_fit, x)).alias("_sx"),
@@ -98,12 +109,16 @@ def zipf_census(
         (F.col("_m") >= 2) & (varx > 0) & (vary > 0),
         (cov * cov) / (varx * vary),
     )
+    f1 = F.col("_f1").cast("double")
+    f2 = F.col("_f2").cast("double")
+    chao1 = F.col("vocab_size") + f1 * (f1 - 1) / (2.0 * (f2 + 1.0))
     return agg.select(
         "group",
         "n_tokens",
         "vocab_size",
         "hapax_frac",
         "type_token_ratio",
+        F.round(chao1, 6).alias("chao1_vocab"),
         F.round(slope, 6).alias("zipf_slope"),
         F.round(r2, 6).alias("zipf_r2"),
     )

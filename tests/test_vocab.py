@@ -17,6 +17,19 @@ def test_counts_and_diversity(spark):
     assert (r.n_tokens, r.vocab_size) == (6, 3)
     assert r.hapax_frac == round(1 / 3, 6)
     assert r.type_token_ratio == 0.5
+    # Chao1 bias-corrected: D + f1(f1-1)/(2(f2+1)) with f1=1 (c), f2=1 (b)
+    assert r.chao1_vocab == 3.0
+
+
+def test_chao1_unseen_vocab_estimate(spark):
+    # 3 hapaxes, 0 doubletons: chao1 = 4 + 3*2/(2*1) = 7 — the slice is
+    # far from vocabulary saturation and the estimator says so
+    df = spark.createDataFrame(
+        [("g", "x x x x c d e")], "source string, text string"
+    )
+    r = zipf_census(df).first()
+    assert r.vocab_size == 4
+    assert r.chao1_vocab == 7.0
 
 
 def test_ols_matches_numpy(spark):
