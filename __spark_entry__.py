@@ -1963,6 +1963,52 @@ def _salient_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic preference-pair export synthesized from documents
+    (prompt/chosen/rejected = text slices) with planted faults:
+    doc_id%41 → identical responses, %43 → empty chosen, %47 → chosen
+    echoes the prompt. Short docs yield '' slices on both engines
+    (substr past the end), so their faults are deterministic too."""
+    d = _read(spark, sf_dir, "documents")
+    prompt = F.substring("text", 1, 50)
+    chosen = F.substring("text", 51, 100)
+    rejected = F.substring("text", 151, 100)
+    chosen = F.when(F.col("doc_id") % 43 == 0, F.lit("")).otherwise(chosen)
+    chosen = F.when(F.col("doc_id") % 47 == 0, prompt).otherwise(chosen)
+    rejected = F.when(F.col("doc_id") % 41 == 0, chosen).otherwise(rejected)
+    return d.select(
+        F.col("doc_id").alias("pair_id"),
+        prompt.alias("prompt"),
+        chosen.alias("chosen"),
+        rejected.alias("rejected"),
+    )
+
+
+def _preference_violations_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-pair RLHF-data violations over the synthesized export."""
+    from dsci_524_g26_data_validation_spark.operators.preferences import (
+        preference_pair_violations,
+    )
+
+    return preference_pair_violations(
+        _preference_pairs(spark, sf_dir), id_col="pair_id"
+    )
+
+
+def _preference_report_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The one-row preference-data gate: per-kind counts + duplicate-
+    prompt census over the same synthesized export."""
+    from dsci_524_g26_data_validation_spark.operators.preferences import (
+        preference_pair_report,
+    )
+
+    return preference_pair_report(_preference_pairs(spark, sf_dir))
+
+
 def _frequent_values_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact FrequentItems profile: top-3 values of three orders columns
     in one scan — which value dominates (stuck default / sentinel /
@@ -2404,6 +2450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_preflight_orders_lineitem": _join_preflight_orders_lineitem,
         "hot_join_keys_orders_lineitem": _hot_join_keys_orders_lineitem,
         "frequent_values_orders": _frequent_values_orders,
+        "preference_violations_documents": _preference_violations_documents,
+        "preference_report_documents": _preference_report_documents,
         "lm_quality_documents": _lm_quality_documents,
         "correlation_lineitem": _correlation_lineitem,
         "fd_violations_lineitem": _fd_violations_lineitem,
@@ -4815,6 +4863,86 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS min_id
             FROM h GROUP BY content_hash
             HAVING count(DISTINCT split) >= 2
+        """,
+        # the synthesized preference export + every pair facet in SQL
+        "preference_violations_documents": """
+            WITH pairs AS (
+                SELECT doc_id AS pair_id,
+                       substr(text, 1, 50) AS prompt,
+                       CASE WHEN doc_id % 47 = 0 THEN substr(text, 1, 50)
+                            WHEN doc_id % 43 = 0 THEN ''
+                            ELSE substr(text, 51, 100) END AS chosen,
+                       CASE WHEN doc_id % 41 = 0 THEN
+                            CASE WHEN doc_id % 47 = 0 THEN substr(text, 1, 50)
+                                 WHEN doc_id % 43 = 0 THEN ''
+                                 ELSE substr(text, 51, 100) END
+                            ELSE substr(text, 151, 100) END AS rejected
+                FROM documents
+            ), u AS (
+                SELECT pair_id, 'identical_responses' AS kind,
+                       (chosen IS NOT DISTINCT FROM rejected) AS fired
+                FROM pairs
+                UNION ALL SELECT pair_id, 'empty_prompt',
+                       (prompt IS NULL OR trim(prompt) = '') FROM pairs
+                UNION ALL SELECT pair_id, 'empty_chosen',
+                       (chosen IS NULL OR trim(chosen) = '') FROM pairs
+                UNION ALL SELECT pair_id, 'empty_rejected',
+                       (rejected IS NULL OR trim(rejected) = '') FROM pairs
+                UNION ALL SELECT pair_id, 'chosen_echoes_prompt',
+                       (NOT (chosen IS NULL OR trim(chosen) = '')
+                        AND trim(chosen) = trim(prompt)) FROM pairs
+                UNION ALL SELECT pair_id, 'rejected_echoes_prompt',
+                       (NOT (rejected IS NULL OR trim(rejected) = '')
+                        AND trim(rejected) = trim(prompt)) FROM pairs
+            )
+            SELECT pair_id, kind FROM u WHERE COALESCE(fired, FALSE)
+        """,
+        "preference_report_documents": """
+            WITH pairs AS (
+                SELECT doc_id AS pair_id,
+                       substr(text, 1, 50) AS prompt,
+                       CASE WHEN doc_id % 47 = 0 THEN substr(text, 1, 50)
+                            WHEN doc_id % 43 = 0 THEN ''
+                            ELSE substr(text, 51, 100) END AS chosen,
+                       CASE WHEN doc_id % 41 = 0 THEN
+                            CASE WHEN doc_id % 47 = 0 THEN substr(text, 1, 50)
+                                 WHEN doc_id % 43 = 0 THEN ''
+                                 ELSE substr(text, 51, 100) END
+                            ELSE substr(text, 151, 100) END AS rejected
+                FROM documents
+            ), f AS (
+                SELECT pair_id,
+                    (chosen IS NOT DISTINCT FROM rejected) AS k1,
+                    (prompt IS NULL OR trim(prompt) = '') AS k2,
+                    (chosen IS NULL OR trim(chosen) = '') AS k3,
+                    (rejected IS NULL OR trim(rejected) = '') AS k4,
+                    (NOT (chosen IS NULL OR trim(chosen) = '')
+                     AND trim(chosen) = trim(prompt)) AS k5,
+                    (NOT (rejected IS NULL OR trim(rejected) = '')
+                     AND trim(rejected) = trim(prompt)) AS k6,
+                    md5(COALESCE(prompt, '')) AS ph
+                FROM pairs
+            ), base AS (
+                SELECT count(*) AS n_pairs,
+                    count(*) FILTER (WHERE k1) AS n_identical_responses,
+                    count(*) FILTER (WHERE k2) AS n_empty_prompt,
+                    count(*) FILTER (WHERE k3) AS n_empty_chosen,
+                    count(*) FILTER (WHERE k4) AS n_empty_rejected,
+                    count(*) FILTER (WHERE k5) AS n_chosen_echoes_prompt,
+                    count(*) FILTER (WHERE k6) AS n_rejected_echoes_prompt,
+                    count(*) FILTER (WHERE k1 OR k2 OR k3 OR k4 OR k5 OR k6)
+                        AS n_bad_pairs
+                FROM f
+            ), dup AS (
+                SELECT count(*) AS n_dup_prompts,
+                       CAST(COALESCE(sum(n), 0) AS BIGINT)
+                           AS n_pairs_with_dup_prompt
+                FROM (SELECT ph, count(*) AS n FROM f GROUP BY ph
+                      HAVING count(*) >= 2)
+            )
+            SELECT base.*, dup.*,
+                   (n_bad_pairs = 0 AND n_dup_prompts = 0) AS ok
+            FROM base, dup
         """,
         # exact FrequentItems: per-column top-3 with NULL-excluded mass
         "frequent_values_orders": """

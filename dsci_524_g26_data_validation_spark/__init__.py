@@ -115,6 +115,11 @@ from .operators.pii import (
     smallest_quasi_groups,
 )
 from .operators.packing import pack_sequences, packing_summary
+from .operators.preferences import (
+    duplicate_prompt_census,
+    preference_pair_report,
+    preference_pair_violations,
+)
 from .operators.sessions import session_stats, sessionize
 from .operators.splits import assign_splits, split_census, split_leakage
 from .operators.chats import conversation_census, conversation_violations
@@ -322,6 +327,9 @@ __all__ = [
     "label_agreement_summary",
     "join_explosion_report",
     "hot_join_keys",
+    "preference_pair_violations",
+    "preference_pair_report",
+    "duplicate_prompt_census",
     "asof_join",
     "freshness",
     "interarrival_stats",
