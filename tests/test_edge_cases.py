@@ -83,3 +83,83 @@ def test_duplicate_keys_with_nulls(spark):
     dup = dv.duplicate_keys(df, "doc_id").collect()
     # NULL keys group like SQL GROUP BY: two NULLs are a duplicate pair
     assert len(dup) == 1 and dup[0]["dup_count"] == 2
+
+
+def test_round3_operators_on_empty_input(spark):
+    """Every round-3 operator degrades to an empty (or zeroed) frame on
+    a zero-row input instead of raising."""
+    from dsci_524_g26_data_validation_spark.operators.chats import (
+        conversation_census,
+        conversation_violations,
+    )
+    from dsci_524_g26_data_validation_spark.operators.infer import (
+        frequent_values,
+    )
+    from dsci_524_g26_data_validation_spark.operators.joins import (
+        hot_join_keys,
+        join_explosion_report,
+    )
+    from dsci_524_g26_data_validation_spark.operators.labels import (
+        label_agreement_census,
+        label_agreement_summary,
+    )
+    from dsci_524_g26_data_validation_spark.operators.preferences import (
+        duplicate_prompt_census,
+        preference_pair_report,
+        preference_pair_violations,
+    )
+    from dsci_524_g26_data_validation_spark.operators.rowdiff import (
+        partition_diff,
+    )
+    from dsci_524_g26_data_validation_spark.operators.splits import (
+        split_census,
+        split_leakage,
+    )
+    from dsci_524_g26_data_validation_spark.operators.terms import (
+        salient_terms,
+    )
+    from dsci_524_g26_data_validation_spark.operators.vocab import zipf_census
+
+    docs = spark.createDataFrame(
+        [], "doc_id bigint, text string, source string"
+    )
+    splits = {"train": 0.9, "test": 0.1}
+    assert split_census(docs, splits, id_col="doc_id").count() == 0
+    assert (
+        split_leakage(docs, splits, id_col="doc_id", content_col="text").count()
+        == 0
+    )
+    assert salient_terms(docs).count() == 0
+    assert zipf_census(docs).count() == 0
+    assert frequent_values(docs, ["source"]).count() == 0
+
+    turns = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, role string, content string"
+    )
+    assert conversation_violations(turns).count() == 0
+    assert conversation_census(turns).count() == 0
+
+    labeled = spark.createDataFrame([], "lang string, lang_pred string")
+    assert label_agreement_census(
+        labeled, declared_col="lang", predicted_col="lang_pred"
+    ).count() == 0
+    s = label_agreement_summary(
+        labeled, declared_col="lang", predicted_col="lang_pred"
+    ).first()
+    assert s.n_rows is None or s.n_rows == 0
+
+    pairs = spark.createDataFrame(
+        [], "pair_id int, prompt string, chosen string, rejected string"
+    )
+    assert preference_pair_violations(pairs, id_col="pair_id").count() == 0
+    assert duplicate_prompt_census(pairs).count() == 0
+    r = preference_pair_report(pairs).first()
+    assert r.n_pairs == 0 and r.n_dup_prompts == 0 and r.ok is True
+
+    keyed = spark.createDataFrame([], "k string")
+    jr = join_explosion_report(keyed, keyed, keys=["k"]).first()
+    assert jr.join_rows == 0 and jr.n_shared_keys == 0
+    assert hot_join_keys(keyed, keyed, keys=["k"]).count() == 0
+
+    part = spark.createDataFrame([], "p string, v int")
+    assert partition_diff(part, part, partition_col="p").count() == 0
