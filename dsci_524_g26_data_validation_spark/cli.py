@@ -29,6 +29,12 @@ Commands (input = parquet path or catalog/Iceberg table name):
               [--output PATH]   (deterministic md5 split; census +
               exact cross-split leakage audit when --content-col given;
               PATH written partitioned by split)
+    join-preflight --left T --right T2 --keys K[,K...] [--top-k N]
+              (exact predicted join cardinality + overlap census +
+              hot-key witnesses, before any join runs)
+    partition-diff --left T --right T2 --partition-col C
+              [--cols C,...] [--portable]   (Merkle digest-sum diff:
+              match/differs/only_left/only_right per partition value)
 
 Every command prints ONE JSON report to stdout (machine-parseable; logs
 go to stderr) and exits 0/1 per the verdict when --fail is given.
@@ -183,6 +189,22 @@ def main(argv: Optional[list] = None) -> int:
     )
     p.add_argument("--output", default=None)
 
+    p = sub.add_parser("join-preflight")
+    p.add_argument("--left", required=True)
+    p.add_argument("--right", required=True)
+    p.add_argument("--keys", required=True, help="column, or comma-list")
+    p.add_argument("--top-k", type=int, default=10)
+
+    p = sub.add_parser("partition-diff")
+    p.add_argument("--left", required=True)
+    p.add_argument("--right", required=True)
+    p.add_argument("--partition-col", required=True)
+    p.add_argument("--cols", default=None, help="comma-list; default: shared")
+    p.add_argument(
+        "--portable", action="store_true",
+        help="md5 digests (cross-engine) instead of dual-seed xxhash",
+    )
+
     args = ap.parse_args(argv)
 
     if args.cmd == "compare":  # driver-only: no SparkSession needed
@@ -200,6 +222,50 @@ def main(argv: Optional[list] = None) -> int:
         return 0
 
     spark = _spark(f"dv-{args.cmd}")
+
+    if args.cmd == "join-preflight":
+        from .operators.joins import hot_join_keys, join_explosion_report
+
+        keys = [k.strip() for k in args.keys.split(",")]
+        left = load_table(spark, args.left)
+        right = load_table(spark, args.right)
+        report = join_explosion_report(left, right, keys=keys).first().asDict()
+        hot = [
+            r.asDict()
+            for r in hot_join_keys(
+                left, right, keys=keys, top_k=args.top_k
+            ).collect()
+        ]
+        report["hot_keys"] = hot
+        print(json.dumps(report, sort_keys=True, default=str))
+        return 0
+
+    if args.cmd == "partition-diff":
+        from .operators.rowdiff import partition_diff
+
+        left = load_table(spark, args.left)
+        right = load_table(spark, args.right)
+        cols = (
+            [c.strip() for c in args.cols.split(",")] if args.cols else None
+        )
+        rows = [
+            r.asDict()
+            for r in partition_diff(
+                left,
+                right,
+                partition_col=args.partition_col,
+                cols=cols,
+                hash_fn="portable" if args.portable else "xxhash",
+            ).orderBy("partition").collect()
+        ]
+        n_bad = sum(1 for r in rows if r["status"] != "match")
+        print(json.dumps(
+            {"partitions": rows, "n_partitions": len(rows),
+             "n_not_matching": n_bad, "ok": n_bad == 0},
+            sort_keys=True, default=str,
+        ))
+        return 0
+
     df = load_table(spark, args.input)
 
     if args.cmd == "infer":

@@ -279,3 +279,45 @@ def test_cli_split_census_leakage_and_write(spark, sf_dir, tmp_path, capsys):
     back = spark.read.parquet(out)
     assert back.count() == sum(c["n_rows"] for c in census.values())
     assert set(r.split for r in back.select("split").distinct().collect()) == set(census)
+
+
+def test_cli_join_preflight_report(spark, sf_dir, tmp_path, capsys):
+    left = str(tmp_path / "l")
+    right = str(tmp_path / "r")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "o_orderkey AS k"
+    ).write.parquet(left)
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        "l_orderkey AS k"
+    ).write.parquet(right)
+    capsys.readouterr()
+    assert main([
+        "join-preflight", "--left", left, "--right", right,
+        "--keys", "k", "--top-k", "3",
+    ]) == 0
+    rep = _last_json(capsys)
+    real = (
+        spark.read.parquet(left)
+        .join(spark.read.parquet(right), on="k")
+        .count()
+    )
+    assert rep["join_rows"] == real
+    assert len(rep["hot_keys"]) == 3
+
+
+def test_cli_partition_diff(spark, sf_dir, tmp_path, capsys):
+    left = str(tmp_path / "pl")
+    right = str(tmp_path / "pr")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderpriority", "o_orderkey"
+    )
+    o.write.parquet(left)
+    o.filter("o_orderkey % 5 != 0").write.parquet(right)
+    capsys.readouterr()
+    assert main([
+        "partition-diff", "--left", left, "--right", right,
+        "--partition-col", "o_orderpriority", "--portable",
+    ]) == 0
+    rep = _last_json(capsys)
+    assert rep["ok"] is False and rep["n_not_matching"] >= 1
+    assert all(r["status"] in ("match", "differs") for r in rep["partitions"])
