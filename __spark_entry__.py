@@ -1963,6 +1963,19 @@ def _salient_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mixture_plan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget recipe planning: whitespace token supply per source
+    vs a declared 3-source mixture at a 1M-token budget — epochs and
+    over-cap flags; unlisted sources reported at weight 0."""
+    d = _read(spark, sf_dir, "documents")
+    return dv.mixture_plan(
+        d,
+        {"src0": 0.3, "src1": 0.3, "src2": 0.4},
+        token_budget=1_000_000,
+        max_epochs=2.0,
+    )
+
+
 def _preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic preference-pair export synthesized from documents
     (prompt/chosen/rejected = text slices) with planted faults:
@@ -2452,6 +2465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_values_orders": _frequent_values_orders,
         "preference_violations_documents": _preference_violations_documents,
         "preference_report_documents": _preference_report_documents,
+        "mixture_plan_documents": _mixture_plan_documents,
         "lm_quality_documents": _lm_quality_documents,
         "correlation_lineitem": _correlation_lineitem,
         "fd_violations_lineitem": _fd_violations_lineitem,
@@ -4863,6 +4877,35 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS min_id
             FROM h GROUP BY content_hash
             HAVING count(DISTINCT split) >= 2
+        """,
+        # token supply per source + recipe arithmetic, weight map inline
+        "mixture_plan_documents": """
+            WITH s AS (
+                SELECT source AS stratum,
+                       CAST(sum(COALESCE(len(string_split(text, ' ')), 0))
+                            AS BIGINT) AS available_tokens
+                FROM documents GROUP BY source
+            ), w AS (
+                SELECT stratum, available_tokens,
+                       CASE stratum WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.3
+                            WHEN 'src2' THEN 0.4 ELSE 0.0 END AS weight
+                FROM s
+            )
+            SELECT stratum, available_tokens,
+                   CAST(round(weight, 6) AS DOUBLE) AS weight,
+                   CAST(round(weight * 1000000, 6) AS DOUBLE)
+                       AS target_tokens,
+                   CAST(CASE WHEN available_tokens > 0
+                        THEN round(weight * 1000000 / available_tokens, 6)
+                        END AS DOUBLE) AS epochs,
+                   COALESCE(
+                       CASE WHEN available_tokens > 0
+                            THEN round(weight * 1000000 / available_tokens, 6)
+                            END > 2.0,
+                       weight > 0) AS over_epoch_cap,
+                   CAST(round(weight * 1000000 / 1000000, 6) AS DOUBLE)
+                       AS share_of_budget
+            FROM w
         """,
         # the synthesized preference export + every pair facet in SQL
         "preference_violations_documents": """

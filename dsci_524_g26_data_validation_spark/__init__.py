@@ -85,6 +85,7 @@ from .operators.drift import (
 )
 from .operators.sampling import (
     hash_sample,
+    mixture_plan,
     mixture_report,
     stratified_hash_sample,
     violation_rate_estimate,
@@ -297,6 +298,7 @@ __all__ = [
     "group_metric_anomalies",
     "hash_sample",
     "stratified_hash_sample",
+    "mixture_plan",
     "mixture_report",
     "expected_distribution_check",
     "token_distribution_drift",

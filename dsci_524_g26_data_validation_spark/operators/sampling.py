@@ -34,6 +34,7 @@ __all__ = [
     "violation_rate_estimate",
     "stratified_hash_sample",
     "mixture_report",
+    "mixture_plan",
     "wilson_interval_cols",
 ]
 
@@ -250,4 +251,78 @@ def mixture_report(
             ).alias("share_of_mix"),
         )
         .orderBy("stratum")
+    )
+
+
+def mixture_plan(
+    df: DataFrame,
+    weights: dict,
+    *,
+    token_budget: int,
+    group_col: str = "source",
+    tokens_col: Optional[str] = None,
+    text_col: Optional[str] = "text",
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Data-recipe planning: per-source token supply vs the mixture's
+    demand → (stratum, available_tokens, weight, target_tokens, epochs,
+    over_epoch_cap, share_of_budget).
+
+    The question behind every mixture spec (LLaMA/Chinchilla-style
+    "web 67%, code 8%…"): does each source HAVE enough tokens for its
+    share of the training budget, and how many epochs of it would the
+    recipe imply? ``epochs`` > ~4 is the documented regime where
+    repetition stops helping (public scaling-law folklore; the cap is a
+    parameter) — ``over_epoch_cap`` flags those strata, which is the
+    signal to re-weight or acquire more data.
+
+    Token supply comes from ONE scan: ``tokens_col`` (array column →
+    ``size``) if given, else whitespace counts over ``text_col``.
+    Strata missing from ``weights`` get weight 0 (excluded from the
+    recipe but still reported — dropping a source silently is how
+    mixtures rot). All arithmetic is in the frame, so the plan is
+    engine-checkable like any other query.
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be > 0, got {token_budget}")
+    total_w = sum(float(v) for v in weights.values())
+    if not weights or abs(total_w - 1.0) > 1e-9:
+        raise ValueError(f"weights must be non-empty and sum to 1, got {total_w}")
+    if any(float(v) < 0 for v in weights.values()):
+        raise ValueError("weights must be >= 0")
+    if tokens_col is not None:
+        n_tok = F.size(F.col(f"`{tokens_col}`"))
+        n_tok = F.when(n_tok >= 0, n_tok).otherwise(F.lit(0))
+    elif text_col is not None:
+        from .text import token_count_expr
+
+        n_tok = F.coalesce(token_count_expr(text_col), F.lit(0))
+    else:
+        raise ValueError("one of tokens_col / text_col is required")
+    supply = (
+        df.select(F.col(f"`{group_col}`").alias("stratum"), n_tok.alias("_n"))
+        .groupBy("stratum")
+        .agg(F.sum("_n").alias("available_tokens"))
+    )
+    wmap = F.create_map(
+        *[x for k, v in weights.items() for x in (F.lit(k), F.lit(float(v)))]
+    )
+    w = F.coalesce(wmap[F.col("stratum")], F.lit(0.0))
+    target = F.round(w * F.lit(float(token_budget)), 6)
+    epochs = F.when(
+        F.col("available_tokens") > 0,
+        F.round(target / F.col("available_tokens"), 6),
+    )  # NULL epochs: the recipe demands tokens a supply-less stratum lacks
+    return supply.select(
+        "stratum",
+        "available_tokens",
+        F.round(w, 6).alias("weight"),
+        target.alias("target_tokens"),
+        epochs.alias("epochs"),
+        F.coalesce(epochs > F.lit(float(max_epochs)), w > 0).alias(
+            "over_epoch_cap"
+        ),
+        F.round(target / F.lit(float(token_budget)), 6).alias(
+            "share_of_budget"
+        ),
     )

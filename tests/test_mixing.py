@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from dsci_524_g26_data_validation_spark.operators.drift import (
     expected_distribution_check,
 )
+import dsci_524_g26_data_validation_spark as dv
 from dsci_524_g26_data_validation_spark.operators.sampling import (
     mixture_report,
     stratified_hash_sample,
@@ -129,3 +130,68 @@ def test_priors_must_sum_to_one(spark):
     df = spark.createDataFrame([("a",)], "v string")
     with pytest.raises(ValueError):
         expected_distribution_check(df, "v", {"a": 0.5})
+
+
+# -- mixture planning (token-budget epochs calculator) -------------------------
+
+
+def test_mixture_plan_arithmetic(spark):
+    df = spark.createDataFrame(
+        [
+            ("web", "a b c d"),      # 4 tokens
+            ("web", "e f"),          # +2 -> 6
+            ("code", "x y"),         # 2
+            ("books", "z"),          # 1, unlisted -> weight 0
+        ],
+        "source string, text string",
+    )
+    rows = {
+        r.stratum: r
+        for r in dv.mixture_plan(
+            df, {"web": 0.5, "code": 0.5}, token_budget=12, max_epochs=4.0
+        ).collect()
+    }
+    web = rows["web"]
+    assert (web.available_tokens, web.weight, web.target_tokens) == (6, 0.5, 6.0)
+    assert web.epochs == 1.0 and web.over_epoch_cap is False
+    code = rows["code"]
+    # 6 target tokens / 2 available -> 3 epochs, under the 4.0 cap
+    assert code.epochs == 3.0 and code.over_epoch_cap is False
+    # the unlisted stratum is reported, not dropped
+    books = rows["books"]
+    assert books.weight == 0.0 and books.target_tokens == 0.0
+    assert books.over_epoch_cap is False
+    # tighten the cap: code now over-subscribes
+    rows2 = {
+        r.stratum: r
+        for r in dv.mixture_plan(
+            df, {"web": 0.5, "code": 0.5}, token_budget=12, max_epochs=2.0
+        ).collect()
+    }
+    assert rows2["code"].over_epoch_cap is True
+
+
+def test_mixture_plan_supply_less_stratum_flags(spark):
+    df = spark.createDataFrame(
+        [("web", "a b"), ("empty", None)], "source string, text string"
+    )
+    rows = {
+        r.stratum: r
+        for r in dv.mixture_plan(
+            df, {"web": 0.5, "empty": 0.5}, token_budget=10
+        ).collect()
+    }
+    e = rows["empty"]
+    # demanded but supply-less: NULL epochs, flagged
+    assert e.available_tokens == 0 and e.epochs is None
+    assert e.over_epoch_cap is True
+
+
+def test_mixture_plan_validation(spark):
+    df = spark.createDataFrame([("web", "a")], "source string, text string")
+    with pytest.raises(ValueError, match="token_budget"):
+        dv.mixture_plan(df, {"web": 1.0}, token_budget=0)
+    with pytest.raises(ValueError, match="sum to 1"):
+        dv.mixture_plan(df, {"web": 0.5}, token_budget=10)
+    with pytest.raises(ValueError, match=">= 0"):
+        dv.mixture_plan(df, {"web": 2.0, "code": -1.0}, token_budget=10)
