@@ -190,7 +190,7 @@ from .operators.urls import (
 )
 from .operators.normalize import normalization_census, normalize_text
 from .sources.manifest import FileManifestStore
-from .sources.files import file_census, flag_outlier_files
+from .sources.files import clustering_report, file_census, flag_outlier_files
 from .sources.shards import assign_shards, shard_plan, write_shards
 from .sources.token_table import source_dim, token_table
 
@@ -354,6 +354,7 @@ __all__ = [
     "normalization_census",
     "assign_shards",
     "file_census",
+    "clustering_report",
     "flag_outlier_files",
     "shard_plan",
     "write_shards",

@@ -28,7 +28,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["file_census", "flag_outlier_files"]
+__all__ = ["file_census", "flag_outlier_files", "clustering_report"]
 
 
 def file_census(
@@ -100,4 +100,70 @@ def flag_outlier_files(
             F.coalesce(F.col("mad_z") > threshold, F.lit(False)),
         )
         .drop("_mad", "_meanad")
+    )
+
+
+def clustering_report(census: DataFrame) -> DataFrame:
+    """ONE row → (n_files, n_ranged_files, n_overlapping_files,
+    overlap_frac, span_inflation) from a :func:`file_census` frame that
+    carried ``key_col``.
+
+    The data-layout health check behind every slow scan: parquet/
+    Iceberg min/max pruning only skips a file when the predicate's key
+    range misses the FILE's range — if file key ranges overlap heavily
+    (append-order writes, unsorted backfills), every point query touches
+    every file and "partition pruning" silently becomes a full scan.
+    ``n_overlapping_files`` counts files whose [key_min, key_max] range
+    intersects ANY earlier range (the monotonic running-max sweep —
+    same any-predecessor shape as ``timeseries.interval_overlaps``, so
+    one long file swallowing many is charged to each); ``span_inflation``
+    = Σ file spans / global span (≈1 for disjoint sorted layout, ≫1 for
+    interleaved writes). High numbers say: rewrite sorted (or cluster by
+    the key) before blaming the reader.
+
+    The census frame is O(files) rows, so the single-task windows are
+    the correct plan at any corpus size.
+    """
+    if "key_min" not in census.columns or "key_max" not in census.columns:
+        raise ValueError("census must be built with key_col= (key_min/key_max)")
+    ranged = census.filter(
+        F.col("key_min").isNotNull() & F.col("key_max").isNotNull()
+    )
+    w = Window.orderBy(F.asc("key_min"), F.asc("key_max"), F.asc("file"))
+    prev_max = F.max("key_max").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = ranged.select(
+        F.col("key_min").cast("double"),
+        F.col("key_max").cast("double"),
+        (F.col("key_min") <= prev_max).alias("_overlaps"),
+    )
+    total = census.agg(F.count(F.lit(1)).alias("n_files"))
+    stats = swept.agg(
+        F.count(F.lit(1)).alias("n_ranged_files"),
+        F.coalesce(F.count_if(F.col("_overlaps")), F.lit(0)).alias(
+            "n_overlapping_files"
+        ),
+        F.sum(F.col("key_max") - F.col("key_min")).alias("_span_sum"),
+        F.min("key_min").alias("_lo"),
+        F.max("key_max").alias("_hi"),
+    )
+    return total.crossJoin(F.broadcast(stats)).select(
+        "n_files",
+        "n_ranged_files",
+        "n_overlapping_files",
+        F.round(
+            F.when(
+                F.col("n_ranged_files") > 0,
+                F.col("n_overlapping_files") / F.col("n_ranged_files"),
+            ),
+            6,
+        ).alias("overlap_frac"),
+        F.round(
+            F.when(
+                F.col("_hi") > F.col("_lo"),
+                F.col("_span_sum") / (F.col("_hi") - F.col("_lo")),
+            ),
+            6,
+        ).alias("span_inflation"),
     )

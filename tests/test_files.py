@@ -71,3 +71,48 @@ def test_file_census_single_scan(spark, shard_dir):
     out = file_census(df, null_cols=["v"], key_col="k")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") == 1
+
+
+def test_clustering_report_sorted_vs_interleaved(spark, tmp_path):
+    from dsci_524_g26_data_validation_spark.sources.files import (
+        clustering_report,
+    )
+
+    # sorted layout: disjoint key ranges per file
+    sorted_rows = (
+        [("a", i) for i in range(0, 10)]
+        + [("b", i) for i in range(10, 20)]
+        + [("c", i) for i in range(20, 30)]
+    )
+    sdf = spark.createDataFrame(sorted_rows, "shard string, k bigint")
+    p1 = str(tmp_path / "sorted")
+    sdf.repartition("shard").write.partitionBy("shard").parquet(p1)
+    rep = clustering_report(
+        file_census(spark.read.parquet(p1), key_col="k")
+    ).first()
+    assert rep.n_files == 3 and rep.n_overlapping_files == 0
+    assert rep.overlap_frac == 0.0
+    # spans 9+9+9 over global span 29
+    assert rep.span_inflation == round(27 / 29, 6)
+
+    # interleaved layout: every file covers the full key range
+    inter_rows = [(s, i) for i in range(0, 30) for s in ("a", "b", "c")]
+    idf = spark.createDataFrame(inter_rows, "shard string, k bigint")
+    p2 = str(tmp_path / "interleaved")
+    idf.repartition("shard").write.partitionBy("shard").parquet(p2)
+    rep2 = clustering_report(
+        file_census(spark.read.parquet(p2), key_col="k")
+    ).first()
+    # all but the first file overlap a predecessor
+    assert rep2.n_overlapping_files == 2 and rep2.overlap_frac == round(2 / 3, 6)
+    assert rep2.span_inflation == 3.0
+
+
+def test_clustering_report_requires_key(spark, shard_dir):
+    from dsci_524_g26_data_validation_spark.sources.files import (
+        clustering_report,
+    )
+
+    census = file_census(spark.read.parquet(shard_dir))
+    with pytest.raises(ValueError, match="key_col"):
+        clustering_report(census)
