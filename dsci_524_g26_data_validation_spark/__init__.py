@@ -145,7 +145,7 @@ from .operators.quarantine import (
     tag_rows,
     write_quarantine,
 )
-from .operators.skew import key_skew_report, suggested_salt
+from .operators.skew import key_skew_report, salted_join, suggested_salt
 from .operators.missingness import comissingness, null_patterns
 from .operators.lines import (
     frequent_lines,
@@ -340,6 +340,7 @@ __all__ = [
     "session_stats",
     "key_skew_report",
     "suggested_salt",
+    "salted_join",
     "DriftThresholds",
     "validate_table_contract",
     "run_resumable_validation",

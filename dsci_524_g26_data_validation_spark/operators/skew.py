@@ -24,7 +24,7 @@ from typing import Sequence, Union
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["key_skew_report", "suggested_salt"]
+__all__ = ["key_skew_report", "suggested_salt", "salted_join"]
 
 
 def key_skew_report(
@@ -77,3 +77,57 @@ def suggested_salt(max_skew_factor: float, *, target: float = 2.0) -> int:
     if target <= 0:
         raise ValueError(f"target must be positive, got {target}")
     return max(1, math.ceil(max_skew_factor / target))
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: Union[str, Sequence[str]],
+    salt: int,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-join with EXPLICIT skew salting: the big (left) side spreads
+    each key across ``salt`` buckets, the small-but-not-broadcastable
+    (right) side is replicated ``salt``× via a row-local explode, and
+    the join keys on (key…, bucket) — the hot key's shuffle partition is
+    split ``salt`` ways instead of landing on one straggler task.
+
+    Use when AQE's skew-join can't save you: AQE splits oversized
+    partitions of a *sort-merge* join after the fact, but a single
+    mega-key still hashes to one partition per side and its right-side
+    rows must be duplicated to every split — exactly what explicit
+    salting does deterministically, before the shuffle, under the
+    engine's control (the north rule asks for explicit handling, not
+    optimizer hope). Size ``salt`` with :func:`suggested_salt` from
+    :func:`key_skew_report`.
+
+    Semantics: identical to ``left.join(right, on, how)`` for
+    ``inner``/``left``/``left_outer``/``left_semi``/``left_anti`` —
+    bucket assignment on the left is ``rand(seed)``-based (any
+    assignment is correct because the right side carries every bucket;
+    the seed only stabilizes task-level placement). Right/full joins
+    would need the mirrored construction; they raise instead of
+    silently mis-joining. NULL keys behave exactly as in the plain
+    join (never match).
+    """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} joins, got {how!r}"
+        )
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
+    keys = [on] if isinstance(on, str) else list(on)
+    if not keys:
+        raise ValueError("on must name at least one key column")
+    lb = left.withColumn(
+        "_salt", (F.floor(F.rand(seed) * salt)).cast("int")
+    )
+    rb = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = lb.join(rb, on=keys + ["_salt"], how=how)
+    return out.drop("_salt")

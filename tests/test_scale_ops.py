@@ -292,3 +292,46 @@ def test_smallest_quasi_groups_plan_topk(spark, sf_dir):
     out = dv.smallest_quasi_groups(e, ["user_id", "event_type"], top_k=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# -- explicit salted join ------------------------------------------------------
+
+
+def test_salted_join_matches_plain_join(spark):
+    from dsci_524_g26_data_validation_spark.operators.skew import salted_join
+
+    # hot key: 'k0' carries 80% of the left side
+    left = spark.createDataFrame(
+        [("k0", i) for i in range(80)]
+        + [(f"k{i}", i) for i in range(1, 21)]
+        + [(None, -1)],
+        "k string, v int",
+    )
+    right = spark.createDataFrame(
+        [("k0", "dim0"), ("k1", "dim1"), ("k99", "dimX"), (None, "dimN")],
+        "k string, d string",
+    )
+    key = lambda r: tuple(str(x) for x in r)  # noqa: E731 (None-safe sort)
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        plain = left.join(right, on="k", how=how)
+        salted = salted_join(left, right, on="k", salt=8, how=how)
+        assert sorted(map(key, salted.collect())) == sorted(
+            map(key, plain.collect())
+        ), how
+
+
+def test_salted_join_plan_and_validation(spark):
+    from dsci_524_g26_data_validation_spark.operators.skew import salted_join
+
+    left = spark.range(100).selectExpr("CAST(id % 3 AS STRING) k", "id v")
+    right = spark.range(3).selectExpr("CAST(id AS STRING) k", "id d")
+    out = salted_join(left, right, on="k", salt=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the join keys on (k, _salt): hot keys split across salt buckets
+    assert "_salt" in plan
+    with pytest.raises(ValueError, match="supports"):
+        salted_join(left, right, on="k", salt=4, how="right")
+    with pytest.raises(ValueError, match="salt must"):
+        salted_join(left, right, on="k", salt=0)
+    with pytest.raises(ValueError, match="at least one"):
+        salted_join(left, right, on=[], salt=2)
