@@ -1963,6 +1963,25 @@ def _salient_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _funnel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/FineWeb-style sequential filter funnel over documents: four
+    ordered keep-filters with first-fail attribution — the per-stage
+    kill census every curation recipe is tuned on."""
+    from dsci_524_g26_data_validation_spark.operators.funnel import (
+        filter_funnel,
+    )
+    from dsci_524_g26_data_validation_spark.operators.pii import PII_PATTERNS
+
+    d = _read(spark, sf_dir, "documents")
+    filters = [
+        ("min_chars", "n_chars >= 200"),
+        ("min_tokens", "size(split(text, ' ')) >= 30"),
+        ("no_email", f"regexp_count(text, '{PII_PATTERNS['email']}') = 0"),
+        ("known_lang", "lang IN ('en','fr','de','es','zh')"),
+    ]
+    return filter_funnel(d, filters)
+
+
 def _mixture_plan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget recipe planning: whitespace token supply per source
     vs a declared 3-source mixture at a 1M-token budget — epochs and
@@ -2466,6 +2485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_violations_documents": _preference_violations_documents,
         "preference_report_documents": _preference_report_documents,
         "mixture_plan_documents": _mixture_plan_documents,
+        "funnel_documents": _funnel_documents,
         "lm_quality_documents": _lm_quality_documents,
         "correlation_lineitem": _correlation_lineitem,
         "fd_violations_lineitem": _fd_violations_lineitem,
@@ -4877,6 +4897,44 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS min_id
             FROM h GROUP BY content_hash
             HAVING count(DISTINCT split) >= 2
+        """,
+        # first-fail funnel: same ordered predicates, same 3VL, window
+        # arithmetic over the per-stage kill counts
+        "funnel_documents": """
+            WITH ff AS (
+                SELECT CASE
+                    WHEN NOT COALESCE(n_chars >= 200, FALSE) THEN 0
+                    WHEN NOT COALESCE(
+                        len(string_split(text, ' ')) >= 30, FALSE) THEN 1
+                    WHEN NOT COALESCE(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                        = 0, FALSE) THEN 2
+                    WHEN NOT COALESCE(
+                        lang IN ('en','fr','de','es','zh'), FALSE) THEN 3
+                    ELSE 4 END AS f
+                FROM documents
+            ), killed AS (
+                SELECT s.stage, s.filter,
+                       COALESCE(k.n, 0) AS n_killed
+                FROM (VALUES (0, 'min_chars'), (1, 'min_tokens'),
+                             (2, 'no_email'), (3, 'known_lang'))
+                     AS s(stage, filter)
+                LEFT JOIN (SELECT f, count(*) AS n FROM ff GROUP BY f) k
+                  ON s.stage = k.f
+            ), tot AS (SELECT count(*) AS total FROM documents)
+            SELECT stage, filter,
+                   CAST(total - COALESCE(sum(n_killed) OVER (
+                        ORDER BY stage ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n_in,
+                   CAST(n_killed AS BIGINT) AS n_killed,
+                   CAST(total - COALESCE(sum(n_killed) OVER (
+                        ORDER BY stage ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) - n_killed AS BIGINT) AS n_out,
+                   round(CAST(n_killed AS DOUBLE) /
+                        (total - COALESCE(sum(n_killed) OVER (
+                         ORDER BY stage ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0)), 6) AS kill_frac
+            FROM killed, tot
         """,
         # token supply per source + recipe arithmetic, weight map inline
         "mixture_plan_documents": """

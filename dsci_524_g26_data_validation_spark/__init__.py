@@ -115,6 +115,7 @@ from .operators.pii import (
     redact_pii,
     smallest_quasi_groups,
 )
+from .operators.funnel import apply_filters, filter_funnel
 from .operators.packing import pack_sequences, packing_summary
 from .operators.preferences import (
     duplicate_prompt_census,
@@ -299,6 +300,8 @@ __all__ = [
     "hash_sample",
     "stratified_hash_sample",
     "mixture_plan",
+    "filter_funnel",
+    "apply_filters",
     "mixture_report",
     "expected_distribution_check",
     "token_distribution_drift",
