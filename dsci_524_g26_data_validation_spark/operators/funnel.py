@@ -110,8 +110,8 @@ def filter_funnel(
         else df.agg(F.count(F.lit(1)).alias("_total"))
     )
     if group_col:
-        joined = joined.join(total.withColumnRenamed(group_col, "group")
-                             if group_col != "group" else total, on="group")
+        # `total` already carries its key aliased to "group" (see keys)
+        joined = joined.join(total, on="group")
     else:
         joined = joined.crossJoin(F.broadcast(total))
     killed = F.coalesce(F.col("_killed"), F.lit(0))
