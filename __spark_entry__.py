@@ -1963,6 +1963,20 @@ def _salient_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cohort_compare_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-cohort A/B comparison: o_totalprice of 1-URGENT vs 5-LOW —
+    Welch t and Cohen's d from explicit sufficient statistics (oracle
+    reproduces the exact closed form, not an engine stddev)."""
+    o = _read(spark, sf_dir, "orders")
+    return dv.cohort_compare(
+        o,
+        value_col="o_totalprice",
+        group_col="o_orderpriority",
+        group_a="1-URGENT",
+        group_b="5-LOW",
+    )
+
+
 def _funnel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/FineWeb-style sequential filter funnel over documents: four
     ordered keep-filters with first-fail attribution — the per-stage
@@ -2486,6 +2500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_report_documents": _preference_report_documents,
         "mixture_plan_documents": _mixture_plan_documents,
         "funnel_documents": _funnel_documents,
+        "cohort_compare_orders": _cohort_compare_orders,
         "lm_quality_documents": _lm_quality_documents,
         "correlation_lineitem": _correlation_lineitem,
         "fd_violations_lineitem": _fd_violations_lineitem,
@@ -4897,6 +4912,42 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS min_id
             FROM h GROUP BY content_hash
             HAVING count(DISTINCT split) >= 2
+        """,
+        # Welch t / Cohen's d from the same 6 sufficient statistics
+        "cohort_compare_orders": """
+            WITH s AS (
+                SELECT
+                  count(*) FILTER (WHERE o_orderpriority = '1-URGENT'
+                      AND o_totalprice IS NOT NULL) AS n_a,
+                  count(*) FILTER (WHERE o_orderpriority = '5-LOW'
+                      AND o_totalprice IS NOT NULL) AS n_b,
+                  sum(o_totalprice) FILTER (WHERE o_orderpriority
+                      = '1-URGENT') AS sa,
+                  sum(o_totalprice) FILTER (WHERE o_orderpriority
+                      = '5-LOW') AS sb,
+                  sum(o_totalprice * o_totalprice) FILTER (
+                      WHERE o_orderpriority = '1-URGENT') AS qa,
+                  sum(o_totalprice * o_totalprice) FILTER (
+                      WHERE o_orderpriority = '5-LOW') AS qb
+                FROM orders
+            ), d AS (
+                SELECT n_a, n_b,
+                    sa / n_a AS ma, sb / n_b AS mb,
+                    (qa - sa * sa / n_a) / (n_a - 1) AS va,
+                    (qb - sb * sb / n_b) / (n_b - 1) AS vb
+                FROM s
+            )
+            SELECT n_a, n_b,
+                round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+                round(va, 6) AS var_a, round(vb, 6) AS var_b,
+                round(ma - mb, 6) AS mean_diff,
+                round((ma - mb) / sqrt(((n_a - 1) * va + (n_b - 1) * vb)
+                      / (n_a + n_b - 2)), 6) AS cohens_d,
+                round((ma - mb) / sqrt(va / n_a + vb / n_b), 6) AS welch_t,
+                round(pow(va / n_a + vb / n_b, 2)
+                      / (pow(va / n_a, 2) / (n_a - 1)
+                         + pow(vb / n_b, 2) / (n_b - 1)), 6) AS welch_df
+            FROM d
         """,
         # first-fail funnel: same ordered predicates, same 3VL, window
         # arithmetic over the per-stage kill counts

@@ -92,7 +92,7 @@ from .operators.sampling import (
 )
 from .operators.slices import slice_violation_report
 from .operators.benford import benford_report, benford_stat
-from .operators.anomaly import group_metric_anomalies
+from .operators.anomaly import cohort_compare, group_metric_anomalies
 from .operators.tokens import (
     key_integrity_counts,
     arrays_equal_udf,
@@ -297,6 +297,7 @@ __all__ = [
     "read_compatibility",
     "functional_dependency_violations",
     "group_metric_anomalies",
+    "cohort_compare",
     "hash_sample",
     "stratified_hash_sample",
     "mixture_plan",

@@ -117,3 +117,27 @@ def test_assign_splits_row_local_plan(spark, ids):
     out = assign_splits(ids, SPLITS, id_col="doc_id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_assignment_matches_independent_python_md5(spark):
+    """Engine-portability proof: an independent hashlib implementation
+    of the bucket arithmetic predicts every Spark assignment exactly."""
+    import hashlib
+
+    ids = list(range(0, 400, 7)) + [10**12 + 3, 999999937]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    got = {
+        r.doc_id: r.split
+        for r in assign_splits(df, SPLITS, id_col="doc_id", salt="s1").collect()
+    }
+
+    def expected(i):
+        h = hashlib.md5(f"s1{i}".encode()).hexdigest()
+        bucket = int(h[:15], 16) % 1_000_000
+        if bucket < 800_000:
+            return "train"
+        if bucket < 900_000:
+            return "val"
+        return "test"
+
+    assert got == {i: expected(i) for i in ids}

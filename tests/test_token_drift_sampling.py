@@ -401,3 +401,44 @@ def test_correlation_census_needs_two_columns(spark):
     df = spark.createDataFrame([(1.0,)], "x double")
     with _pytest.raises(ValueError):
         dv.correlation_census(df)
+
+
+# -- two-cohort comparison (Welch t / Cohen's d) --------------------------------
+
+
+def test_cohort_compare_matches_closed_form(spark):
+    import math
+
+    a = [1.0, 2.0, 3.0, 4.0, 5.0]
+    b = [4.0, 5.0, 7.0, 8.0]
+    rows = [("A", x) for x in a] + [("B", x) for x in b] + [("C", 99.0), ("A", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = dv.cohort_compare(
+        df, value_col="v", group_col="g", group_a="A", group_b="B"
+    ).first()
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    va = sum((x - ma) ** 2 for x in a) / (na - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / math.sqrt(se2)
+    dof = se2**2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    pooled = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+    d = (ma - mb) / math.sqrt(pooled)
+    assert (r.n_a, r.n_b) == (na, nb)            # NULL and cohort C excluded
+    assert r.mean_a == round(ma, 6) and r.var_b == round(vb, 6)
+    assert r.welch_t == pytest.approx(t, abs=1e-6)
+    assert r.welch_df == pytest.approx(dof, abs=1e-6)
+    assert r.cohens_d == pytest.approx(d, abs=1e-6)
+
+
+def test_cohort_compare_degenerate_cohorts_null(spark):
+    df = spark.createDataFrame(
+        [("A", 1.0), ("B", 2.0), ("B", 3.0)], "g string, v double"
+    )
+    r = dv.cohort_compare(
+        df, value_col="v", group_col="g", group_a="A", group_b="B"
+    ).first()
+    # n_a = 1: no variance, no inference — but means still report
+    assert r.n_a == 1 and r.mean_a == 1.0
+    assert r.var_a is None and r.welch_t is None and r.cohens_d is None
