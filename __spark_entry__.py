@@ -1963,6 +1963,23 @@ def _salient_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _funnel_by_lang_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same filter cascade PER LANGUAGE — which slice the cleaning
+    recipe eats (the per-cohort funnel is where mixture surprises
+    surface: a filter tuned on English can silently halve another
+    language)."""
+    from dsci_524_g26_data_validation_spark.operators.funnel import (
+        filter_funnel,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    filters = [
+        ("min_chars", "n_chars >= 200"),
+        ("min_tokens", "size(split(text, ' ')) >= 30"),
+    ]
+    return filter_funnel(d, filters, group_col="lang")
+
+
 def _cohort_compare_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-cohort A/B comparison: o_totalprice of 1-URGENT vs 5-LOW —
     Welch t and Cohen's d from explicit sufficient statistics (oracle
@@ -2501,6 +2518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan_documents": _mixture_plan_documents,
         "funnel_documents": _funnel_documents,
         "cohort_compare_orders": _cohort_compare_orders,
+        "funnel_by_lang_documents": _funnel_by_lang_documents,
         "lm_quality_documents": _lm_quality_documents,
         "correlation_lineitem": _correlation_lineitem,
         "fd_violations_lineitem": _fd_violations_lineitem,
@@ -4912,6 +4930,43 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS min_id
             FROM h GROUP BY content_hash
             HAVING count(DISTINCT split) >= 2
+        """,
+        # the grouped funnel: same first-fail CASE, per-language windows
+        "funnel_by_lang_documents": """
+            WITH ff AS (
+                SELECT lang, CASE
+                    WHEN NOT COALESCE(n_chars >= 200, FALSE) THEN 0
+                    WHEN NOT COALESCE(
+                        len(string_split(text, ' ')) >= 30, FALSE) THEN 1
+                    ELSE 2 END AS f
+                FROM documents
+            ), killed AS (
+                SELECT g.lang, s.stage, s.filter, COALESCE(k.n, 0) AS n_killed
+                FROM (SELECT DISTINCT lang FROM ff) g
+                CROSS JOIN (VALUES (0, 'min_chars'), (1, 'min_tokens'))
+                     AS s(stage, filter)
+                LEFT JOIN (SELECT lang, f, count(*) AS n FROM ff
+                           GROUP BY lang, f) k
+                  ON g.lang = k.lang AND s.stage = k.f
+            ), tot AS (
+                SELECT lang, count(*) AS total FROM documents GROUP BY lang
+            )
+            SELECT killed.lang AS "group", stage, filter,
+                   CAST(total - COALESCE(sum(n_killed) OVER (
+                        PARTITION BY killed.lang ORDER BY stage
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS n_in,
+                   CAST(n_killed AS BIGINT) AS n_killed,
+                   CAST(total - COALESCE(sum(n_killed) OVER (
+                        PARTITION BY killed.lang ORDER BY stage
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) - n_killed AS BIGINT) AS n_out,
+                   round(CAST(n_killed AS DOUBLE) /
+                        (total - COALESCE(sum(n_killed) OVER (
+                         PARTITION BY killed.lang ORDER BY stage
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0)), 6) AS kill_frac
+            FROM killed JOIN tot ON killed.lang = tot.lang
         """,
         # Welch t / Cohen's d from the same 6 sufficient statistics
         "cohort_compare_orders": """
