@@ -162,6 +162,38 @@ def main() -> None:
         dv.validate_by_group(orders, contract, group_col="o_orderpriority"),
     )
 
+    from dsci_524_g26_data_validation_spark.operators.funnel import (
+        filter_funnel,
+    )
+    from dsci_524_g26_data_validation_spark.operators.skew import salted_join
+
+    add(
+        "Sequential filter funnel (first-fail attribution)",
+        "One corpus scan: the first-failing-stage index is a row-local "
+        "CASE, the census groups on that tiny index (map-side combined), "
+        "and the funnel arithmetic is a window over the counts frame — "
+        "no filter evaluates twice, documents never shuffle.",
+        filter_funnel(
+            docs,
+            [("min_chars", "n_chars >= 200"),
+             ("min_tokens", "size(split(text, ' ')) >= 30")],
+        ),
+    )
+
+    add(
+        "Explicit salted join (hot key split before the shuffle)",
+        "The big side spreads keys across salt buckets, the small side "
+        "replicates via a row-local explode, and the join keys on "
+        "(key, _salt) — the mega-key's partition is divided "
+        "deterministically ahead of the exchange.",
+        salted_join(
+            orders.selectExpr("o_custkey AS k", "o_totalprice AS v"),
+            orders.selectExpr("o_custkey AS k").distinct().limit(1000),
+            on="k",
+            salt=8,
+        ),
+    )
+
     header = (
         "# PLANS — headline physical plans (generated by tools/dump_plans.py)\n\n"
         f"Input: `{SF_DIR}` on local[4]; plans are pre-execution "
