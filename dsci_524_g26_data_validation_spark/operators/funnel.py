@@ -68,11 +68,14 @@ def filter_funnel(
     filters = _normalize(filters)
     ff = _first_fail(filters)
     keys = ([F.col(f"`{group_col}`").alias("group")] if group_col else [])
+    # two derivations read this frame (stage join + totals); materialize
+    # it once (localCheckpoint, the json_profile/terms pattern) so the
+    # corpus is scanned exactly once — it is ≤ (stages+1) [x groups] rows
     counts = (
         df.select(*keys, ff.alias("_ff"))
         .groupBy(*(["group"] if group_col else []), "_ff")
         .agg(F.count(F.lit(1)).alias("_n"))
-    )
+    ).localCheckpoint()
     # attach zero-count stages so every declared filter reports a row
     spark_range = counts.sparkSession.createDataFrame(
         [(i, name) for i, (name, _) in enumerate(filters)],
@@ -104,15 +107,15 @@ def filter_funnel(
             F.col("b._n").alias("_killed"),
         )
         win = Window.partitionBy().orderBy("stage")
-    total = (
-        df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_total"))
-        if group_col
-        else df.agg(F.count(F.lit(1)).alias("_total"))
-    )
+    # totals fold the counts frame (every row carries a _ff), NOT the
+    # corpus — keeping the operator a genuine single scan
     if group_col:
-        # `total` already carries its key aliased to "group" (see keys)
+        total = base.groupBy("group").agg(F.sum("_n").alias("_total"))
         joined = joined.join(total, on="group")
     else:
+        total = base.agg(
+            F.coalesce(F.sum("_n"), F.lit(0)).alias("_total")
+        )
         joined = joined.crossJoin(F.broadcast(total))
     killed = F.coalesce(F.col("_killed"), F.lit(0))
     killed_before = F.coalesce(

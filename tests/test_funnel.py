@@ -68,12 +68,18 @@ def test_apply_filters_survivors_match_funnel(spark, docs):
     assert last[0].n_out == surv.count()
 
 
-def test_validation_and_plan(spark, docs):
+def test_validation_and_plan(spark, docs, sf_dir):
     with pytest.raises(ValueError, match="at least one"):
         filter_funnel(docs, [])
     with pytest.raises(ValueError, match="at least one"):
         apply_filters(docs, [])
-    out = filter_funnel(docs, FILTERS)
+    # the corpus is scanned exactly once, at the counts checkpoint —
+    # the returned plan never reads the parquet again
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = filter_funnel(d, [("min_chars", "n_chars >= 200")])
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # one pass over the corpus; every later node works on counts frames
-    assert plan.count("LocalTableScan") <= 2  # corpus + stage literals
+    assert plan.count("FileScan parquet") == 0
+    # empty input: stages still report with zeroed funnel
+    empty = spark.createDataFrame([], "text string, n_chars int")
+    rows = filter_funnel(empty, [("min_chars", "n_chars >= 200")]).collect()
+    assert [(r.n_in, r.n_killed, r.n_out) for r in rows] == [(0, 0, 0)]
