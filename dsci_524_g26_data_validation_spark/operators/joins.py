@@ -41,22 +41,39 @@ def _key_counts(df: DataFrame, keys: Sequence[str], side: str) -> DataFrame:
 def _joined_counts(
     left: DataFrame, right: DataFrame, keys: Sequence[str]
 ) -> DataFrame:
-    lc = _key_counts(left, keys, "l")
-    rc = _key_counts(right, keys, "r")
-    # NULL keys never pair in a real equi-join, but Spark's USING-join
-    # on a column list matches NULL to NULL — so NULL-key rows are
-    # tagged and excluded from the pairing here, and reported as their
-    # own mass by the caller instead of silently inflating a side.
-    null_key = None
+    """Full-outer join of the two (key, count) frames on STRICT key
+    equality — equality is FALSE on NULL operands, so NULL-key groups
+    never pair and flow through as orphan rows carrying ``_lnull`` /
+    ``_rnull`` flags instead. One aggregation per side, one join: each
+    input is scanned exactly once (branching the count frames into a
+    separate null-mass aggregate would re-run the scans — Spark shares
+    no subplans across DataFrame branches)."""
+    lc = _key_counts(left, keys, "l").alias("l")
+    rc = _key_counts(right, keys, "r").alias("r")
+
+    def any_null(side: str):
+        cond = None
+        for k in keys:
+            c = F.col(f"{side}.{k}").isNull()
+            cond = c if cond is None else cond | c
+        return cond
+
+    on = None
     for k in keys:
-        cond = F.col(f"`{k}`").isNull()
-        null_key = cond if null_key is None else null_key | cond
-    lc = lc.withColumn("_lnull", null_key)
-    rc = rc.withColumn("_rnull", null_key)
-    j = lc.filter(~F.col("_lnull")).join(
-        rc.filter(~F.col("_rnull")), on=list(keys), how="full_outer"
+        eq = F.col(f"l.{k}") == F.col(f"r.{k}")
+        on = eq if on is None else on & eq
+    j = lc.join(rc, on=on, how="full_outer").select(
+        *[F.coalesce(F.col(f"l.{k}"), F.col(f"r.{k}")).alias(k) for k in keys],
+        F.col("_c_l"),
+        F.col("_c_r"),
+        F.coalesce(F.col("_c_l").isNotNull() & any_null("l"), F.lit(False)).alias(
+            "_lnull"
+        ),
+        F.coalesce(F.col("_c_r").isNotNull() & any_null("r"), F.lit(False)).alias(
+            "_rnull"
+        ),
     )
-    return j, lc, rc
+    return j
 
 
 def join_explosion_report(
@@ -77,49 +94,35 @@ def join_explosion_report(
     equi-join; their row mass is reported separately instead of
     silently inflating either side.
     """
-    j, lc, rc = _joined_counts(left, right, keys)
+    j = _joined_counts(left, right, keys)
     pair = (
         F.coalesce(F.col("_c_l"), F.lit(0))
         * F.coalesce(F.col("_c_r"), F.lit(0))
     ).cast("bigint")
     both = F.col("_c_l").isNotNull() & F.col("_c_r").isNotNull()
-    per_key = j.agg(
-        F.coalesce(F.sum("_c_l"), F.lit(0)).alias("n_rows_left_nonnull"),
-        F.coalesce(F.sum("_c_r"), F.lit(0)).alias("n_rows_right_nonnull"),
-        F.count_if(F.col("_c_l").isNotNull()).alias("n_keys_left"),
-        F.count_if(F.col("_c_r").isNotNull()).alias("n_keys_right"),
+    lnull, rnull = F.col("_lnull"), F.col("_rnull")
+    return j.agg(
+        F.coalesce(F.sum("_c_l"), F.lit(0)).alias("n_rows_left"),
+        F.coalesce(F.sum("_c_r"), F.lit(0)).alias("n_rows_right"),
+        F.count_if(F.col("_c_l").isNotNull() & ~lnull).alias("n_keys_left"),
+        F.count_if(F.col("_c_r").isNotNull() & ~rnull).alias("n_keys_right"),
         F.count_if(both).alias("n_shared_keys"),
-        F.count_if(F.col("_c_r").isNull()).alias("n_keys_left_only"),
-        F.count_if(F.col("_c_l").isNull()).alias("n_keys_right_only"),
-        F.coalesce(F.sum(pair), F.lit(0)).alias("join_rows"),
-        F.coalesce(F.max(pair), F.lit(0)).alias("max_key_fanout"),
-    )
-    lnull = lc.filter(F.col("_lnull")).agg(
-        F.coalesce(F.sum("_c_l"), F.lit(0)).alias("null_key_rows_left")
-    )
-    rnull = rc.filter(F.col("_rnull")).agg(
-        F.coalesce(F.sum("_c_r"), F.lit(0)).alias("null_key_rows_right")
-    )
-    return (
-        per_key.crossJoin(F.broadcast(lnull))
-        .crossJoin(F.broadcast(rnull))
-        .select(
-            (F.col("n_rows_left_nonnull") + F.col("null_key_rows_left")).alias(
-                "n_rows_left"
-            ),
-            (
-                F.col("n_rows_right_nonnull") + F.col("null_key_rows_right")
-            ).alias("n_rows_right"),
-            "n_keys_left",
-            "n_keys_right",
-            "n_shared_keys",
-            "n_keys_left_only",
-            "n_keys_right_only",
-            "join_rows",
-            "max_key_fanout",
-            "null_key_rows_left",
-            "null_key_rows_right",
-        )
+        F.count_if(
+            F.col("_c_l").isNotNull() & F.col("_c_r").isNull() & ~lnull
+        ).alias("n_keys_left_only"),
+        F.count_if(
+            F.col("_c_r").isNotNull() & F.col("_c_l").isNull() & ~rnull
+        ).alias("n_keys_right_only"),
+        F.coalesce(F.sum(F.when(both, pair)), F.lit(0)).alias("join_rows"),
+        F.coalesce(F.max(F.when(both, pair)), F.lit(0)).alias(
+            "max_key_fanout"
+        ),
+        F.coalesce(F.sum(F.when(lnull, F.col("_c_l"))), F.lit(0)).alias(
+            "null_key_rows_left"
+        ),
+        F.coalesce(F.sum(F.when(rnull, F.col("_c_r"))), F.lit(0)).alias(
+            "null_key_rows_right"
+        ),
     )
 
 
@@ -138,7 +141,7 @@ def hot_join_keys(
     """
     if top_k <= 0:
         raise ValueError(f"top_k must be > 0, got {top_k}")
-    j, _, _ = _joined_counts(left, right, keys)
+    j = _joined_counts(left, right, keys)
     both = F.col("_c_l").isNotNull() & F.col("_c_r").isNotNull()
     return (
         j.filter(both)

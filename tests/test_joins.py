@@ -68,3 +68,17 @@ def test_hot_keys_plan_topk(spark, sf_dir):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_report_single_scan_per_side(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "o_orderkey AS k"
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        "l_orderkey AS k"
+    )
+    out = join_explosion_report(o, l, keys=["k"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one key-count aggregation per input, one join, one fold — the
+    # null-key masses ride the same aggregate, never a re-scan
+    assert plan.count("FileScan parquet") == 2
