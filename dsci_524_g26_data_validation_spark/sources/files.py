@@ -23,12 +23,18 @@ pinned by pytest over a deterministically partitioned write instead
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Iterator, Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["file_census", "flag_outlier_files", "clustering_report"]
+__all__ = [
+    "file_census",
+    "flag_outlier_files",
+    "clustering_report",
+    "file_order_census",
+    "file_order_summary",
+]
 
 
 def file_census(
@@ -100,6 +106,208 @@ def flag_outlier_files(
             F.coalesce(F.col("mad_z") > threshold, F.lit(False)),
         )
         .drop("_mad", "_meanad")
+    )
+
+
+def file_order_census(
+    df: DataFrame,
+    key_col: str,
+    *,
+    descending: bool = False,
+) -> DataFrame:
+    """Per-file WITHIN-file sort-order validation — does the declared
+    sort order actually hold inside each physical file?
+
+    :func:`clustering_report` judges the layout ACROSS files (do key
+    ranges overlap?); this operator judges each file INTERNALLY. Both
+    matter for the same reason: parquet/Iceberg min/max pruning works at
+    two granularities — file level (needs disjoint ranges across files)
+    and row-group/page level (needs rows sorted WITHIN the file). A
+    table whose Iceberg `sort_order` is declared but whose writers
+    silently stopped sorting keeps its metadata promise while its
+    row-group statistics degrade to useless — scans stay "pruned" on
+    paper and slow in practice. This check catches that drift.
+
+    Scale shape — ZERO data shuffle. A parquet scan delivers each
+    file-chunk's rows in physical order within its input partition, so
+    per-chunk order statistics need no exchange at all:
+
+      stage 1  ``mapInPandas`` over (file_path, row_index, key) —
+               Arrow-vectorized, no per-row Python — emits ONE summary
+               row per (input partition × file): within-segment
+               adjacent-pair inversion count, boundary keys, min/max,
+               null count. The shuffleable output is O(#splits) rows,
+               not O(rows). Robustness: the segment recomputes its own
+               order from ``_metadata.row_index`` (argsort only when a
+               chunk arrives out of order), so correctness never rests
+               on undocumented batch-order guarantees.
+      stage 2  ``groupBy(file)`` over the segment frame (tiny):
+               ``sort_array(collect_list(struct(seg_min_idx, …)))``
+               orders a file's segments by physical position —
+               segments per file is bounded by file_size /
+               maxPartitionBytes (a few hundred at most, because file
+               size is physically capped) — and array HOFs fold the
+               boundary comparisons between consecutive segments.
+
+    NULL keys carry no order relation (SQL semantics): they are counted
+    per file (``n_null_keys``) and excluded from adjacent-pair
+    comparisons — the pair bridges across them (…, 5, NULL, 2, … is one
+    comparable pair 5→2, an inversion). A boundary whose segment is
+    entirely NULL is skipped (conservative undercount, documented).
+
+    Returns one row per file:
+    ``(file, n_rows, n_null_keys, n_segments, n_pairs, n_inversions,
+    sorted_frac, is_sorted, key_min, key_max)`` where ``sorted_frac`` =
+    1 − inversions/pairs (NULL when no comparable pair exists) and
+    ``is_sorted`` is vacuously true for 0-pair files. ``key_min`` /
+    ``key_max`` make the output a valid :func:`clustering_report`
+    input, so one pass feeds both the within-file and the across-file
+    layout verdicts.
+
+    Call on a freshly-read file-backed frame — the operator selects the
+    parquet ``_metadata.file_path`` / ``_metadata.row_index`` columns,
+    which only exist on a file scan (Spark ≥3.5).
+
+    No SQL oracle: file paths/row indexes are environment-local, so the
+    operator is pinned by pytest over deterministic sorted/shuffled/
+    multi-segment writes instead (same policy as :func:`file_census`).
+    """
+    kt = df.schema[key_col].dataType.simpleString()
+    pruned = df.select(
+        F.col("_metadata.file_path").alias("_file"),
+        F.col("_metadata.row_index").alias("_idx"),
+        F.col(f"`{key_col}`").alias("_key"),
+    )
+    seg_schema = (
+        "file string, seg_min_idx bigint, n_rows bigint, n_nulls bigint, "
+        f"n_inversions bigint, n_pairs bigint, first_key {kt}, "
+        f"last_key {kt}, key_min {kt}, key_max {kt}"
+    )
+
+    def segments(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        # per-file accumulation of (idx, key) chunk arrays; a partition
+        # holds at most maxPartitionBytes of (8B idx + key) columns
+        acc: dict = {}
+        for pdf in batches:
+            for fname, g in pdf.groupby("_file", sort=False):
+                acc.setdefault(fname, []).append(
+                    (g["_idx"].to_numpy(), g["_key"])
+                )
+        out = []
+        for fname, chunks in acc.items():
+            idx = np.concatenate([c[0] for c in chunks])
+            keys = pd.concat([c[1] for c in chunks], ignore_index=True)
+            if len(idx) > 1 and not (idx[1:] >= idx[:-1]).all():
+                order = np.argsort(idx, kind="stable")
+                idx = idx[order]
+                keys = keys.iloc[order].reset_index(drop=True)
+            nn = keys[keys.notna()]
+            arr = nn.to_numpy()
+            n_pairs = max(len(arr) - 1, 0)
+            if n_pairs:
+                inv = int(
+                    ((arr[1:] > arr[:-1]) if descending else (arr[1:] < arr[:-1])).sum()
+                )
+            else:
+                inv = 0
+            out.append(
+                {
+                    "file": fname,
+                    "seg_min_idx": int(idx.min()) if len(idx) else 0,
+                    "n_rows": len(idx),
+                    "n_nulls": int(len(idx) - len(arr)),
+                    "n_inversions": inv,
+                    "n_pairs": n_pairs,
+                    "first_key": arr[0] if len(arr) else None,
+                    "last_key": arr[-1] if len(arr) else None,
+                    "key_min": nn.min() if len(arr) else None,
+                    "key_max": nn.max() if len(arr) else None,
+                }
+            )
+        if out:
+            yield pd.DataFrame(out)
+
+    segs = pruned.mapInPandas(segments, seg_schema)
+
+    cmp_inv = (
+        (lambda s: s["n"] > s["p"]) if descending else (lambda s: s["n"] < s["p"])
+    )
+    per_file = segs.groupBy("file").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_nulls").alias("n_null_keys"),
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("n_inversions").alias("_inv_within"),
+        F.sum("n_pairs").alias("_pairs_within"),
+        F.min("key_min").alias("key_min"),
+        F.max("key_max").alias("key_max"),
+        F.sort_array(
+            F.collect_list(F.struct("seg_min_idx", "first_key", "last_key"))
+        ).alias("_segs"),
+    )
+    n = F.size("_segs")
+    z = F.zip_with(
+        F.slice("_segs", 1, n - 1),
+        F.slice("_segs", 2, n - 1),
+        lambda a, b: F.struct(
+            a["last_key"].alias("p"), b["first_key"].alias("n")
+        ),
+    )
+    comparable = F.filter(z, lambda s: s["p"].isNotNull() & s["n"].isNotNull())
+    b_pairs = F.size(comparable)
+    b_inv = F.size(F.filter(comparable, cmp_inv))
+    n_pairs = (F.col("_pairs_within") + b_pairs).alias("n_pairs")
+    n_inv = (F.col("_inv_within") + b_inv).alias("n_inversions")
+    return per_file.select(
+        "file",
+        "n_rows",
+        "n_null_keys",
+        "n_segments",
+        n_pairs,
+        n_inv,
+        F.round(
+            F.when(
+                F.col("_pairs_within") + b_pairs > 0,
+                1.0 - (F.col("_inv_within") + b_inv) / (F.col("_pairs_within") + b_pairs),
+            ),
+            6,
+        ).alias("sorted_frac"),
+        ((F.col("_inv_within") + b_inv) == 0).alias("is_sorted"),
+        "key_min",
+        "key_max",
+    )
+
+
+def file_order_summary(census: DataFrame) -> DataFrame:
+    """ONE row → (n_files, n_sorted_files, sorted_file_frac, n_rows,
+    n_pairs, n_inversions, global_sorted_frac) from a
+    :func:`file_order_census` frame — the dashboard number for "is the
+    declared sort order still being honoured by the writers". The census
+    is O(files) rows, so the single aggregation is trivially sized."""
+    return census.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.coalesce(F.count_if(F.col("is_sorted")), F.lit(0)).alias(
+            "n_sorted_files"
+        ),
+        F.round(
+            F.when(
+                F.count(F.lit(1)) > 0,
+                F.count_if(F.col("is_sorted")) / F.count(F.lit(1)),
+            ),
+            6,
+        ).alias("sorted_file_frac"),
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_pairs").alias("n_pairs"),
+        F.sum("n_inversions").alias("n_inversions"),
+        F.round(
+            F.when(
+                F.sum("n_pairs") > 0,
+                1.0 - F.sum("n_inversions") / F.sum("n_pairs"),
+            ),
+            6,
+        ).alias("global_sorted_frac"),
     )
 
 
