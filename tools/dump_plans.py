@@ -194,6 +194,20 @@ def main() -> None:
         ),
     )
 
+    from dsci_524_g26_data_validation_spark.sources.files import (
+        file_order_census,
+    )
+
+    add(
+        "Within-file sort-order census (zero data shuffle)",
+        "The scan reads only (\\_metadata, key) — pruned ReadSchema; "
+        "`MapInPandas` collapses each input split to one summary row "
+        "BEFORE any exchange, so the groupBy(file) shuffle carries "
+        "O(#splits) rows, never O(rows); segment boundaries fold via "
+        "array HOFs inside the aggregate projection.",
+        file_order_census(orders, "o_orderkey"),
+    )
+
     header = (
         "# PLANS — headline physical plans (generated by tools/dump_plans.py)\n\n"
         f"Input: `{SF_DIR}` on local[4]; plans are pre-execution "
