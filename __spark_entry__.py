@@ -5195,9 +5195,9 @@ def oracle_sql() -> dict[str, str]:
                 count(*) FILTER (WHERE cr IS NULL) AS n_keys_left_only,
                 count(*) FILTER (WHERE cl IS NULL) AS n_keys_right_only,
                 CAST(COALESCE(sum(COALESCE(cl,0) * COALESCE(cr,0)), 0)
-                    AS BIGINT) AS join_rows,
+                    AS DECIMAL(38,0)) AS join_rows,
                 CAST(COALESCE(max(COALESCE(cl,0) * COALESCE(cr,0)), 0)
-                    AS BIGINT) AS max_key_fanout,
+                    AS DECIMAL(38,0)) AS max_key_fanout,
                 CAST(0 AS BIGINT) AS null_key_rows_left,
                 CAST(0 AS BIGINT) AS null_key_rows_right
             FROM j
@@ -5209,7 +5209,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT l_orderkey AS k, count(*) AS cr FROM lineitem GROUP BY 1
             )
             SELECT lc.k AS orderkey, lc.cl AS n_left, rc.cr AS n_right,
-                   CAST(lc.cl * rc.cr AS BIGINT) AS join_rows
+                   CAST(lc.cl * rc.cr AS DECIMAL(38,0)) AS join_rows
             FROM lc JOIN rc USING (k)
             ORDER BY join_rows DESC, orderkey ASC
             LIMIT 10

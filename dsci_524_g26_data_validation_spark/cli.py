@@ -229,9 +229,21 @@ def main(argv: Optional[list] = None) -> int:
         keys = [k.strip() for k in args.keys.split(",")]
         left = load_table(spark, args.left)
         right = load_table(spark, args.right)
-        report = join_explosion_report(left, right, keys=keys).first().asDict()
+        def _plain(d: dict) -> dict:
+            # decimal(38,0) cardinalities (overflow-safe in the engine)
+            # become plain JSON ints — Python ints are unbounded
+            import decimal
+
+            return {
+                k: int(v) if isinstance(v, decimal.Decimal) else v
+                for k, v in d.items()
+            }
+
+        report = _plain(
+            join_explosion_report(left, right, keys=keys).first().asDict()
+        )
         hot = [
-            r.asDict()
+            _plain(r.asDict())
             for r in hot_join_keys(
                 left, right, keys=keys, top_k=args.top_k
             ).collect()
@@ -404,7 +416,10 @@ def main(argv: Optional[list] = None) -> int:
             "__stripped", args.text_col
         )
         out_df.write.mode("overwrite").parquet(args.output)
-        rep = {k: int(v) for k, v in obs.get.items()}
+        # SUM over zero rows is SQL NULL: an empty input partition (a
+        # normal backfill case) must still produce the JSON report, not
+        # a TypeError after the write already succeeded
+        rep = {k: int(v) if v is not None else 0 for k, v in obs.get.items()}
         print(json.dumps({**rep, "written": args.output}, sort_keys=True))
         return 0
 

@@ -38,6 +38,7 @@ __all__ = [
     "exact_duplicates",
     "exact_dropped_ids",
     "deduplicate_exact",
+    "content_digest_expr",
     "shingles_expr",
     "minhash_signature_expr",
     "minhash_signatures",
@@ -56,16 +57,33 @@ __all__ = [
 # -- exact -------------------------------------------------------------------
 
 
+def content_digest_expr(cols: Sequence[str]) -> "F.Column":
+    """sha2-256 content digest over ``cols``, NULL-distinct.
+
+    Each column is coalesced to a ``\\x00`` sentinel BEFORE the
+    ``\\x1f``-joined concat: ``concat_ws`` silently skips NULL inputs,
+    so without the sentinel the rows ``(x, NULL)`` and ``(NULL, x)``
+    would both digest as ``"x"`` and keep-one dedup would drop one of
+    two genuinely distinct rows (and a NULL text would collide with an
+    empty text). Same sentinel scheme as ``rowdiff.row_digest``.
+    """
+    enc = [
+        F.coalesce(F.col(f"`{c}`").cast("string"), F.lit("\x00")) for c in cols
+    ]
+    return F.sha2(F.concat_ws("\x1f", *enc), 256)
+
+
 def exact_duplicates(
     df: DataFrame, cols: Sequence[str] = ("text",), id_col: str = "doc_id"
 ) -> DataFrame:
     """Groups with >1 identical content → (content_hash, dup_count, keep_id).
 
-    sha2-256 digest (collision-safe at any scale); the shuffle moves only
-    (digest, id) pairs, not document bodies. keep_id = min id is the
-    canonical survivor, so dedup is deterministic.
+    sha2-256 digest (collision-safe at any scale, NULL-distinct via
+    :func:`content_digest_expr`); the shuffle moves only (digest, id)
+    pairs, not document bodies. keep_id = min id is the canonical
+    survivor, so dedup is deterministic.
     """
-    digest = F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]), 256)
+    digest = content_digest_expr(cols)
     return (
         df.select(digest.alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
@@ -83,7 +101,7 @@ def exact_dropped_ids(
     The only shuffle carries (digest, id) pairs (~40 B/row) — never row
     payloads; the min-id survivor is annotated with one unordered window
     over the digest-partitioned data (no sort)."""
-    digest = F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]), 256)
+    digest = content_digest_expr(cols)
     w = Window.partitionBy("_h")
     return (
         df.select(digest.alias("_h"), F.col(id_col).alias("_id"))

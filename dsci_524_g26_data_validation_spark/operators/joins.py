@@ -95,10 +95,15 @@ def join_explosion_report(
     silently inflating either side.
     """
     j = _joined_counts(left, right, keys)
+    # decimal(38,0), not bigint: the per-key product (and the summed
+    # cardinality) of two 10^12-row sides can pass 2^63, and under ANSI
+    # (Spark 4 default) a bigint multiply would abort the pre-flight on
+    # exactly the mega-hot-key it exists to detect. Same widening as
+    # rowdiff.partition_digests.
     pair = (
-        F.coalesce(F.col("_c_l"), F.lit(0))
+        F.coalesce(F.col("_c_l"), F.lit(0)).cast("decimal(38,0)")
         * F.coalesce(F.col("_c_r"), F.lit(0))
-    ).cast("bigint")
+    ).cast("decimal(38,0)")
     both = F.col("_c_l").isNotNull() & F.col("_c_r").isNotNull()
     lnull, rnull = F.col("_lnull"), F.col("_rnull")
     return j.agg(
@@ -113,10 +118,12 @@ def join_explosion_report(
         F.count_if(
             F.col("_c_r").isNotNull() & F.col("_c_l").isNull() & ~rnull
         ).alias("n_keys_right_only"),
-        F.coalesce(F.sum(F.when(both, pair)), F.lit(0)).alias("join_rows"),
-        F.coalesce(F.max(F.when(both, pair)), F.lit(0)).alias(
-            "max_key_fanout"
-        ),
+        F.coalesce(F.sum(F.when(both, pair)), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("join_rows"),
+        F.coalesce(F.max(F.when(both, pair)), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("max_key_fanout"),
         F.coalesce(F.sum(F.when(lnull, F.col("_c_l"))), F.lit(0)).alias(
             "null_key_rows_left"
         ),
@@ -149,7 +156,11 @@ def hot_join_keys(
             *keys,
             F.col("_c_l").alias("n_left"),
             F.col("_c_r").alias("n_right"),
-            (F.col("_c_l") * F.col("_c_r")).cast("bigint").alias("join_rows"),
+            # decimal(38,0): a hot key's fan-out can pass 2^63 (see
+            # join_explosion_report) — ANSI would abort the bigint cast
+            (F.col("_c_l").cast("decimal(38,0)") * F.col("_c_r"))
+            .cast("decimal(38,0)")
+            .alias("join_rows"),
         )
         .orderBy(
             F.desc("join_rows"), *[F.asc(f"`{k}`") for k in keys]

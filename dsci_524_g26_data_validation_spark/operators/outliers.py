@@ -34,10 +34,55 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["robust_outlier_stats", "robust_outlier_rows"]
+__all__ = ["robust_outlier_stats", "robust_outlier_rows", "append_robust_z"]
 
 #: MAD → σ consistency constant under normality (1/Φ⁻¹(3/4)).
 MAD_SCALE = 1.4826
+
+#: mean-absolute-deviation → σ consistency constant (√(π/2)); the
+#: Hampel fallback scale when MAD degenerates to 0 (>50% of the
+#: population identical — the NORMAL case for healthy uniform censuses,
+#: exactly where the detector must stay live for the one deviant).
+MEANAD_SCALE = 1.2533
+
+
+def append_robust_z(
+    df: DataFrame, metric_col: str, *, z_col: str = "robust_z"
+) -> DataFrame:
+    """Append ``_med``, ``_scale`` and ``z_col`` — the exact-median
+    Hampel modified z-score of ``metric_col`` against the WHOLE frame.
+
+    The single shared implementation behind every small-census outlier
+    flagger (``sources.files.flag_outlier_files``,
+    ``timeseries.volume_calendar``): one estimator, one MAD→meanAD
+    fallback policy, so a change to either can never drift between
+    call sites. Unpartitioned exact-median windows — single-task by
+    construction, which is the CORRECT plan only because callers score
+    O(files)/O(buckets) census frames, never row-scale data; for
+    grouped row-scale scoring use :func:`robust_outlier_stats` (which
+    keeps the two-aggregation shape and an approx-percentile mode).
+
+    ``z_col`` is NULL when even the meanAD scale is 0 (every value
+    identical — nothing can be an outlier) — callers decide the verdict
+    (``coalesce(z > t, false)`` or a ``_scale > 0`` gate).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    m = F.col(f"`{metric_col}`").cast("double")
+    with_med = df.withColumn("_med", F.median(m).over(w))
+    dev = F.abs(m - F.col("_med"))
+    scored = with_med.withColumn("_mad", F.median(dev).over(w)).withColumn(
+        "_meanad", F.avg(dev).over(w)
+    )
+    scale = F.when(
+        F.col("_mad") > 0, F.lit(MAD_SCALE) * F.col("_mad")
+    ).otherwise(F.lit(MEANAD_SCALE) * F.col("_meanad"))
+    return (
+        scored.withColumn("_scale", scale)
+        .withColumn(z_col, F.when(F.col("_scale") > 0, dev / F.col("_scale")))
+        .drop("_mad", "_meanad")
+    )
 
 
 def _median(col: str, approx: bool, accuracy: int):

@@ -122,8 +122,15 @@ def validate_table_contract(
 
     # --- build the extra fused-agg terms: E5 invariants + inlinable E2
     #     + all drift histograms (E3/E4) ---------------------------------
+    # NULL-safe: an invariant that evaluates to NULL (e.g. `n_tok =
+    # size(tokens)` on a NULL array under ANSI) is NOT satisfied — it
+    # counts as a violation, unlike SQL CHECK-constraint semantics where
+    # unknown passes. A validation engine that lets corrupted NULL rows
+    # slip through a "must hold" row rule is lying; callers who want
+    # CHECK semantics can write `coalesce(<expr>, true)` explicitly.
     extra_terms = [
-        F.count_if(~F.expr(inv)).alias(f"inv{n}") for n, inv in enumerate(tc.invariants)
+        F.count_if(~F.coalesce(F.expr(inv), F.lit(False))).alias(f"inv{n}")
+        for n, inv in enumerate(tc.invariants)
     ]
     extra_terms.extend(aggregate_check_terms(tc.checks))
     extra_terms.extend(conditional_check_terms(tc.conditionals))

@@ -435,33 +435,18 @@ def volume_calendar(
     filled = spine.join(nonnull, "bucket_ts", "left").select(
         "bucket_ts", F.coalesce("n_rows", F.lit(0)).alias("n_rows")
     )
-    # robust stats over the bucket frame (tiny): exact median/MAD via
-    # unpartitioned windows — one task, deterministic, oracle-exact
-    w = Window.partitionBy()
-    med = F.median("n_rows").over(w)
-    scored = filled.select(
-        "bucket_ts", "n_rows", med.alias("_med")
-    ).select(
-        "bucket_ts",
-        "n_rows",
-        "_med",
-        F.median(F.abs(F.col("n_rows") - F.col("_med"))).over(w).alias("_mad"),
-        F.avg(F.abs(F.col("n_rows") - F.col("_med"))).over(w).alias("_meanad"),
-    )
-    # MAD degenerates to 0 whenever >50% of buckets have the identical
-    # count — the NORMAL case for healthy fixed-cadence feeds, which
-    # would mute the detector exactly where it matters. Standard Hampel
-    # fallback: the mean absolute deviation with its own consistency
-    # constant (1.2533 = sqrt(pi/2)); if THAT is 0 too, every bucket is
-    # identical and nothing flags.
-    scale = F.when(
-        F.col("_mad") > 0, F.lit(1.4826) * F.col("_mad")
-    ).otherwise(F.lit(1.2533) * F.col("_meanad"))
-    z = F.abs(F.col("n_rows") - F.col("_med")) / scale
+    # robust stats over the bucket frame (tiny): the shared exact-median
+    # Hampel estimator (operators.outliers.append_robust_z) — one task,
+    # deterministic, oracle-exact; its meanAD fallback keeps the
+    # detector live when >50% of buckets carry the identical count (the
+    # NORMAL case for healthy fixed-cadence feeds).
+    from .outliers import append_robust_z
+
+    scored = append_robust_z(filled, "n_rows", z_col="_z")
     status = (
         F.when(F.col("n_rows") == 0, F.lit("missing"))
         .when(
-            (scale > 0) & (z > F.lit(float(robust_threshold))),
+            F.col("_z") > F.lit(float(robust_threshold)),
             F.lit("anomaly"),
         )
         .otherwise(F.lit("ok"))

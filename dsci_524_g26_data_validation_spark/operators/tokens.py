@@ -37,10 +37,16 @@ VERIFY_CANDIDATE_CAP = 100_000
 def ntok_invariant_violations(
     df: DataFrame, *, n_col: str = "n_tok", arr_col: str = "tokens"
 ) -> DataFrame:
-    """Rows violating ``n_tok == size(tokens)`` (E5). Pure Catalyst —
-    NULL array counts as size -1 per Spark semantics, which violates any
-    non-negative n_tok, i.e. NULL tokens are flagged (desired)."""
-    return df.filter(F.col(n_col) != F.size(F.col(arr_col)))
+    """Rows violating ``n_tok == size(tokens)`` (E5). Pure Catalyst.
+
+    NULL-safe by construction: under ANSI semantics (the Spark 4
+    default) ``size(NULL)`` is NULL, so a plain ``!=`` filter would
+    silently PASS a corrupted NULL-token row (2 != NULL → NULL → row
+    dropped). The null-safe comparison flags a NULL array against any
+    non-NULL ``n_tok`` (and vice versa); a row where BOTH are NULL is
+    internally consistent and belongs to the missingness check, not
+    this invariant."""
+    return df.filter(~F.col(n_col).eqNullSafe(F.size(F.col(arr_col))))
 
 
 def vocab_violations(

@@ -477,9 +477,20 @@ def validate_by_group(
                 F.lit(float(rule.max_missing_frac)),
             )
         )
-        if is_numeric_spark_type(schema[col]):
+        # numeric_like mirrors the fused table pass (rule_compiler):
+        # booleans count as numeric via an int cast, so a range rule on
+        # a boolean column fires per-cohort exactly as it does at table
+        # level — gating on is_numeric_spark_type alone would silently
+        # skip the facet here while validate_contract reports it.
+        numeric_like = is_numeric_spark_type(schema[col]) or isinstance(
+            schema[col], T.BooleanType
+        )
+        num_c = (
+            c.cast("int") if isinstance(schema[col], T.BooleanType) else c
+        )
+        if numeric_like:
             if rule.min_value is not None:
-                mn = slot(F.min(c).cast("double"), f"mn{i}")
+                mn = slot(F.min(num_c).cast("double"), f"mn{i}")
                 checks.append(
                     (
                         F.col(mn) < F.lit(float(rule.min_value)),
@@ -490,7 +501,7 @@ def validate_by_group(
                     )
                 )
             if rule.max_value is not None:
-                mx = slot(F.max(c).cast("double"), f"mx{i}")
+                mx = slot(F.max(num_c).cast("double"), f"mx{i}")
                 checks.append(
                     (
                         F.col(mx) > F.lit(float(rule.max_value)),

@@ -83,29 +83,22 @@ def flag_outlier_files(
     identical — exactly the healthy case where the detector must stay
     live for the one deviant file).
 
-    The census frame is O(files) rows, so the two unpartitioned windows
-    are single-task by construction — the correct plan at any corpus
-    size (the window runs over files, not rows)."""
-    w = Window.partitionBy()
-    m = F.col(f"`{metric_col}`").cast("double")
-    with_med = census.withColumn(
-        "median", F.expr(f"percentile(`{metric_col}`, 0.5)").over(w)
-    )
-    dev = F.abs(m - F.col("median"))
-    with_mad = with_med.withColumn(
-        "_mad", F.expr("percentile(abs(`{0}` - median), 0.5)".format(metric_col)).over(w)
-    ).withColumn("_meanad", F.avg(dev).over(w))
-    scale = F.when(F.col("_mad") > 0, F.col("_mad") * 1.4826).otherwise(
-        F.col("_meanad") * 1.2533
-    )
-    z = F.when(scale > 0, dev / scale)
+    The census frame is O(files) rows, so the unpartitioned exact-median
+    windows inside :func:`operators.outliers.append_robust_z` (the ONE
+    shared estimator implementation) are single-task by construction —
+    the correct plan at any corpus size (the window runs over files,
+    not rows)."""
+    from ..operators.outliers import append_robust_z
+
+    scored = append_robust_z(census, metric_col, z_col="_z")
     return (
-        with_mad.withColumn("mad_z", F.round(z, 6))
+        scored.withColumn("mad_z", F.round(F.col("_z"), 6))
         .withColumn(
             "is_outlier",
             F.coalesce(F.col("mad_z") > threshold, F.lit(False)),
         )
-        .drop("_mad", "_meanad")
+        .withColumnRenamed("_med", "median")
+        .drop("_z", "_scale")
     )
 
 

@@ -60,7 +60,14 @@ def assign_shards(
     checks on ``id_col`` first (same precondition as keep-one dedup)."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    h = portable_hash64(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    # coalesce BEFORE concat: concat null-propagates, so a NULL id would
+    # otherwise get a NULL shard and fall out of the 0..N-1 layout
+    # entirely (__HIVE_DEFAULT_PARTITION__ on write) — the docstring's
+    # "NULL ids hash as the bare salt" promise requires the empty-string
+    # stand-in, same as sampling.hash_sample / splits._split_expr.
+    h = portable_hash64(
+        F.concat(F.lit(salt), F.coalesce(F.col(id_col).cast("string"), F.lit("")))
+    )
     return df.withColumn(out_col, (h % n_shards).cast("int"))
 
 

@@ -60,11 +60,13 @@ def deduplicate_stream_by_content(
     digest_col: str = "content_digest",
 ) -> DataFrame:
     """Content-hash streaming dedup for id-less sources: sha2-256 over
-    ``content_cols`` (Catalyst, collision-safe at any scale) becomes the
-    dedup key; the digest column is kept in the output for lineage."""
-    digest = F.sha2(
-        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]), 256
-    )
+    ``content_cols`` (Catalyst, collision-safe at any scale,
+    NULL-distinct — same digest as batch ``dedup.content_digest_expr``,
+    so batch and stream agree on what "identical content" means) becomes
+    the dedup key; the digest column is kept in the output for lineage."""
+    from ..operators.dedup import content_digest_expr
+
+    digest = content_digest_expr(content_cols)
     return (
         stream_df.withColumn(digest_col, digest)
         .withWatermark(time_col, watermark_delay)

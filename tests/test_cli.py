@@ -321,3 +321,17 @@ def test_cli_partition_diff(spark, sf_dir, tmp_path, capsys):
     rep = _last_json(capsys)
     assert rep["ok"] is False and rep["n_not_matching"] >= 1
     assert all(r["status"] in ("match", "differs") for r in rep["partitions"])
+
+
+def test_cli_strip_lines_empty_input(spark, tmp_path, capsys):
+    """SUM over zero rows is SQL NULL — an empty backfill partition must
+    still produce the JSON report (zeros), not a TypeError."""
+    docs = str(tmp_path / "empty_docs")
+    spark.createDataFrame(
+        [], "doc_id bigint, text string, source string"
+    ).write.parquet(docs)
+    out = str(tmp_path / "empty_out")
+    assert main(["strip-lines", "--input", docs, "--output", out,
+                 "--min-doc-frac", "0.5"]) == 0
+    rep = _last_json(capsys)
+    assert rep["n_docs"] == 0 and rep["n_lines_dropped"] == 0

@@ -629,3 +629,35 @@ def test_frequent_values_deterministic_ties_and_plan(spark, sf_dir):
         rs.sort()
         cnts = [x[1] for x in rs]
         assert cnts == sorted(cnts, reverse=True)
+
+
+def test_e5_null_array_flagged(spark):
+    """ANSI size(NULL) is NULL — a plain != filter would silently PASS a
+    corrupted NULL-token row; the null-safe comparison must flag it,
+    both standalone and through the fused table-contract invariant."""
+    import dsci_524_g26_data_validation_spark as dv
+
+    df = spark.createDataFrame(
+        [("a", [1, 2], 2), ("b", None, 2), ("c", [1], None), ("d", None, None)],
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+    bad = {r.doc_id for r in ntok_invariant_violations(df).collect()}
+    # b: NULL array vs n_tok=2; c: NULL n_tok vs size 1. d (both NULL)
+    # is internally consistent — missingness owns it.
+    assert bad == {"b", "c"}
+    tc = dv.TableContract(
+        contract=dv.Contract(columns={"doc_id": dv.ColumnRule(dtype="string")}),
+        invariants=("n_tok <=> size(tokens)",),
+    )
+    res = dv.validate_table_contract(df, tc)
+    inv = [i for i in res.issues if i.kind == "invariant"]
+    assert len(inv) == 1 and inv[0].observed == 2
+    # plain SQL-equality invariant: NULL (unknown) now counts as a
+    # violation too — a "must hold" row rule can't pass on corrupt rows
+    tc2 = dv.TableContract(
+        contract=dv.Contract(columns={"doc_id": dv.ColumnRule(dtype="string")}),
+        invariants=("n_tok = size(tokens)",),
+    )
+    res2 = dv.validate_table_contract(df, tc2)
+    inv2 = [i for i in res2.issues if i.kind == "invariant"]
+    assert len(inv2) == 1 and inv2[0].observed == 3

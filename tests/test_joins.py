@@ -82,3 +82,30 @@ def test_report_single_scan_per_side(spark, sf_dir):
     # one key-count aggregation per input, one join, one fold — the
     # null-key masses ride the same aggregate, never a re-scan
     assert plan.count("FileScan parquet") == 2
+
+
+def test_join_preflight_decimal_cardinality(spark):
+    """Predicted cardinalities compute in decimal(38,0): a mega-hot key
+    whose per-key product passes 2^63 must be REPORTED, not abort the
+    pre-flight with an ANSI overflow. Simulated by verifying the output
+    dtype and the exact value path on real (small) counts."""
+    from decimal import Decimal
+
+    from dsci_524_g26_data_validation_spark.operators.joins import (
+        hot_join_keys,
+        join_explosion_report,
+    )
+
+    l = spark.createDataFrame([("k",)] * 3 + [("j",)], "k string")
+    r = spark.createDataFrame([("k",)] * 2, "k string")
+    rep = join_explosion_report(l, r, keys=["k"])
+    schema = {f.name: f.dataType.simpleString() for f in rep.schema.fields}
+    assert schema["join_rows"] == "decimal(38,0)"
+    assert schema["max_key_fanout"] == "decimal(38,0)"
+    row = rep.first()
+    assert row.join_rows == Decimal(6) and row.max_key_fanout == Decimal(6)
+    hot = hot_join_keys(l, r, keys=["k"])
+    assert {f.name: f.dataType.simpleString() for f in hot.schema.fields}[
+        "join_rows"
+    ] == "decimal(38,0)"
+    assert hot.first().join_rows == Decimal(6)

@@ -1007,3 +1007,19 @@ def test_pair_group_matrix_broadcasts_pairs(spark):
     plan = out._jdf.queryExecution().sparkPlan().toString()
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_exact_dedup_null_columns_distinct(spark):
+    """(x, NULL) and (NULL, x) must NOT collide (concat_ws silently
+    skips NULLs without the sentinel), and NULL text != empty text."""
+    from dsci_524_g26_data_validation_spark.operators.dedup import (
+        deduplicate_exact,
+        exact_duplicates,
+    )
+
+    df = spark.createDataFrame(
+        [("1", "x", None), ("2", None, "x"), ("3", None, None), ("4", "", "")],
+        "doc_id string, a string, b string",
+    )
+    assert exact_duplicates(df, cols=("a", "b")).count() == 0
+    assert deduplicate_exact(df, cols=("a", "b")).count() == 4

@@ -87,3 +87,19 @@ def test_write_shards_single_shard(spark, tmp_path):
     manifest = shards.write_shards(df, path, id_col="doc_id", n_shards=1)
     rows = manifest.collect()
     assert len(rows) == 1 and rows[0]["n_rows"] == 10 and rows[0]["shard"] == 0
+
+
+def test_assign_shards_null_id_lands_in_a_real_shard(spark):
+    """A NULL id must land in a deterministic shard 0..N-1 (the bare-salt
+    hash), never shard NULL / __HIVE_DEFAULT_PARTITION__."""
+    from dsci_524_g26_data_validation_spark.sources import shards
+
+    df = spark.createDataFrame(
+        [("a",), (None,), (None,)], "doc_id string"
+    )
+    got = shards.assign_shards(df, id_col="doc_id", n_shards=8).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r.doc_id, set()).add(r.shard)
+    assert all(s is not None and 0 <= s < 8 for ss in by_id.values() for s in ss)
+    assert len(by_id[None]) == 1  # both NULL rows land together

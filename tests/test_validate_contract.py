@@ -287,3 +287,25 @@ def test_validate_by_group_single_scan(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1
     # grouped agg -> exactly one hash-partitioned exchange on the group key
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_validate_by_group_boolean_range_matches_table_level(spark):
+    """A range rule on a boolean column (booleans are numeric_like via an
+    int cast in the fused table pass) must fire per-cohort exactly as
+    validate_contract fires it at table level."""
+    import dsci_524_g26_data_validation_spark as dv
+
+    df = spark.createDataFrame(
+        [("a", True), ("a", True), ("b", False)], "g string, flag boolean"
+    )
+    contract = dv.Contract(
+        columns={
+            "flag": dv.ColumnRule(dtype="boolean", min_value=0, max_value=0)
+        }
+    )
+    table_kinds = {i.kind for i in dv.validate_contract(df, contract).issues}
+    assert "range" in table_kinds
+    grp = dv.validate_by_group(df, contract, group_col="g").collect()
+    fired = {(r.group, r.kind) for r in grp}
+    assert ("a", "range") in fired  # max(flag)=1 > 0 in cohort a
+    assert ("b", "range") not in fired  # all-False cohort is in range
