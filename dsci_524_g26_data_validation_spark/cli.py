@@ -35,6 +35,9 @@ Commands (input = parquet path or catalog/Iceberg table name):
     partition-diff --left T --right T2 --partition-col C
               [--cols C,...] [--portable]   (Merkle digest-sum diff:
               match/differs/only_left/only_right per partition value)
+    file-order --input T --key COL [--descending] [--per-file] [--fail]
+              (within-file sort-order census: is the declared sort
+              order still honoured inside each physical file?)
 
 Every command prints ONE JSON report to stdout (machine-parseable; logs
 go to stderr) and exits 0/1 per the verdict when --fail is given.
@@ -195,6 +198,16 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--keys", required=True, help="column, or comma-list")
     p.add_argument("--top-k", type=int, default=10)
 
+    p = sub.add_parser("file-order")
+    p.add_argument("--input", required=True)
+    p.add_argument("--key", required=True)
+    p.add_argument("--descending", action="store_true")
+    p.add_argument(
+        "--per-file", action="store_true",
+        help="include one report row per file, worst sorted_frac first",
+    )
+    p.add_argument("--fail", action="store_true")
+
     p = sub.add_parser("partition-diff")
     p.add_argument("--left", required=True)
     p.add_argument("--right", required=True)
@@ -251,6 +264,28 @@ def main(argv: Optional[list] = None) -> int:
         report["hot_keys"] = hot
         print(json.dumps(report, sort_keys=True, default=str))
         return 0
+
+    if args.cmd == "file-order":
+        from pyspark.sql import functions as F
+
+        from .sources.files import file_order_census, file_order_summary
+
+        census = file_order_census(
+            load_table(spark, args.input),
+            args.key,
+            descending=args.descending,
+        ).localCheckpoint()  # O(files) rows; read by summary + per-file
+        report = file_order_summary(census).first().asDict()
+        if args.per_file:
+            report["files"] = [
+                r.asDict()
+                for r in census.orderBy(
+                    F.asc_nulls_first("sorted_frac"), F.asc("file")
+                ).collect()
+            ]
+        print(json.dumps(report, sort_keys=True, default=str))
+        all_sorted = report["n_files"] == report["n_sorted_files"]
+        return 0 if (all_sorted or not args.fail) else 1
 
     if args.cmd == "partition-diff":
         from .operators.rowdiff import partition_diff

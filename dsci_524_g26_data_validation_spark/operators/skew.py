@@ -61,8 +61,14 @@ def key_skew_report(
             *keys,
             "cnt",
             F.round(F.col("cnt") / F.col("_total"), 6).alias("share"),
+            # cast to double BEFORE the multiply: cnt * nkeys as bigint
+            # can pass 2^63 on a 10^12-row table (hot key ~1e11 ×
+            # ~1e10 keys) and ANSI would abort the very report that
+            # exists to expose that key; the factor is a rounded ratio,
+            # double is its natural type
             F.round(
-                F.col("cnt") * F.col("_nkeys") / F.col("_total"), 4
+                F.col("cnt").cast("double") * F.col("_nkeys") / F.col("_total"),
+                4,
             ).alias("skew_factor"),
         )
         .orderBy(F.col("cnt").desc(), *[F.col(k).asc_nulls_first() for k in keys])

@@ -335,3 +335,24 @@ def test_cli_strip_lines_empty_input(spark, tmp_path, capsys):
                  "--min-doc-frac", "0.5"]) == 0
     rep = _last_json(capsys)
     assert rep["n_docs"] == 0 and rep["n_lines_dropped"] == 0
+
+
+def test_cli_file_order(spark, tmp_path, capsys):
+    base = tmp_path / "fo"
+    spark.createDataFrame(
+        [(i,) for i in range(20)], "k bigint"
+    ).coalesce(1).write.parquet(str(base / "s=sorted"))
+    spark.createDataFrame(
+        [(9,), (0,), (5,)], "k bigint"
+    ).coalesce(1).write.parquet(str(base / "s=shuffled"))
+    # summary only, --fail: one unsorted file -> exit 1
+    assert main(["file-order", "--input", str(base), "--key", "k",
+                 "--fail"]) == 1
+    rep = _last_json(capsys)
+    assert rep["n_files"] == 2 and rep["n_sorted_files"] == 1
+    # per-file rows, worst first
+    assert main(["file-order", "--input", str(base), "--key", "k",
+                 "--per-file"]) == 0
+    rep = _last_json(capsys)
+    assert "s=shuffled" in rep["files"][0]["file"]
+    assert rep["files"][0]["is_sorted"] is False
