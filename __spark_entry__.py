@@ -1634,6 +1634,34 @@ def _near_dedup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index-backed ingest dedup: the corpus (doc_id % 3 != 0)
+    is LSH-indexed ONCE (band digests + hashed-shingle verify sidecar);
+    the batch (doc_id % 3 == 0) is screened against the INDEX — corpus
+    text never re-read — then self-dedups within the batch. Returns the
+    ADMITTED batch ids. Oracle: ground-truth jaccard pairs split at the
+    same % 3 boundary — batch ids with no j >= 0.5 corpus partner, minus
+    within-batch component non-minima (recursive CTE)."""
+    from dsci_524_g26_data_validation_spark.operators import incremental as inc
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", F.substring("text", 1, 120).alias("text")
+    )
+    batch = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.substring("text", 1, 120).alias("text")
+    )
+    admitted = inc.admit_batch(
+        batch,
+        inc.minhash_index(corpus, num_hashes=16, bands=8),
+        inc.shingle_hash_index(corpus),
+        num_hashes=16,
+        bands=8,
+        threshold=0.5,
+    )
+    return admitted.select("doc_id")
+
+
 def _simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs in PORTABLE token-hash mode (md5 top-60-bit
     int): the signature computation, pigeonhole blocking, and Hamming
@@ -2482,6 +2510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_running_totals": _stream_running_totals,
         "near_dedup_dropped": _near_dedup_dropped,
         "near_dedup_kept": _near_dedup_kept,
+        "incremental_dedup_documents": _incremental_dedup_documents,
         "stream_batch_verdicts": _stream_batch_verdicts,
         "stream_dedup_events": _stream_dedup_events,
         "ann_lsh_topk": _ann_lsh_topk,
@@ -4426,6 +4455,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id
             FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id)
             WHERE id != comp
+        """,
+        # incremental ingest: ground-truth jaccard pairs split at the
+        # % 3 corpus/batch boundary — admitted = batch ids with no
+        # j >= 0.5 corpus partner, minus within-batch (survivor-graph)
+        # component non-minima
+        "incremental_dedup_documents": """
+            WITH RECURSIVE t AS (
+              SELECT doc_id, string_split(substr(text,1,120), ' ') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(toks[i:i+2], ' ')
+                                    for i in generate_series(1, greatest(len(toks)-2, 1))]) AS sh
+              FROM t
+            ), e AS (
+              SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n FROM s
+            ), cpairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+                     any_value(a.n) AS na, any_value(b.n) AS nb
+              FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), jpairs AS (
+              SELECT id_a, id_b FROM cpairs
+              WHERE inter*1.0/(na+nb-inter) >= 0.5
+            ), corpus_hit AS (
+              SELECT id_a AS b FROM jpairs
+              WHERE id_a % 3 = 0 AND id_b % 3 <> 0
+              UNION
+              SELECT id_b FROM jpairs
+              WHERE id_b % 3 = 0 AND id_a % 3 <> 0
+            ), surv AS (
+              SELECT doc_id FROM documents
+              WHERE doc_id % 3 = 0
+                AND doc_id NOT IN (SELECT b FROM corpus_hit)
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM jpairs
+              WHERE id_a IN (SELECT doc_id FROM surv)
+                AND id_b IN (SELECT doc_id FROM surv)
+              UNION
+              SELECT id_b, id_a FROM jpairs
+              WHERE id_a IN (SELECT doc_id FROM surv)
+                AND id_b IN (SELECT doc_id FROM surv)
+            ), reach(id, r) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e2.src, reach.r FROM edges e2 JOIN reach ON e2.dst = reach.id
+            ), dropped AS (
+              SELECT id
+              FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+              WHERE id != comp
+            )
+            SELECT doc_id FROM surv
+            WHERE doc_id NOT IN (SELECT id FROM dropped)
         """,
         # survivors of end-to-end deduplicate_near = all ids minus the
         # ground-truth dropped set (same recursive-CTE components)

@@ -173,6 +173,12 @@ from .operators.structure import (
     structure_violations,
 )
 from .operators.json_profile import json_field_stats, json_key_census
+from .operators.incremental import (
+    admit_batch,
+    incremental_near_dup_pairs,
+    minhash_index,
+    shingle_hash_index,
+)
 from .operators.spans import (
     span_duplication_census,
     token_kgram_occurrences,
@@ -222,6 +228,10 @@ __all__ = [
     "comissingness",
     "json_key_census",
     "json_field_stats",
+    "minhash_index",
+    "shingle_hash_index",
+    "incremental_near_dup_pairs",
+    "admit_batch",
     "token_kgram_occurrences",
     "span_duplication_census",
     "top_duplicate_spans",
