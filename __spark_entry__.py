@@ -1001,6 +1001,17 @@ def _skew_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dv.key_skew_report(o, "o_custkey", top_k=10)
 
 
+def _heavy_hitters_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-first exact heavy hitters on lineitem.l_partkey: per-
+    partition Misra-Gries summaries (≤k rows shuffled per partition —
+    never the distinct-key domain) → merged lower bounds → candidate
+    cut with the no-false-negative guarantee → exact verify of the
+    candidates only. Output is provably identical to GROUP BY/HAVING,
+    which is exactly what the oracle runs."""
+    li = _read(spark, sf_dir, "lineitem")
+    return dv.heavy_hitters(li, "l_partkey", min_count=35)
+
+
 def _langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents")
     return text.language_id(d).groupBy("lang_pred").agg(
@@ -2471,6 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival_users_events": _interarrival_users_events,
         "vocab_violations_documents": _vocab_violations_documents,
         "skew_report_orders": _skew_report_orders,
+        "heavy_hitters_lineitem": _heavy_hitters_lineitem,
         "dedup_exact_prefix": _dedup_exact_prefix,
         "token_stats_documents": _token_stats_documents,
         "bpe_token_stats_documents": _bpe_token_stats_documents,
@@ -3773,6 +3785,10 @@ def oracle_sql() -> dict[str, str]:
             FROM c, t
             ORDER BY cnt DESC, o_custkey ASC NULLS FIRST
             LIMIT 10
+        """,
+        "heavy_hitters_lineitem": """
+            SELECT CAST(l_partkey AS VARCHAR) AS key_str, count(*) AS cnt
+            FROM lineitem GROUP BY l_partkey HAVING count(*) >= 35
         """,
         "dedup_exact_prefix": """
             SELECT sha256(substr(text, 1, 40)) AS content_hash,

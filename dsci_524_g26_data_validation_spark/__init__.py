@@ -147,6 +147,11 @@ from .operators.quarantine import (
     write_quarantine,
 )
 from .operators.skew import key_skew_report, salted_join, suggested_salt
+from .operators.heavy import (
+    heavy_hitters,
+    heavy_hitters_estimate,
+    misra_gries_partials,
+)
 from .operators.missingness import comissingness, null_patterns
 from .operators.lines import (
     frequent_lines,
@@ -355,6 +360,9 @@ __all__ = [
     "key_skew_report",
     "suggested_salt",
     "salted_join",
+    "heavy_hitters",
+    "heavy_hitters_estimate",
+    "misra_gries_partials",
     "DriftThresholds",
     "validate_table_contract",
     "run_resumable_validation",
