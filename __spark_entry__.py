@@ -1600,6 +1600,20 @@ def _near_dup_split_leakage_documents(
     return m.filter(F.col("group_a") != F.col("group_b"))
 
 
+_CANARIES = ["merge batch", "window spark", "canary-9f3e2ab7-unplanted"]
+
+
+def _canary_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canary-string leakage census: exact substring occurrence counts
+    for a planted-marker list, zero-hit canaries included (the audit's
+    point is proving absence). Row-local length-difference counting,
+    one corpus scan, nothing shuffles but the |canaries|-row census."""
+    from dsci_524_g26_data_validation_spark.operators import contamination as ct
+
+    d = _read(spark, sf_dir, "documents")
+    return ct.canary_census(d, _CANARIES)
+
+
 def _fuzzy_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy (MinHash) benchmark decontamination: the corpus (120-char
     prefixes) vs a synthesized benchmark — the 110-char prefixes of every
@@ -2518,6 +2532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": _minhash_candidates,
         "dup_source_matrix": _dup_source_matrix,
         "fuzzy_contamination_documents": _fuzzy_contamination_documents,
+        "canary_census_documents": _canary_census_documents,
         "token_contract_pass": _token_contract_pass,
         "stream_running_totals": _stream_running_totals,
         "near_dedup_dropped": _near_dedup_dropped,
@@ -4370,6 +4385,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # ground-truth BIPARTITE jaccard join: corpus 120-char prefixes vs
         # the 110-char-prefix benchmark (every 37th doc)
+        "canary_census_documents": """
+            WITH c(canary) AS (VALUES ('merge batch'), ('window spark'),
+                                      ('canary-9f3e2ab7-unplanted'))
+            SELECT c.canary,
+                   count(*) FILTER (WHERE d.text IS NOT NULL
+                                      AND contains(d.text, c.canary)) AS n_docs,
+                   coalesce(sum((length(d.text)
+                                 - length(replace(d.text, c.canary, '')))
+                                // length(c.canary))
+                            FILTER (WHERE contains(d.text, c.canary)),
+                            0) AS n_occurrences
+            FROM c CROSS JOIN documents d
+            GROUP BY c.canary
+        """,
         "fuzzy_contamination_documents": """
             WITH ct AS (
               SELECT doc_id, string_split(substr(text,1,120), ' ') AS toks

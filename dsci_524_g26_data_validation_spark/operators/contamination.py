@@ -278,3 +278,108 @@ def fuzzy_decontaminate(
         corpus[f"`{id_col}`"] == bad["_contaminated"],
         "left_anti",
     )
+
+
+# -- canary strings ------------------------------------------------------------
+
+
+def _canary_struct_array(text: Column, canaries: list[str]) -> Column:
+    """Per-row array of (canary, n_occurrences) structs, occurrences
+    counted by the length-difference identity
+    ``(len(t) − len(replace(t, c, ''))) / len(c)`` — pure Catalyst,
+    renderable identically in ANSI SQL (which is what lets the DuckDB
+    oracle verify the census value-for-value)."""
+    entries = []
+    for c in canaries:
+        lit = F.lit(c)
+        occ = (
+            (F.length(text) - F.length(F.replace(text, lit, F.lit(""))))
+            / F.length(lit)
+        ).cast("bigint")
+        entries.append(
+            F.struct(F.lit(c).alias("canary"), F.coalesce(occ, F.lit(0)).alias("occ"))
+        )
+    return F.array(*entries)
+
+
+def _check_canaries(canaries) -> list[str]:
+    out = list(canaries)
+    if not out:
+        raise ValueError("canaries must be a non-empty list of strings")
+    for c in out:
+        if not isinstance(c, str) or c == "":
+            raise ValueError(f"canaries must be non-empty strings, got {c!r}")
+    if len(set(out)) != len(out):
+        raise ValueError("canaries must be distinct")
+    return out
+
+
+def canary_rows(
+    df: DataFrame,
+    canaries,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, canary, n_occurrences) for every document containing a
+    canary string — the per-row evidence behind :func:`canary_census`.
+
+    Canary strings (Carlini et al., "The Secret Sharer", USENIX
+    Security 2019; benchmark canary GUIDs à la BIG-bench) are planted
+    unique markers whose presence in a training corpus PROVES the
+    contaminated source leaked in. Matching is exact substring
+    (case-sensitive, byte-for-byte — canaries are chosen to be
+    collision-free, so no normalization is wanted).
+
+    Scale shape: the canary list is a driver-side constant folded into
+    a row-local projection — the corpus streams through one scan-bound
+    filter+explode; nothing shuffles. Rows with NULL text match
+    nothing. Cost grows linearly in |canaries| per row; for canary
+    sets beyond a few thousand switch to the n-gram overlap operators.
+    """
+    canaries = _check_canaries(canaries)
+    arr = _canary_struct_array(F.col(f"`{text_col}`"), canaries)
+    hits = F.filter(arr, lambda s: s["occ"] > 0)
+    return (
+        df.select(F.col(f"`{id_col}`"), F.explode(hits).alias("_h"))
+        .select(
+            f"`{id_col}`",
+            F.col("_h.canary").alias("canary"),
+            F.col("_h.occ").alias("n_occurrences"),
+        )
+    )
+
+
+def canary_census(
+    df: DataFrame,
+    canaries,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-canary leakage census: (canary, n_docs, n_occurrences),
+    one row per canary INCLUDING zero-hit canaries — "this canary did
+    not leak" is the result the audit exists to prove, so absence must
+    be a row, not a missing row.
+
+    Same single-scan shape as :func:`canary_rows`; the zero rows come
+    from a right join against the (tiny, driver-side) canary frame,
+    which Spark plans broadcast.
+    """
+    canaries = _check_canaries(canaries)
+    hits = canary_rows(
+        df, canaries, text_col=text_col, id_col=id_col
+    )
+    agg = hits.groupBy("canary").agg(
+        F.count(F.lit(1)).alias("_nd"), F.sum("n_occurrences").alias("_no")
+    )
+    spark = df.sparkSession
+    all_c = spark.createDataFrame([(c,) for c in canaries], "canary string")
+    return (
+        agg.join(F.broadcast(all_c), "canary", "right")
+        .select(
+            "canary",
+            F.coalesce(F.col("_nd"), F.lit(0)).alias("n_docs"),
+            F.coalesce(F.col("_no"), F.lit(0)).alias("n_occurrences"),
+        )
+    )
