@@ -1981,6 +1981,43 @@ def _group_contract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dv.validate_by_group(o, contract, group_col="o_orderpriority")
 
 
+def _ge_adapter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-Expectations suite → TableContract → fused violation rows:
+    proves an imported GX suite runs on the engine unchanged (adapter
+    semantics incl. the anywhere-regex wrap), counted per (kind, col)."""
+    o = _read(spark, sf_dir, "orders")
+    suite = {
+        "expectation_suite_name": "orders_gx",
+        "expectations": [
+            {
+                "expectation_type": "expect_column_values_to_be_between",
+                "kwargs": {
+                    "column": "o_totalprice",
+                    "min_value": 1050.0,
+                    "max_value": 499900.0,
+                },
+            },
+            {
+                "expectation_type": "expect_column_values_to_be_in_set",
+                "kwargs": {
+                    "column": "o_orderpriority",
+                    "value_set": ["1-URGENT", "2-HIGH"],
+                },
+            },
+            {
+                "expectation_type": "expect_column_values_to_match_regex",
+                "kwargs": {"column": "o_orderstatus", "regex": "[OF]"},
+            },
+        ],
+    }
+    tc, _ = dv.expectations_to_table_contract(suite, dtypes=dict(o.dtypes))
+    return (
+        dv.violation_rows(o, tc.contract, include_payload=False)
+        .groupBy("kind", "column")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
 _SPLITS_8_1_1 = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -2533,6 +2570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_source_matrix": _dup_source_matrix,
         "fuzzy_contamination_documents": _fuzzy_contamination_documents,
         "canary_census_documents": _canary_census_documents,
+        "ge_adapter_orders": _ge_adapter_orders,
         "token_contract_pass": _token_contract_pass,
         "stream_running_totals": _stream_running_totals,
         "near_dedup_dropped": _near_dedup_dropped,
@@ -4385,6 +4423,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         # ground-truth BIPARTITE jaccard join: corpus 120-char prefixes vs
         # the 110-char-prefix benchmark (every 37th doc)
+        "ge_adapter_orders": """
+            WITH v(kind, col, n_rows) AS (
+              SELECT 'range', 'o_totalprice',
+                     count(*) FILTER (WHERE o_totalprice < 1050.0)
+                     + count(*) FILTER (WHERE o_totalprice > 499900.0)
+              FROM orders
+              UNION ALL
+              SELECT 'category', 'o_orderpriority',
+                     count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                       AND o_orderpriority NOT IN ('1-URGENT','2-HIGH'))
+              FROM orders
+              UNION ALL
+              SELECT 'pattern', 'o_orderstatus',
+                     count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                       AND NOT regexp_full_match(o_orderstatus,
+                             '^(?:(?s).*(?:[OF]).*)$'))
+              FROM orders
+            )
+            SELECT kind, col AS "column", n_rows FROM v WHERE n_rows > 0
+        """,
         "canary_census_documents": """
             WITH c(canary) AS (VALUES ('merge batch'), ('window spark'),
                                       ('canary-9f3e2ab7-unplanted'))

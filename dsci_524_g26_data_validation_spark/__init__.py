@@ -147,6 +147,11 @@ from .operators.quarantine import (
     write_quarantine,
 )
 from .operators.skew import key_skew_report, salted_join, suggested_salt
+from .adapters import (
+    UnsupportedExpectation,
+    expectations_to_table_contract,
+    table_contract_to_expectations,
+)
 from .operators.heavy import (
     heavy_hitters,
     heavy_hitters_estimate,
@@ -363,6 +368,9 @@ __all__ = [
     "heavy_hitters",
     "heavy_hitters_estimate",
     "misra_gries_partials",
+    "UnsupportedExpectation",
+    "expectations_to_table_contract",
+    "table_contract_to_expectations",
     "DriftThresholds",
     "validate_table_contract",
     "run_resumable_validation",

@@ -519,7 +519,12 @@ def table_contract_to_dict(tc: "TableContract") -> Dict[str, Any]:
 def table_contract_from_dict(data: Mapping[str, Any]) -> "TableContract":
     return TableContract(
         contract=contract_from_dict(data["contract"]),
-        unique_keys=tuple(data.get("unique_keys", ())),
+        # a key may be one column (str) or a composite key (list in
+        # JSON → tuple here, so round-trips compare equal)
+        unique_keys=tuple(
+            tuple(k) if isinstance(k, (list, tuple)) else k
+            for k in data.get("unique_keys", ())
+        ),
         foreign_keys=tuple(
             ForeignKeyRule(fk["column"], fk["ref_table"], fk["ref_column"])
             for fk in data.get("foreign_keys", ())
