@@ -1981,6 +1981,33 @@ def _group_contract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dv.validate_by_group(o, contract, group_col="o_orderpriority")
 
 
+def _incremental_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental profiling: per-slice mergeable sufficient stats over
+    two halves of orders (split by key parity), merged and decoded —
+    the profile-without-rescan path. Exact fields only here (n, nulls,
+    bounds, mean, stddev); the HLL estimate is pytest-pinned within
+    tolerance instead (no SQL oracle can replay a sketch)."""
+    from dsci_524_g26_data_validation_spark.operators import profile_slices as ps
+
+    o = _read(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_totalprice"]
+    a = ps.profile_partials(o.filter(F.col("o_orderkey") % 2 == 0), cols, slice_id="even")
+    b = ps.profile_partials(o.filter(F.col("o_orderkey") % 2 == 1), cols, slice_id="odd")
+    rep = ps.profile_report(ps.merge_profile_partials(a.union(b)))
+    return rep.select(
+        "column",
+        "dtype",
+        "n",
+        "n_null",
+        F.round("null_frac", 6).alias("null_frac"),
+        "min",
+        "max",
+        F.round("mean", 4).alias("mean"),
+        F.round("stddev", 4).alias("stddev"),
+        "n_slices",
+    )
+
+
 def _ge_adapter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Great-Expectations suite → TableContract → fused violation rows:
     proves an imported GX suite runs on the engine unchanged (adapter
@@ -2571,6 +2598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_contamination_documents": _fuzzy_contamination_documents,
         "canary_census_documents": _canary_census_documents,
         "ge_adapter_orders": _ge_adapter_orders,
+        "incremental_profile_orders": _incremental_profile_orders,
         "token_contract_pass": _token_contract_pass,
         "stream_running_totals": _stream_running_totals,
         "near_dedup_dropped": _near_dedup_dropped,
@@ -4423,6 +4451,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         # ground-truth BIPARTITE jaccard join: corpus 120-char prefixes vs
         # the 110-char-prefix benchmark (every 37th doc)
+        "incremental_profile_orders": """
+            SELECT col AS "column", dtype, n, n_null, null_frac,
+                   mn AS min, mx AS max, mean, stddev, 2 AS n_slices
+            FROM (
+              SELECT 'o_custkey' AS col, 'bigint' AS dtype,
+                     count(*) AS n,
+                     count(*) FILTER (WHERE o_custkey IS NULL) AS n_null,
+                     round(count(*) FILTER (WHERE o_custkey IS NULL)
+                           / CAST(count(*) AS DOUBLE), 6) AS null_frac,
+                     min(CAST(o_custkey AS DOUBLE)) AS mn,
+                     max(CAST(o_custkey AS DOUBLE)) AS mx,
+                     round(avg(CAST(o_custkey AS DOUBLE)), 4) AS mean,
+                     round(stddev_samp(CAST(o_custkey AS DOUBLE)), 4) AS stddev
+              FROM orders
+              UNION ALL
+              SELECT 'o_totalprice', 'double', count(*),
+                     count(*) FILTER (WHERE o_totalprice IS NULL),
+                     round(count(*) FILTER (WHERE o_totalprice IS NULL)
+                           / CAST(count(*) AS DOUBLE), 6),
+                     min(o_totalprice), max(o_totalprice),
+                     round(avg(o_totalprice), 4),
+                     round(stddev_samp(o_totalprice), 4)
+              FROM orders
+            )
+        """,
         "ge_adapter_orders": """
             WITH v(kind, col, n_rows) AS (
               SELECT 'range', 'o_totalprice',

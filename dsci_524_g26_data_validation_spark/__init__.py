@@ -177,6 +177,11 @@ from .operators.sketches import (
     merged_distinct_estimates,
     sketch_consistency_report,
 )
+from .operators.profile_slices import (
+    merge_profile_partials,
+    profile_partials,
+    profile_report,
+)
 from .operators.structure import (
     SequenceSpec,
     structure_census,
@@ -230,6 +235,9 @@ __all__ = [
     "distinct_sketches",
     "merged_distinct_estimates",
     "sketch_consistency_report",
+    "profile_partials",
+    "merge_profile_partials",
+    "profile_report",
     "table_diff",
     "table_diff_rows",
     "partition_digests",
