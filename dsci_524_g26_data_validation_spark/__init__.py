@@ -125,7 +125,11 @@ from .operators.preferences import (
 from .operators.sessions import session_stats, sessionize
 from .operators.splits import assign_splits, split_census, split_leakage
 from .operators.chats import conversation_census, conversation_violations
-from .operators.joins import hot_join_keys, join_explosion_report
+from .operators.joins import (
+    hot_join_keys,
+    join_explosion_report,
+    key_overlap_sketch,
+)
 from .operators.labels import label_agreement_census, label_agreement_summary
 from .operators.terms import salient_terms
 from .operators.vocab import zipf_census
@@ -211,7 +215,7 @@ from .operators.urls import (
     parse_urls,
 )
 from .operators.normalize import normalization_census, normalize_text
-from .sources.manifest import FileManifestStore
+from .sources.manifest import FileManifestStore, metric_series, run_history
 from .sources.files import clustering_report, file_census, flag_outlier_files
 from .sources.shards import assign_shards, shard_plan, write_shards
 from .sources.token_table import source_dim, token_table
@@ -383,6 +387,9 @@ __all__ = [
     "validate_table_contract",
     "run_resumable_validation",
     "FileManifestStore",
+    "run_history",
+    "metric_series",
+    "key_overlap_sketch",
     "source_dim",
     "token_table",
     "parse_urls",

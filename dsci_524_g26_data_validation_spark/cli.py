@@ -170,6 +170,27 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--top-k", type=int, default=10)
     p.add_argument("--salt-target", type=float, default=2.0)
 
+    p = sub.add_parser("heavy-hitters")
+    p.add_argument("--input", required=True)
+    p.add_argument("--key", required=True)
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--min-count", type=int)
+    g.add_argument("--min-share", type=float)
+    p.add_argument("--safety", type=float, default=2.0)
+
+    p = sub.add_parser("canary")
+    p.add_argument("--input", required=True)
+    p.add_argument(
+        "--canaries", required=True,
+        help="path to a newline-delimited canary-string file",
+    )
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument(
+        "--fail", action="store_true",
+        help="exit 1 if any canary leaked (n_docs > 0)",
+    )
+
     p = sub.add_parser("span-census")
     p.add_argument("--input", required=True)
     p.add_argument("--tokens-col", default="tokens")
@@ -473,6 +494,44 @@ def main(argv: Optional[list] = None) -> int:
             if rows else 1,
         }, sort_keys=True, default=str))
         return 0
+
+    if args.cmd == "heavy-hitters":
+        from .operators.heavy import heavy_hitters
+
+        rows = [
+            r.asDict()
+            for r in heavy_hitters(
+                df,
+                args.key,
+                min_count=args.min_count,
+                min_share=args.min_share,
+                safety=args.safety,
+            ).collect()
+        ]
+        print(json.dumps(
+            {"heavy_hitters": rows, "n_keys": len(rows)},
+            sort_keys=True, default=str,
+        ))
+        return 0
+
+    if args.cmd == "canary":
+        from .operators.contamination import canary_census
+
+        with open(args.canaries) as fh:
+            canaries = [ln.rstrip("\n") for ln in fh if ln.strip()]
+        rows = [
+            r.asDict()
+            for r in canary_census(
+                df, canaries, text_col=args.text_col, id_col=args.id_col
+            ).orderBy("canary").collect()
+        ]
+        n_leaked = sum(1 for r in rows if r["n_docs"] > 0)
+        print(json.dumps(
+            {"canaries": rows, "n_canaries": len(rows),
+             "n_leaked": n_leaked, "ok": n_leaked == 0},
+            sort_keys=True, default=str,
+        ))
+        return 0 if (n_leaked == 0 or not args.fail) else 1
 
     if args.cmd == "span-census":
         from .operators.spans import span_duplication_census

@@ -27,7 +27,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["join_explosion_report", "hot_join_keys"]
+__all__ = ["join_explosion_report", "hot_join_keys", "key_overlap_sketch"]
 
 
 def _key_counts(df: DataFrame, keys: Sequence[str], side: str) -> DataFrame:
@@ -166,4 +166,102 @@ def hot_join_keys(
             F.desc("join_rows"), *[F.asc(f"`{k}`") for k in keys]
         )
         .limit(top_k)
+    )
+
+
+# -- sketch-mode overlap pre-flight -------------------------------------------
+
+
+def key_overlap_sketch(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    *,
+    lg_k: int = 14,
+) -> DataFrame:
+    """Approximate key-overlap census from two HLL sketches — the
+    pre-flight for joins where even the (key, count) frames are big.
+
+    :func:`join_explosion_report` is exact but shuffles one row per
+    distinct key per side; at 10^9-10^11 distinct keys on BOTH sides
+    that pre-flight costs a real fraction of the join it guards. This
+    sketch mode reduces each side to ONE ~2^lg_k-byte HLL (map-side
+    merged, a one-row exchange), estimates the union by merging the two
+    sketches, and derives the intersection by inclusion–exclusion:
+
+        |A∩B| ≈ |A| + |B| − |A∪B|
+
+    Returns one row: ``n_keys_left_est, n_keys_right_est,
+    n_union_est, n_shared_est, containment_left, containment_right,
+    jaccard_est`` where ``containment_left`` = shared/left ("what
+    fraction of my corpus keys have a dim row") — usually the number
+    the referential question actually needs.
+
+    Error honesty: each HLL carries ~1.04/√2^lg_k relative error
+    (~0.8% at lg_k=14), but inclusion–exclusion SUBTRACTS estimates,
+    so the intersection's relative error blows up as the true overlap
+    shrinks — at |A∩B| ≪ |A∪B| the estimate can even go negative
+    (clamped to 0 here). This operator answers "mostly disjoint,
+    mostly contained, or mostly overlapping"; for small-overlap
+    precision run the exact report or an anti-join on the candidate
+    side. NULL keys are excluded on both sides (SQL equality never
+    matches them, so they can't join anyway — the exact report counts
+    them separately).
+
+    Multi-key joins sketch the NULL-distinct struct rendering of the
+    key tuple (same sentinel scheme as the dedup digests), so
+    composite keys estimate correctly.
+    """
+    if not keys:
+        raise ValueError("keys must name at least one column")
+    if not 4 <= lg_k <= 21:
+        raise ValueError(f"lg_k must be in [4, 21], got {lg_k}")
+
+    def sketch_of(df: DataFrame):
+        cols = [F.col(f"`{k}`") for k in keys]
+        nonnull = df
+        for c in cols:
+            nonnull = nonnull.filter(c.isNotNull())
+        if len(keys) == 1:
+            key_expr = cols[0].cast("string")
+        else:
+            key_expr = F.concat_ws(
+                "\x1f", *[c.cast("string") for c in cols]
+            )
+        return nonnull.agg(
+            F.hll_sketch_agg(key_expr, int(lg_k)).alias("hll")
+        )
+
+    a = sketch_of(left).select(F.col("hll").alias("hll_a"))
+    b = sketch_of(right).select(F.col("hll").alias("hll_b"))
+    both = a.crossJoin(b)  # 1 row × 1 row
+    est = both.select(
+        F.hll_sketch_estimate("hll_a").alias("n_keys_left_est"),
+        F.hll_sketch_estimate("hll_b").alias("n_keys_right_est"),
+        F.hll_sketch_estimate(
+            F.hll_union("hll_a", "hll_b")
+        ).alias("n_union_est"),
+    )
+    shared = F.greatest(
+        F.col("n_keys_left_est")
+        + F.col("n_keys_right_est")
+        - F.col("n_union_est"),
+        F.lit(0),
+    )
+    return est.select(
+        "n_keys_left_est",
+        "n_keys_right_est",
+        "n_union_est",
+        shared.alias("n_shared_est"),
+        F.when(
+            F.col("n_keys_left_est") > 0,
+            shared / F.col("n_keys_left_est"),
+        ).alias("containment_left"),
+        F.when(
+            F.col("n_keys_right_est") > 0,
+            shared / F.col("n_keys_right_est"),
+        ).alias("containment_right"),
+        F.when(
+            F.col("n_union_est") > 0, shared / F.col("n_union_est")
+        ).alias("jaccard_est"),
     )

@@ -25,7 +25,12 @@ import tempfile
 import time
 from typing import Dict, Iterable, List, Optional
 
-__all__ = ["ManifestRecord", "FileManifestStore"]
+__all__ = [
+    "ManifestRecord",
+    "FileManifestStore",
+    "run_history",
+    "metric_series",
+]
 
 
 class ManifestRecord(dict):
@@ -86,3 +91,81 @@ class FileManifestStore:
     def pending(self, all_partitions: Iterable[str]) -> List[str]:
         done = set(self.completed())
         return sorted(p for p in set(all_partitions) - done)
+
+
+# -- cross-run history ---------------------------------------------------------
+#
+# A manifest root accumulates one directory per run_id; reading them ALL
+# back turns the per-partition metrics into a longitudinal series — the
+# regression-detection loop ("did null_frac jump between yesterday's run
+# and today's?") that single-run validation can't close. The history is
+# metadata-scale (O(runs × partitions) small JSON files), but it is read
+# through spark.read.json anyway so a years-long history on a shared
+# filesystem never funnels through the driver.
+
+
+def run_history(spark, root: str):
+    """All manifest records under ``root`` as a long-format DataFrame:
+    ``(run_id, partition, metric, value double, value_str, finished_at)``
+    — one row per metric per completed partition per run.
+
+    ``value`` is the numeric reading (``try_cast``, so counters and
+    fractions series cleanly); ``value_str`` preserves non-numeric
+    metrics verbatim. Runs with disjoint metric sets coexist — history
+    is a union, not a schema.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("run_id", T.StringType()),
+            T.StructField("partition", T.StringType()),
+            T.StructField("finished_at", T.DoubleType()),
+            T.StructField(
+                "metrics", T.MapType(T.StringType(), T.StringType())
+            ),
+        ]
+    )
+    raw = spark.read.schema(schema).json(os.path.join(root, "*", "part-*.json"))
+    kv = raw.select(
+        "run_id",
+        "partition",
+        "finished_at",
+        F.explode_outer("metrics").alias("metric", "value_str"),
+    )
+    return kv.select(
+        "run_id",
+        "partition",
+        "metric",
+        F.col("value_str").try_cast("double").alias("value"),
+        "value_str",
+        "finished_at",
+    )
+
+
+def metric_series(history, metric: str, *, partition: str = None):
+    """One metric's per-run series from :func:`run_history` output:
+    ``(run_id, finished_at, value)`` ordered by run finish time —
+    exactly the input contract of
+    :func:`~..operators.timeseries.change_point_report`
+    (``order_col="finished_at"``, ``value_col="value"``).
+
+    ``partition=None`` SUMS the metric across partitions per run (the
+    table-level series; counts and violation totals add); pass a
+    partition value for that slice's own series (fractions/averages
+    do NOT add — slice them, don't sum them).
+    """
+    from pyspark.sql import functions as F
+
+    h = history.filter(F.col("metric") == metric)
+    if partition is not None:
+        h = h.filter(F.col("partition") == partition)
+    return (
+        h.groupBy("run_id")
+        .agg(
+            F.max("finished_at").alias("finished_at"),
+            F.sum("value").alias("value"),
+        )
+        .orderBy("finished_at")
+    )

@@ -356,3 +356,37 @@ def test_cli_file_order(spark, tmp_path, capsys):
     rep = _last_json(capsys)
     assert "s=shuffled" in rep["files"][0]["file"]
     assert rep["files"][0]["is_sorted"] is False
+
+
+def test_cli_heavy_hitters(spark, sf_dir, capsys):
+    rc = main([
+        "heavy-hitters", "--input", f"{sf_dir}/lineitem.parquet",
+        "--key", "l_partkey", "--min-share", "0.002",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_keys"] == len(out["heavy_hitters"])
+    for r in out["heavy_hitters"]:
+        assert r["cnt"] >= 1
+
+
+def test_cli_canary(spark, sf_dir, tmp_path, capsys):
+    cfile = tmp_path / "canaries.txt"
+    cfile.write_text("merge batch\ncanary-not-there-xyz\n")
+    rc = main([
+        "canary", "--input", f"{sf_dir}/documents.parquet",
+        "--canaries", str(cfile),
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_canaries"] == 2
+    by_name = {r["canary"]: r for r in out["canaries"]}
+    assert by_name["canary-not-there-xyz"]["n_docs"] == 0
+    assert by_name["merge batch"]["n_docs"] > 0
+    assert out["n_leaked"] == 1 and out["ok"] is False
+    # --fail gates CI on leakage
+    rc = main([
+        "canary", "--input", f"{sf_dir}/documents.parquet",
+        "--canaries", str(cfile), "--fail",
+    ])
+    assert rc == 1

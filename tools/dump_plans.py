@@ -208,6 +208,39 @@ def main() -> None:
         file_order_census(orders, "o_orderkey"),
     )
 
+    from dsci_524_g26_data_validation_spark.operators.heavy import (
+        heavy_hitters,
+    )
+
+    add(
+        "Sketch-first exact heavy hitters (bounded-shuffle frequency census)",
+        "Stage 1 `MapInPandas` folds each partition into a k-counter "
+        "Misra-Gries summary (≤k rows shuffled per partition — the "
+        "distinct-key domain never crosses an exchange); the exact "
+        "verify pass scans the corpus once more behind a "
+        "`BroadcastHashJoin ... LeftSemi` on the (tiny) candidate set, "
+        "so the final groupBy's key domain is the candidates, not the "
+        "corpus.",
+        heavy_hitters(lineitem, "l_partkey", min_count=35),
+    )
+
+    from dsci_524_g26_data_validation_spark.operators.joins import (
+        key_overlap_sketch,
+    )
+
+    add(
+        "Sketch-mode join-key overlap pre-flight (one HLL row per side)",
+        "Each side collapses to ONE ~2^lg_k-byte HLL via map-side-merged "
+        "`hll_sketch_agg` (the exchange carries a single sketch row per "
+        "task); the union/intersection estimates are a 1-row×1-row "
+        "cross join — nothing about either corpus shuffles.",
+        key_overlap_sketch(
+            orders.selectExpr("o_custkey AS k"),
+            orders.selectExpr("o_custkey AS k").limit(5000),
+            ["k"],
+        ),
+    )
+
     header = (
         "# PLANS — headline physical plans (generated by tools/dump_plans.py)\n\n"
         f"Input: `{SF_DIR}` on local[4]; plans are pre-execution "
