@@ -649,6 +649,81 @@ def _structure_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dv.structure_census(toks, spec, group_col="source")
 
 
+def _detok_vocab(spark: SparkSession, sf_dir: str) -> list:
+    """Deterministic corpus vocab: every distinct word of documents.text
+    ordered by (count desc, word asc); id = position. Tiny for the
+    synthetic corpus — a real tokenizer vocab arrives as a file, not a
+    corpus pass."""
+    d = _read(spark, sf_dir, "documents")
+    rows = (
+        d.filter(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .collect()
+    )
+    return [r["w"] for r in rows]
+
+
+def _detok_corrupted(spark: SparkSession, sf_dir: str, vocab: list) -> DataFrame:
+    """Encode documents.text against ``vocab`` (full coverage, so the
+    clean encode round-trips exactly), then plant tokenizer-skew
+    corruption by doc_id % 13: ==0 appends an OOV id (-1), ==1 shifts
+    the first id by +1 (the vocab-drift simulation — decodes to a
+    DIFFERENT word, or to the OOV sentinel at the vocab edge)."""
+    d = _read(spark, sf_dir, "documents")
+    m = F.create_map(
+        *[x for i, w in enumerate(vocab) for x in (F.lit(w), F.lit(i))]
+    )
+    words = F.split("text", " ")
+    t0 = F.transform(words, lambda w: F.try_element_at(m, w))
+    r = F.col("doc_id") % 13
+    shifted = F.concat(
+        F.array(F.get(t0, 0) + 1),
+        F.slice(t0, 2, F.greatest(F.size(t0) - 1, F.lit(0))),
+    )
+    tokens = (
+        F.when(F.col("text").isNull(), F.lit(None).cast("array<int>"))
+        .when(r == 0, F.concat(t0, F.array(F.lit(-1))))
+        .when(r == 1, shifted)
+        .otherwise(t0)
+    )
+    return d.select("doc_id", "source", "text", tokens.alias("tokens"))
+
+
+def _detok_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detok round-trip census by source over the Arrow-UDF decode path
+    (operators/detok.py): planted corruption on doc_id % 13 in {0,1}
+    must surface as n_fail; NULL-text rows (tokens NULL too) pass the
+    null-safe compare. The oracle replays encode, corruption and decode
+    in SQL — a pandas UDF value-verified by an independent engine."""
+    vocab = _detok_vocab(spark, sf_dir)
+    toks = _detok_corrupted(spark, sf_dir, vocab)
+    return dv.roundtrip_census(toks, vocab, mode="udf")
+
+
+def _detok_violations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level round-trip triage over the pure-Catalyst decode path:
+    exactly the planted doc_id % 13 in {0,1} rows (with non-NULL text)
+    mismatch, OOV ids visibly decoding to the U+FFFD sentinel."""
+    vocab = _detok_vocab(spark, sf_dir)
+    toks = _detok_corrupted(spark, sf_dir, vocab)
+    return dv.roundtrip_violations(toks, vocab, mode="expr")
+
+
+def _clipping_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-spike detection: clip n_chars at 180 (a silent
+    writer-side truncation simulation) — all tail mass piles onto one
+    length, which the census must flag as the at_max spike while every
+    natural length stays unflagged."""
+    d = _read(spark, sf_dir, "documents")
+    clipped = d.filter(F.col("n_chars").isNotNull()).select(
+        F.least(F.col("n_chars"), F.lit(180)).alias("len")
+    )
+    return dv.length_clipping_census(clipped, "len", min_count=3)
+
+
 def _uniqueness_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1: salted two-level duplicate detection on orders.o_custkey."""
     o = _read(spark, sf_dir, "orders")
@@ -2518,6 +2593,47 @@ def _shard_plan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from dsci_524_g26_data_validation_spark.operators.structure import (
+    DEFAULT_CAPS as _DEFAULT_CAPS,
+)
+
+#: Shared encode/corrupt/decode pipeline for the detok round-trip
+#: oracles — replays _detok_vocab + _detok_corrupted + the vocab decode
+#: in pure SQL (list_position encode, list surgery corruption, 1-based
+#: list-index decode with the U+FFFD OOV sentinel).
+_DETOK_CTES = """
+    WITH wc AS (
+        SELECT w, count(*) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE text IS NOT NULL
+        ) GROUP BY w
+    ), vl AS (
+        SELECT list(w ORDER BY cnt DESC, w ASC) AS vs FROM wc
+    ), enc AS (
+        SELECT d.doc_id, d.source, d.text,
+               CASE WHEN d.text IS NULL THEN NULL ELSE
+                   list_transform(string_split(d.text, ' '),
+                       w -> list_position(vs, w) - 1)
+               END AS t0
+        FROM documents d CROSS JOIN vl
+    ), cor AS (
+        SELECT doc_id, source, text,
+               CASE WHEN t0 IS NULL THEN NULL
+                    WHEN doc_id % 13 = 0 THEN t0 || [-1]
+                    WHEN doc_id % 13 = 1 THEN [t0[1] + 1] || t0[2:]
+                    ELSE t0 END AS tokens
+        FROM enc
+    ), dec AS (
+        SELECT source, doc_id, text,
+               CASE WHEN tokens IS NULL THEN NULL ELSE
+                   array_to_string(list_transform(tokens,
+                       t -> coalesce(vs[t + 1], '�')), ' ')
+               END AS detok
+        FROM cor CROSS JOIN vl
+    )
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_orders": _profile_orders,
@@ -2527,6 +2643,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quarantine_routing_orders": _quarantine_routing_orders,
         "repair_census_orders": _repair_census_orders,
         "structure_census_documents": _structure_census_documents,
+        "detok_census_documents": _detok_census_documents,
+        "detok_violations_documents": _detok_violations_documents,
+        "clipping_census_documents": _clipping_census_documents,
         "table_diff_orders": _table_diff_orders,
         "comissingness_documents": _comissingness_documents,
         "line_strip_documents": _line_strip_documents,
@@ -3381,6 +3500,49 @@ def oracle_sql() -> dict[str, str]:
                        AS n_distinct_diff
             FROM j
         """,
+        "detok_census_documents": _DETOK_CTES
+        + """
+            SELECT source, count(*) AS n_docs,
+                   CAST(count(*) FILTER (WHERE detok IS DISTINCT FROM text)
+                        AS BIGINT) AS n_fail,
+                   round(CAST(count(*) FILTER
+                           (WHERE detok IS DISTINCT FROM text) AS DOUBLE)
+                         / greatest(count(*), 1), 6) AS fail_frac
+            FROM dec GROUP BY source
+        """,
+        "detok_violations_documents": _DETOK_CTES
+        + """
+            SELECT doc_id, text, detok
+            FROM dec WHERE detok IS DISTINCT FROM text
+        """,
+        "clipping_census_documents": """
+            WITH c AS (
+                SELECT least(n_chars, 180) AS length
+                FROM documents WHERE n_chars IS NOT NULL
+            ), cnt AS (
+                SELECT length, count(*) AS n_rows FROM c GROUP BY length
+            ), w AS (
+                SELECT length, n_rows,
+                       CAST(n_rows AS DOUBLE) / sum(n_rows) OVER ()
+                           AS share_raw,
+                       CAST(coalesce(sum(n_rows) OVER (ORDER BY length
+                           RANGE BETWEEN 8 PRECEDING AND 1 PRECEDING), 0)
+                           AS DOUBLE) / 8.0 AS nm,
+                       max(length) OVER () AS mx
+                FROM cnt
+            ), f AS (
+                SELECT CAST(length AS BIGINT) AS length, n_rows,
+                       round(share_raw, 6) AS share,
+                       round(nm, 6) AS neigh_mean,
+                       round(CAST(n_rows AS DOUBLE) / greatest(nm, 0.125), 6)
+                           AS spike_ratio,
+                       length = mx AS at_max,
+                       list_contains({caps}, length) AS at_cap
+                FROM w
+            )
+            SELECT * FROM f
+            WHERE spike_ratio >= 3.0 AND n_rows >= 3 AND (at_max OR at_cap)
+        """.format(caps=list(_DEFAULT_CAPS)),
         "structure_census_documents": """
             WITH base AS (
                 SELECT doc_id, source,

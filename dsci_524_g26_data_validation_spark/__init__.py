@@ -188,8 +188,15 @@ from .operators.profile_slices import (
 )
 from .operators.structure import (
     SequenceSpec,
+    length_clipping_census,
     structure_census,
     structure_violations,
+)
+from .operators.detok import (
+    detok_expr,
+    detok_udf,
+    roundtrip_census,
+    roundtrip_violations,
 )
 from .operators.json_profile import json_field_stats, json_key_census
 from .operators.incremental import (
@@ -234,6 +241,11 @@ __all__ = [
     "repair_rows",
     "SequenceSpec",
     "structure_census",
+    "length_clipping_census",
+    "detok_expr",
+    "detok_udf",
+    "roundtrip_census",
+    "roundtrip_violations",
     "structure_violations",
     "row_digest",
     "distinct_sketches",

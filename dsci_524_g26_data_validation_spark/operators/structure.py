@@ -48,6 +48,8 @@ __all__ = [
     "structure_flags",
     "structure_violations",
     "structure_census",
+    "DEFAULT_CAPS",
+    "length_clipping_census",
 ]
 
 
@@ -215,3 +217,93 @@ def structure_census(
     if group_col:
         return pre.groupBy(group_col).agg(*aggs)
     return pre.agg(*aggs)
+
+
+# -- truncation / clipping detection ------------------------------------------
+
+#: Caps a truncating writer plausibly clipped at: context windows and
+#: field limits are powers of two (and the off-by-one forms a "reserve
+#: one for EOS" pipeline produces).
+DEFAULT_CAPS = tuple(
+    sorted(
+        {1 << p for p in range(7, 21)}
+        | {(1 << p) - 1 for p in range(7, 21)}
+    )
+)
+
+
+def length_clipping_census(
+    df: DataFrame,
+    len_col: str,
+    *,
+    window: int = 8,
+    min_ratio: float = 3.0,
+    min_count: int = 5,
+    caps: Sequence[int] = DEFAULT_CAPS,
+    flag_only: bool = True,
+) -> DataFrame:
+    """Truncation-spike detector over a length column (``n_tok``,
+    ``n_chars``): a writer that silently clips sequences at a cap leaves
+    every *row-level* contract satisfied — lengths are in range, arrays
+    are well-formed — while the length HISTOGRAM grows a spike at
+    exactly the cap that the natural distribution cannot produce. The
+    census finds mass concentrated at the distribution's maximum or at
+    known cap values (powers of two and the reserve-one-for-EOS
+    off-by-ones) that towers over the immediately preceding lengths.
+
+    Returns ``(length, n_rows, share, neigh_mean, spike_ratio, at_max,
+    at_cap)``; with ``flag_only=True`` only suspicious rows — spike
+    ratio ≥ ``min_ratio``, count ≥ ``min_count``, and the length is the
+    global max or a known cap.
+
+    ``neigh_mean`` = mean rows per length over the ``window`` lengths
+    strictly below (absent lengths count 0 — a RANGE window sum over
+    the value domain, so gaps are handled exactly);
+    ``spike_ratio = n / max(neigh_mean, 1/window)``.
+
+    Scale shape: one scan collapses the corpus to a (length, count)
+    frame bounded by the number of DISTINCT lengths (≤ max sequence
+    length, e.g. ≤ ~10^5 rows at any corpus size) with map-side
+    combine; the windows then run on that tiny frame — the single-task
+    sort there is the correct plan at 10^12 rows, same argument as
+    ``change_point_report``.
+    """
+    from pyspark.sql import Window
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    counts = (
+        df.filter(F.col(len_col).isNotNull())
+        .groupBy(F.col(len_col).cast("bigint").alias("length"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    w_neigh = Window.orderBy("length").rangeBetween(-window, -1)
+    w_all = Window.partitionBy()
+    neigh_mean = (
+        F.coalesce(F.sum("n_rows").over(w_neigh), F.lit(0)).cast("double")
+        / F.lit(float(window))
+    )
+    cap_arr = F.array(*[F.lit(int(c)) for c in sorted(set(caps))])
+    out = counts.select(
+        "length",
+        "n_rows",
+        F.round(
+            F.col("n_rows").cast("double") / F.sum("n_rows").over(w_all),
+            6,
+        ).alias("share"),
+        F.round(neigh_mean, 6).alias("neigh_mean"),
+        F.round(
+            F.col("n_rows").cast("double")
+            / F.greatest(neigh_mean, F.lit(1.0 / float(window))),
+            6,
+        ).alias("spike_ratio"),
+        (F.col("length") == F.max("length").over(w_all)).alias("at_max"),
+        F.array_contains(cap_arr, F.col("length")).alias("at_cap"),
+    )
+    if not flag_only:
+        return out
+    return out.filter(
+        (F.col("spike_ratio") >= min_ratio)
+        & (F.col("n_rows") >= min_count)
+        & (F.col("at_max") | F.col("at_cap"))
+    )
