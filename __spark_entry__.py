@@ -1382,6 +1382,96 @@ def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "cosine")
 
 
+def _semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cell-blocked near-dup pairs with the single-cell
+    completeness proof: one explicit zero centroid puts every vector in
+    one cell, so the cell-blocked pair search MUST equal the exhaustive
+    brute-force pair set the SQL oracle computes (the same
+    probe-everything trick that oracles ann_ivf_topk). Planted: 10 exact
+    copies under new ids. The multi-cell KMeans path is pinned by
+    pytest (test_semantic_media_entropy.py) — exact copies always share
+    the argmin cell."""
+    e = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = e.filter("vec_id < 10").select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"
+    )
+    aug = e.unionByName(copies)
+    return similarity.semantic_dedup_pairs(
+        aug, threshold=0.85, centroids=[[0.0] * 64], max_cell_size=None
+    ).select("id_a", "id_b", "cosine")
+
+
+#: (format, magic-hex) construction table for the sniffing oracle — each
+#: payload is unhex(magic || md5(...)), so the SQL oracle can replay the
+#: bytes as plain hex strings without any blob support. mp4/wav carry
+#: their real containers' leading bytes so the offset probes (ftyp at 4,
+#: WAVE at 8) are exercised, not just prefix matches.
+_SNIFF_FORMATS = [
+    ("png", "89504E470D0A1A0A"),
+    ("jpeg", "FFD8FFE0"),
+    ("gif", "474946383961"),
+    ("ogg", "4F676753"),
+    ("flac", "664C6143"),
+    ("pdf", "25504446"),
+    ("gzip", "1F8B0808"),
+    ("mp4", "0000001866747970"),
+    ("wav", "52494646AABBCCDD57415645"),
+]
+
+
+def _media_format_table(spark: SparkSession, n: int = 4000) -> DataFrame:
+    """Deterministic declared-vs-bytes media table (portable md5 hashes,
+    exactly replayable in SQL): declared format cycles by a md5-derived
+    uniform; id % 11 == 0 rows carry the NEXT format's bytes (the
+    mislabeled-upload plant); id % 13 == 0 rows have empty payloads."""
+    nf = len(_SNIFF_FORMATS)
+    df = spark.range(n)
+    u = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fm:"), F.col("id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(nf),
+    )
+    act = F.pmod(u + F.when(F.col("id") % 11 == 0, 1).otherwise(0), F.lit(nf))
+    declared = F.lit(_SNIFF_FORMATS[-1][0])
+    magic = F.lit(_SNIFF_FORMATS[-1][1])
+    for i, (name, hexmagic) in list(enumerate(_SNIFF_FORMATS))[-2::-1]:
+        declared = F.when(u == i, F.lit(name)).otherwise(declared)
+        magic = F.when(act == i, F.lit(hexmagic)).otherwise(magic)
+    payload = F.when(F.col("id") % 13 == 0, F.unhex(F.lit(""))).otherwise(
+        F.unhex(
+            F.concat(
+                magic, F.md5(F.concat(F.lit("b:"), F.col("id").cast("string")))
+            )
+        )
+    )
+    return df.select(declared.alias("codec"), payload.alias("payload"))
+
+
+def _media_format_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte container sniffing vs declared format: the census must
+    put exactly the id%11 plants in (declared, next-format) mismatch
+    cells and the id%13 plants in (declared, empty) cells — the sniff
+    expression (offset probes included) verified value-for-value by a
+    SQL replay of the byte construction."""
+    from dsci_524_g26_data_validation_spark.operators import multimodal as mm
+
+    m = _media_format_table(spark, 4000)
+    return mm.media_format_census(m, payload_col="payload", declared_col="codec")
+
+
+def _entropy_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-entropy health over documents: avg/min
+    bits-per-char and the sub-2.0-bit degenerate-text fraction; NULL
+    texts count in n_docs but never in n_scored."""
+    d = _read(spark, sf_dir, "documents")
+    return text.entropy_census(d, low_threshold=2.0)
+
+
 _LINEITEM_CONTRACT = dv.Contract(
     columns={
         "l_quantity": dv.ColumnRule(dtype="double", min_value=1, max_value=45),
@@ -2634,6 +2724,60 @@ _DETOK_CTES = """
 """
 
 
+from dsci_524_g26_data_validation_spark.operators.multimodal import (
+    MAGIC_PREFIXES as _MAGIC_PREFIXES,
+)
+
+
+def _sniff_case_sql(h: str) -> str:
+    """The sniffing CASE in SQL, generated from the SAME ordered magic
+    table the Spark expression folds over (first match wins), so the
+    oracle and the engine can never drift on probe order or offsets."""
+    whens = [f"WHEN {h} = '' THEN 'empty'"]
+    for fmt, hexmagic, off in _MAGIC_PREFIXES:
+        whens.append(
+            f"WHEN substr({h}, {2 * off + 1}, {len(hexmagic)}) = "
+            f"'{hexmagic}' THEN '{fmt}'"
+        )
+    return "CASE " + " ".join(whens) + " ELSE 'unknown' END"
+
+
+def _media_census_oracle_sql() -> str:
+    nf = len(_SNIFF_FORMATS)
+    decl = " ".join(
+        f"WHEN {i} THEN '{name}'" for i, (name, _) in enumerate(_SNIFF_FORMATS)
+    )
+    magic = " ".join(
+        f"WHEN {i} THEN '{hexmagic}'"
+        for i, (_, hexmagic) in enumerate(_SNIFF_FORMATS)
+    )
+    return f"""
+        WITH ids AS (
+            SELECT unnest(generate_series(0, 3999)) AS id
+        ), d AS (
+            SELECT id,
+                   CAST(('0x'||substr(md5('fm:'||id),1,15)) AS BIGINT)
+                       % {nf} AS u
+            FROM ids
+        ), f AS (
+            SELECT id, u,
+                   (u + CASE WHEN id % 11 = 0 THEN 1 ELSE 0 END) % {nf} AS act
+            FROM d
+        ), built AS (
+            SELECT CASE u {decl} END AS declared,
+                   CASE WHEN id % 13 = 0 THEN ''
+                        ELSE upper(CASE act {magic} END || md5('b:'||id))
+                   END AS h
+            FROM f
+        ), sn AS (
+            SELECT declared, {_sniff_case_sql('h')} AS sniffed FROM built
+        )
+        SELECT declared, sniffed, count(*) AS n_rows,
+               declared <> sniffed AS mismatch
+        FROM sn GROUP BY declared, sniffed
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_orders": _profile_orders,
@@ -2646,6 +2790,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detok_census_documents": _detok_census_documents,
         "detok_violations_documents": _detok_violations_documents,
         "clipping_census_documents": _clipping_census_documents,
+        "semantic_dedup_pairs": _semantic_dedup_pairs,
+        "media_format_census": _media_format_census_q,
+        "entropy_census_documents": _entropy_census_documents,
         "table_diff_orders": _table_diff_orders,
         "comissingness_documents": _comissingness_documents,
         "line_strip_documents": _line_strip_documents,
@@ -3514,6 +3661,50 @@ def oracle_sql() -> dict[str, str]:
         + """
             SELECT doc_id, text, detok
             FROM dec WHERE detok IS DISTINCT FROM text
+        """,
+        "semantic_dedup_pairs": """
+            WITH aug AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 2000000, embedding FROM embeddings
+                WHERE vec_id < 10
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+                       AS cosine
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(
+                a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.85
+        """,
+        "media_format_census": _media_census_oracle_sql(),
+        "entropy_census_documents": """
+            WITH ch AS (
+                SELECT doc_id, n, substr(text, CAST(i AS BIGINT), 1) AS ch
+                FROM (
+                    SELECT doc_id, text, n,
+                           unnest(generate_series(1, n)) AS i
+                    FROM (
+                        SELECT doc_id, text, length(text) AS n FROM documents
+                        WHERE text IS NOT NULL AND length(text) > 0
+                    )
+                )
+            ), cc AS (
+                SELECT doc_id, n, ch, count(*) AS cnt
+                FROM ch GROUP BY doc_id, n, ch
+            ), ent AS (
+                SELECT doc_id,
+                       round(-sum((cnt / CAST(n AS DOUBLE))
+                             * log2(cnt / CAST(n AS DOUBLE))), 6) AS e
+                FROM cc GROUP BY doc_id, n
+            )
+            SELECT d.source, count(*) AS n_docs, count(e.e) AS n_scored,
+                   round(avg(e.e), 6) AS avg_entropy,
+                   round(min(e.e), 6) AS min_entropy,
+                   round(CAST(count(*) FILTER (WHERE e.e < 2.0) AS DOUBLE)
+                         / greatest(count(e.e), 1), 6) AS low_frac
+            FROM documents d LEFT JOIN ent e USING (doc_id)
+            GROUP BY d.source
         """,
         "clipping_census_documents": """
             WITH c AS (

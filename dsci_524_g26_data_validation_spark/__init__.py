@@ -198,6 +198,9 @@ from .operators.detok import (
     roundtrip_census,
     roundtrip_violations,
 )
+from .operators.text import char_entropy_expr, entropy_census
+from .operators.multimodal import media_format_census, sniff_format_expr
+from .operators.similarity import semantic_dedup_pairs, semantic_deduplicate
 from .operators.json_profile import json_field_stats, json_key_census
 from .operators.incremental import (
     admit_batch,
@@ -247,6 +250,12 @@ __all__ = [
     "roundtrip_census",
     "roundtrip_violations",
     "structure_violations",
+    "char_entropy_expr",
+    "entropy_census",
+    "media_format_census",
+    "sniff_format_expr",
+    "semantic_dedup_pairs",
+    "semantic_deduplicate",
     "row_digest",
     "distinct_sketches",
     "merged_distinct_estimates",

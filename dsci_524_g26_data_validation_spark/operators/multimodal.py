@@ -33,6 +33,9 @@ __all__ = [
     "decode_images",
     "extract_features",
     "sample_frames",
+    "MAGIC_PREFIXES",
+    "sniff_format_expr",
+    "media_format_census",
 ]
 
 #: Canonical multimodal column bundle: payload + typed metadata.
@@ -196,6 +199,105 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, _FEATURES_SCHEMA)
+
+
+# -- container-format sniffing -------------------------------------------------
+#
+# A corrupt upload pipeline, a mislabeled crawl, or an extension-renaming
+# CDN leaves payloads whose BYTES disagree with the declared format — the
+# decode stage then crashes (best case) or silently produces garbage
+# features (worst case). Magic-byte sniffing is the classic first-bytes
+# check (the `file(1)` / libmagic approach, also RFC 4288 §4.2 media-type
+# sniffing): every major container announces itself in its first ~12
+# bytes. Pure Catalyst — the payload column contributes only its first 16
+# bytes to the expression, no UDF, no Python; at 100 TB the check rides
+# the same scan as any other projection and the binary column is the only
+# bytes read (parquet column pruning drops the rest).
+
+#: (format, hex-prefix, offset) sniff table — offset is 0-based byte
+#: position where the magic sequence must start. Ordered: first match
+#: wins, so more specific containers (RIFF/WAVE vs RIFF/WEBP, MP4's
+#: offset-4 'ftyp') are listed before generic fallbacks.
+MAGIC_PREFIXES: tuple = (
+    ("png", "89504E470D0A1A0A", 0),
+    ("jpeg", "FFD8FF", 0),
+    ("gif", "474946383761", 0),
+    ("gif", "474946383961", 0),
+    ("wav", "57415645", 8),     # RIFF....WAVE
+    ("webp", "57454250", 8),    # RIFF....WEBP
+    ("avi", "41564920", 8),     # RIFF....AVI␠
+    ("mp4", "66747970", 4),     # ....ftyp (box size varies; offset fixed)
+    ("ogg", "4F676753", 0),     # OggS (opus/vorbis/theora)
+    ("flac", "664C6143", 0),    # fLaC
+    ("mp3", "494433", 0),       # ID3v2 header
+    ("mp3", "FFFB", 0),         # bare MPEG-1 layer-III sync
+    ("mp3", "FFF3", 0),
+    ("webm", "1A45DFA3", 0),    # EBML (webm/mkv)
+    ("tiff", "49492A00", 0),
+    ("tiff", "4D4D002A", 0),
+    ("bmp", "424D", 0),
+    ("pdf", "25504446", 0),     # %PDF
+    ("gzip", "1F8B", 0),
+    ("zip", "504B0304", 0),
+)
+
+#: How many leading payload bytes sniffing ever inspects.
+_SNIFF_BYTES = 16
+
+
+def sniff_format_expr(payload: "F.Column | str") -> "F.Column":
+    """Container format sniffed from the payload's magic bytes.
+
+    Returns the format name (``png``/``jpeg``/``mp4``/…), ``'empty'``
+    for NULL or zero-length payloads, or ``'unknown'`` when no magic
+    matches. The expression hexes only the first :data:`_SNIFF_BYTES`
+    bytes — for a blob column this is the cheapest possible touch — and
+    every comparison is a codegen ``startswith`` on that one hex string.
+    First match in :data:`MAGIC_PREFIXES` wins.
+    """
+    col = F.col(payload) if isinstance(payload, str) else payload
+    head = F.upper(F.hex(F.substring(col, 1, _SNIFF_BYTES)))
+    expr = F.lit("unknown")
+    for fmt, hexmagic, offset in reversed(MAGIC_PREFIXES):
+        # byte offset k = hex-string position 2k+1 (1-based substring)
+        probe = F.substring(head, 2 * offset + 1, len(hexmagic))
+        expr = F.when(probe == hexmagic, F.lit(fmt)).otherwise(expr)
+    return (
+        F.when(col.isNull() | (F.length(col) == 0), F.lit("empty"))
+        .otherwise(expr)
+    )
+
+
+def media_format_census(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    declared_col: str = "meta.codec",
+    aliases: dict | None = None,
+) -> DataFrame:
+    """Declared-format vs sniffed-bytes census →
+    ``(declared, sniffed, n_rows, mismatch)``.
+
+    ``mismatch`` is true when the declared label, normalized through
+    ``aliases`` (e.g. ``{"jpg": "jpeg", "jfif": "jpeg"}`` on top of the
+    built-in ones), differs from the sniffed format — with ``empty`` and
+    ``unknown`` sniffs always counted as mismatches for a non-empty
+    declaration (an undeclarable payload is exactly what the census
+    exists to surface). One scan reading only (declared, first-16-bytes);
+    the aggregate is |declared|×|formats| rows, map-side combined.
+    """
+    amap = {"jpg": "jpeg", "jfif": "jpeg", "tif": "tiff", "mkv": "webm"}
+    amap.update(aliases or {})
+    declared = F.lower(F.coalesce(F.expr(declared_col), F.lit("")))
+    for k, v in amap.items():
+        declared = F.when(declared == k, F.lit(v)).otherwise(declared)
+    sniffed = sniff_format_expr(F.col(payload_col))
+    return (
+        df.select(declared.alias("declared"), sniffed.alias("sniffed"))
+        .groupBy("declared", "sniffed")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("mismatch", F.col("declared") != F.col("sniffed"))
+    )
 
 
 def sample_frames(df: DataFrame, *, every_ms: int = 1000) -> DataFrame:

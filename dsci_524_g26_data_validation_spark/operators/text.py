@@ -25,6 +25,8 @@ __all__ = [
     "top_tokens",
     "quality_score_expr",
     "quality_by_source",
+    "char_entropy_expr",
+    "entropy_census",
     "word_ngrams_expr",
     "max_run_expr",
     "repetition_metrics",
@@ -172,6 +174,70 @@ def quality_by_source(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("_q"), 6).alias("avg_quality"),
         F.round(F.min("_q"), 6).alias("min_quality"),
+    )
+
+
+def char_entropy_expr(col: Column | str) -> Column:
+    """Shannon entropy (bits/char) of the document's character unigram
+    distribution — the degenerate-text signal quality bands can't see:
+    keyboard mash, single-char padding, base64 blobs and binary-pasted
+    junk all sit far from natural language's ~3.5-4.5 bits/char (the
+    C4/Dolma-style entropy gate).
+
+    Pure Catalyst, row-local: one split yields the distinct characters;
+    each character's count is ``length(text) − length(replace(text,
+    ch))`` (a JVM string pass, no per-char explode), and the entropy is
+    one ``aggregate`` fold over the ≤|alphabet| distinct chars — so cost
+    is O(distinct_chars × len) of codegen string work per row, zero
+    shuffles, zero Python. NULL or empty text → NULL.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c).cast("double")
+    # split("") emits a trailing "" (Java split semantics at limit -1)
+    chars = F.filter(F.array_distinct(F.split(c, "")), lambda ch: ch != "")
+    p = lambda ch: (  # noqa: E731
+        (n - F.length(F.replace(c, ch))).cast("double") / n
+    )
+    ent = F.aggregate(
+        chars,
+        F.lit(0.0),
+        lambda acc, ch: acc - p(ch) * F.log2(p(ch)),
+    )
+    return F.when(c.isNull() | (F.length(c) == 0), F.lit(None).cast("double")).otherwise(
+        F.round(ent, 6)
+    )
+
+
+def entropy_census(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+    low_threshold: float = 2.0,
+) -> DataFrame:
+    """Per-group character-entropy health → ``(group, n_docs, n_scored,
+    avg_entropy, min_entropy, low_frac)``.
+
+    ``low_frac`` is the share of scored docs under ``low_threshold``
+    bits/char — the boilerplate/degenerate-content fraction; NULL/empty
+    docs count in ``n_docs`` but not in ``n_scored`` (missingness is a
+    different check's verdict). Projection barrier first (the entropy
+    tree re-reads the text many times; materialize it once per row),
+    then one map-side-combined aggregate on |groups| keys.
+    """
+    scored = df.select(
+        F.col(group_col), char_entropy_expr(text_col).alias("_e")
+    )
+    return scored.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("_e").alias("n_scored"),
+        F.round(F.avg("_e"), 6).alias("avg_entropy"),
+        F.round(F.min("_e"), 6).alias("min_entropy"),
+        F.round(
+            F.count_if(F.col("_e") < low_threshold).cast("double")
+            / F.greatest(F.count("_e"), F.lit(1)).cast("double"),
+            6,
+        ).alias("low_frac"),
     )
 
 
