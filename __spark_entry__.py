@@ -860,6 +860,19 @@ def _quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gopher_rules_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter census (Rae et al. 2021 A1.1) per source:
+    seven published rule predicates (word-count band, mean-word-length
+    band, symbol ratio, bullet/ellipsis line fractions, alpha-word
+    fraction, stop-word presence) evaluated as pure Catalyst
+    expressions, rolled up to per-rule failure counts + pass fraction.
+    One scan, |sources| shuffle tuples."""
+    from dsci_524_g26_data_validation_spark.operators import quality_rules as qr
+
+    d = _read(spark, sf_dir, "documents")
+    return qr.gopher_census(d)
+
+
 def _repetition_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics rolled up per source: duplicate-
     word fraction and most-frequent word-2/3-gram occupancy. Row-local
@@ -2832,6 +2845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats_documents": _bpe_token_stats_documents,
         "top_tokens_by_source": _top_tokens_by_source,
         "quality_by_source": _quality_by_source,
+        "gopher_rules_documents": _gopher_rules_documents,
         "langid_documents": _langid_documents,
         "langid_ngram_documents": _langid_ngram_documents,
         "fingerprints_by_source": _fingerprints_by_source,
@@ -4265,6 +4279,81 @@ def oracle_sql() -> dict[str, str]:
                    round(avg({_QUALITY_SQL}), 4) AS avg_quality,
                    round(min({_QUALITY_SQL}), 4) AS min_quality
             FROM documents GROUP BY source
+        """,
+        "gopher_rules_documents": """
+            WITH scored AS (
+              SELECT source,
+                     (text IS NOT NULL AND length(text) > 0) AS ok,
+                     CASE WHEN text IS NOT NULL AND length(text) > 0
+                          THEN text END AS t
+              FROM documents
+            ), feat AS (
+              SELECT source, ok, t,
+                     list_filter(string_split(t, ' '), w -> w <> '') AS words,
+                     string_split(t, chr(10)) AS lines
+              FROM scored
+            ), m AS (
+              SELECT source, ok,
+                     CAST(len(words) AS DOUBLE) AS n_words,
+                     greatest(CAST(len(words) AS DOUBLE), 1.0) AS nw,
+                     CAST(length(replace(t, ' ', '')) AS DOUBLE) AS chars_ns,
+                     (length(t) - length(replace(t, '#', ''))) AS n_hash,
+                     (length(t) - length(replace(t, '...', ''))) / 3 AS n_ell,
+                     greatest(CAST(len(lines) AS DOUBLE), 1.0) AS nl,
+                     CAST(len(list_filter(lines,
+                        l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•')))
+                        AS DOUBLE) AS n_bullet,
+                     CAST(len(list_filter(lines,
+                        l -> ends_with(l, '...'))) AS DOUBLE) AS n_ell_ln,
+                     CAST(len(list_filter(words,
+                        w -> regexp_matches(w, '[A-Za-z]')))
+                        AS DOUBLE) AS n_alpha,
+                     (CAST(list_contains(list_transform(words, w -> lower(w)), 'the') AS INT)
+                    + CAST(list_contains(list_transform(words, w -> lower(w)), 'be') AS INT)
+                    + CAST(list_contains(list_transform(words, w -> lower(w)), 'to') AS INT)
+                    + CAST(list_contains(list_transform(words, w -> lower(w)), 'of') AS INT)
+                    + CAST(list_contains(list_transform(words, w -> lower(w)), 'and') AS INT)
+                    + CAST(list_contains(list_transform(words, w -> lower(w)), 'that') AS INT)
+                    + CAST(list_contains(list_transform(words, w -> lower(w)), 'have') AS INT)
+                    + CAST(list_contains(list_transform(words, w -> lower(w)), 'with') AS INT)
+                     ) AS stop_hits
+              FROM feat
+            ), fl AS (
+              SELECT source, ok,
+                     CASE WHEN ok THEN
+                       (n_words < 50.0 OR n_words > 100000.0)
+                     END AS f_wc,
+                     CASE WHEN ok THEN
+                       (chars_ns / nw < 3.0 OR chars_ns / nw > 10.0)
+                     END AS f_mwl,
+                     CASE WHEN ok THEN
+                       (CAST(n_hash + n_ell AS DOUBLE) / nw > 0.1)
+                     END AS f_sym,
+                     CASE WHEN ok THEN (n_bullet / nl > 0.9) END AS f_bul,
+                     CASE WHEN ok THEN (n_ell_ln / nl > 0.3) END AS f_ell,
+                     CASE WHEN ok THEN (n_alpha / nw < 0.8) END AS f_alp,
+                     CASE WHEN ok THEN (stop_hits < 2) END AS f_stp
+              FROM m
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   count(*) FILTER (WHERE ok) AS n_scored,
+                   count(*) FILTER (WHERE f_wc) AS n_fail_word_count,
+                   count(*) FILTER (WHERE f_mwl) AS n_fail_mean_word_len,
+                   count(*) FILTER (WHERE f_sym) AS n_fail_symbol_ratio,
+                   count(*) FILTER (WHERE f_bul) AS n_fail_bullet_lines,
+                   count(*) FILTER (WHERE f_ell) AS n_fail_ellipsis_lines,
+                   count(*) FILTER (WHERE f_alp) AS n_fail_alpha_words,
+                   count(*) FILTER (WHERE f_stp) AS n_fail_stopwords,
+                   count(*) FILTER (WHERE NOT f_wc AND NOT f_mwl AND NOT f_sym
+                     AND NOT f_bul AND NOT f_ell AND NOT f_alp AND NOT f_stp)
+                     AS n_pass,
+                   round(CAST(count(*) FILTER (WHERE NOT f_wc AND NOT f_mwl
+                     AND NOT f_sym AND NOT f_bul AND NOT f_ell AND NOT f_alp
+                     AND NOT f_stp) AS DOUBLE)
+                     / greatest(CAST(count(*) FILTER (WHERE ok) AS DOUBLE), 1.0),
+                     6) AS pass_frac
+            FROM fl GROUP BY source
         """,
         "langid_documents": f"""
             SELECT {lang_case} AS lang_pred, count(*) AS n_docs

@@ -199,6 +199,14 @@ from .operators.detok import (
     roundtrip_violations,
 )
 from .operators.text import char_entropy_expr, entropy_census
+from .operators.quality_rules import (
+    GOPHER_RULE_NAMES,
+    GOPHER_STOPWORDS,
+    compression_census,
+    gopher_census,
+    gopher_flags,
+    with_compression_ratio,
+)
 from .operators.multimodal import media_format_census, sniff_format_expr
 from .operators.similarity import semantic_dedup_pairs, semantic_deduplicate
 from .operators.json_profile import json_field_stats, json_key_census
@@ -252,6 +260,12 @@ __all__ = [
     "structure_violations",
     "char_entropy_expr",
     "entropy_census",
+    "GOPHER_RULE_NAMES",
+    "GOPHER_STOPWORDS",
+    "compression_census",
+    "gopher_census",
+    "gopher_flags",
+    "with_compression_ratio",
     "media_format_census",
     "sniff_format_expr",
     "semantic_dedup_pairs",
