@@ -142,6 +142,12 @@ def expectations_to_table_contract(
             if mostly != 1.0:
                 unsupported.append(entry)
                 continue
+            # strict bounds have no ColumnRule equivalent (range checks
+            # are inclusive); importing one as inclusive would silently
+            # WIDEN the check — route to unsupported instead
+            if kw.get("strict_min") or kw.get("strict_max"):
+                unsupported.append(entry)
+                continue
             e = col_entry(col)
             e["min_value"] = _num(kw.get("min_value"))
             e["max_value"] = _num(kw.get("max_value"))

@@ -122,10 +122,20 @@ def compare_table_contracts(tc_a, tc_b) -> dict:
             val += (p - q) * math.log(p / q)
         baseline_psi[col] = val
 
+    # unique_keys may mix single-column strs and composite tuples (the
+    # GX adapter emits both); sort under a tuple-normalized key so the
+    # diff never compares str < tuple
+    def _uk_sort_key(k):
+        return (k,) if isinstance(k, str) else tuple(k)
+
     return {
         "columns": report,
-        "unique_keys_added": sorted(set(tc_b.unique_keys) - set(tc_a.unique_keys)),
-        "unique_keys_removed": sorted(set(tc_a.unique_keys) - set(tc_b.unique_keys)),
+        "unique_keys_added": sorted(
+            set(tc_b.unique_keys) - set(tc_a.unique_keys), key=_uk_sort_key
+        ),
+        "unique_keys_removed": sorted(
+            set(tc_a.unique_keys) - set(tc_b.unique_keys), key=_uk_sort_key
+        ),
         "foreign_keys_added": sorted(fk(tc_b) - fk(tc_a)),
         "foreign_keys_removed": sorted(fk(tc_a) - fk(tc_b)),
         "invariants_added": sorted(set(tc_b.invariants) - set(tc_a.invariants)),

@@ -363,8 +363,13 @@ def canary_census(
     be a row, not a missing row.
 
     Same single-scan shape as :func:`canary_rows`; the zero rows come
-    from a right join against the (tiny, driver-side) canary frame,
-    which Spark plans broadcast.
+    from a left join FROM the driver-side canary frame against the
+    broadcast per-canary aggregate (≤ |canaries| rows after its
+    groupBy). Spark cannot broadcast the PRESERVED side of an outer
+    join — a hint on the canary frame of a right-outer (or on the left
+    of a left-outer) is silently dropped and a sort-merge join with two
+    exchanges planned instead — so the hint goes on the aggregate,
+    which is the build side of the left-outer.
     """
     canaries = _check_canaries(canaries)
     hits = canary_rows(
@@ -376,7 +381,7 @@ def canary_census(
     spark = df.sparkSession
     all_c = spark.createDataFrame([(c,) for c in canaries], "canary string")
     return (
-        agg.join(F.broadcast(all_c), "canary", "right")
+        all_c.join(F.broadcast(agg), "canary", "left")
         .select(
             "canary",
             F.coalesce(F.col("_nd"), F.lit(0)).alias("n_docs"),

@@ -115,7 +115,16 @@ def detok_udf(vocab: Sequence[str], *, sep: str = " ", oov: str = OOV_PIECE):
         vals = col.to_numpy()
         null = col.isna().to_numpy()
         for i in np.nonzero(~null)[0]:
-            ids = np.asarray(vals[i], dtype=np.int64)
+            arr = np.asarray(vals[i])
+            if arr.dtype == object or arr.dtype.kind == "f":
+                # null ELEMENTS arrive as None (object) or NaN (float);
+                # NaN->int64 is undefined-behavior (INT64_MIN on x86,
+                # 0 on aarch64) — mask them onto the OOV slot explicitly
+                # so udf and expr modes agree on every platform
+                elem_null = pd.isna(arr)
+                if elem_null.any():
+                    arr = np.where(elem_null, n_vocab, arr)
+            ids = arr.astype(np.int64)
             bad = (ids < 0) | (ids >= n_vocab)
             if bad.any():
                 ids = np.where(bad, n_vocab, ids)

@@ -208,9 +208,12 @@ def key_overlap_sketch(
     matches them, so they can't join anyway — the exact report counts
     them separately).
 
-    Multi-key joins sketch the NULL-distinct struct rendering of the
-    key tuple (same sentinel scheme as the dedup digests), so
-    composite keys estimate correctly.
+    Multi-key joins sketch a length-prefixed rendering of the key
+    tuple (``len(col):col`` per column, concatenated) — injective for
+    ANY column content, including values containing the would-be
+    separator byte, so disjoint composite keys are never conflated.
+    (A plain ``concat_ws`` would render ``('a\\x1fb', 'c')`` and
+    ``('a', 'b\\x1fc')`` identically and inflate the overlap.)
     """
     if not keys:
         raise ValueError("keys must name at least one column")
@@ -225,8 +228,15 @@ def key_overlap_sketch(
         if len(keys) == 1:
             key_expr = cols[0].cast("string")
         else:
-            key_expr = F.concat_ws(
-                "\x1f", *[c.cast("string") for c in cols]
+            key_expr = F.concat(
+                *[
+                    F.concat(
+                        F.length(c.cast("string")).cast("string"),
+                        F.lit(":"),
+                        c.cast("string"),
+                    )
+                    for c in cols
+                ]
             )
         return nonnull.agg(
             F.hll_sketch_agg(key_expr, int(lg_k)).alias("hll")

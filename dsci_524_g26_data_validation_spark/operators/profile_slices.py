@@ -64,12 +64,12 @@ def _is_numeric(dt: T.DataType) -> bool:
 
 
 def _sketch_col(df: DataFrame, c: str):
-    # same injective-cast policy as operators.sketches._sketch_input
-    dt = df.schema[c].dataType.simpleString()
-    col = F.col(f"`{c}`")
-    if dt in ("int", "bigint", "string", "binary"):
-        return col
-    return col.cast("string")
+    # single source of truth for the injective-cast policy: merged
+    # sketches are only comparable across operators if both sides cast
+    # identically
+    from .sketches import _sketch_input
+
+    return _sketch_input(df, c)
 
 
 def profile_partials(

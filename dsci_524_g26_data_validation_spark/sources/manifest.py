@@ -19,6 +19,7 @@ an Iceberg manifest table (append of metrics rows is transactional).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import tempfile
@@ -127,6 +128,21 @@ def run_history(spark, root: str):
             ),
         ]
     )
+    out_schema = T.StructType(
+        [
+            T.StructField("run_id", T.StringType()),
+            T.StructField("partition", T.StringType()),
+            T.StructField("metric", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("value_str", T.StringType()),
+            T.StructField("finished_at", T.DoubleType()),
+        ]
+    )
+    # a fresh root (no completed runs yet) matches no files — return an
+    # empty history frame instead of letting the reader raise
+    # PATH_NOT_FOUND
+    if not glob.glob(os.path.join(root, "*", "part-*.json")):
+        return spark.createDataFrame([], out_schema)
     raw = spark.read.schema(schema).json(os.path.join(root, "*", "part-*.json"))
     kv = raw.select(
         "run_id",

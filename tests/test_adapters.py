@@ -197,3 +197,47 @@ def test_compound_key_json_round_trip():
     tc, _ = expectations_to_table_contract(SUITE, dtypes=DTYPES)
     tc2 = dv.table_contract_from_json(dv.table_contract_to_json(tc))
     assert tc2.unique_keys == tc.unique_keys
+
+
+def test_strict_bounds_route_to_unsupported():
+    suite = {
+        "expectation_suite_name": "s",
+        "expectations": [
+            _e("expect_column_values_to_be_of_type", column="x", type_="int64"),
+            _e(
+                "expect_column_values_to_be_between",
+                column="x",
+                min_value=0,
+                strict_min=True,
+            ),
+        ],
+    }
+    tc, skipped = expectations_to_table_contract(suite, on_unsupported="skip")
+    # importing a strict bound as inclusive would WIDEN the check
+    assert tc.contract.columns["x"].min_value is None
+    assert any(
+        e["expectation_type"] == "expect_column_values_to_be_between"
+        for e in skipped
+    )
+
+
+def test_compare_contracts_with_mixed_unique_keys():
+    # GX import yields str AND tuple unique keys in one contract; the
+    # diff must not crash on sorted({str, tuple})
+    suite = {
+        "expectation_suite_name": "s",
+        "expectations": [
+            _e("expect_column_values_to_be_of_type", column="a", type_="int64"),
+            _e("expect_column_values_to_be_of_type", column="b", type_="int64"),
+            _e("expect_column_values_to_be_unique", column="a"),
+            _e(
+                "expect_compound_columns_to_be_unique",
+                column_list=["a", "b"],
+            ),
+        ],
+    }
+    tc, _ = expectations_to_table_contract(suite, on_unsupported="skip")
+    empty = dv.TableContract(contract=tc.contract, unique_keys=())
+    diff = dv.compare_table_contracts(empty, tc)
+    assert set(map(type, diff["unique_keys_added"])) <= {str, tuple}
+    assert len(diff["unique_keys_added"]) == 2

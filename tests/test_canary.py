@@ -66,3 +66,14 @@ def test_parameter_validation(spark, docs):
         ct.canary_rows(docs, ["ok", ""])
     with pytest.raises(ValueError, match="distinct"):
         ct.canary_census(docs, ["x", "x"])
+
+
+def test_census_plan_broadcasts_small_side(spark, docs):
+    # the zero-inclusive outer join must broadcast (hinting the
+    # preserved side of an outer join is silently dropped by Spark)
+    from dsci_524_g26_data_validation_spark.operators import contamination as ct
+
+    df = ct.canary_census(docs, ["CANARY-ALPHA-42", "zzz"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("SortMergeJoin") == 0

@@ -114,3 +114,17 @@ def test_clipping_census_clean_and_edges(spark):
         dv.length_clipping_census(clean, "n", window=0)
     empty = spark.createDataFrame([], "n int")
     assert dv.length_clipping_census(empty, "n").count() == 0
+
+
+def test_detok_udf_null_token_elements_hit_oov(spark):
+    # a null ELEMENT inside the token array must decode to the OOV
+    # sentinel on every platform (NaN->int64 is UB: INT64_MIN on x86
+    # but 0 on aarch64, which would silently decode vocab[0])
+    df = spark.createDataFrame(
+        [(1, [0, None, 1])], "doc_id int, tokens array<int>"
+    )
+    got = df.select(
+        detok_udf(VOCAB)(F.col("tokens")).alias("t")
+    ).first()["t"]
+    assert got.split(" ")[1] not in VOCAB  # the OOV sentinel, not vocab[0]
+    assert got.split(" ")[0] == "the" and got.split(" ")[2] == "cat"

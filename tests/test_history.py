@@ -91,3 +91,20 @@ def test_key_overlap_sketch_composite_keys(spark):
         key_overlap_sketch(left, left, [])
     with pytest.raises(ValueError, match="lg_k"):
         key_overlap_sketch(left, left, ["a"], lg_k=30)
+
+
+def test_run_history_empty_root_returns_empty(spark, tmp_path):
+    # fresh root, no completed runs: empty frame, not PATH_NOT_FOUND
+    root = str(tmp_path / "nothing_here")
+    h = dv.run_history(spark, root)
+    assert h.count() == 0
+    assert "metric" in h.columns and "value" in h.columns
+
+
+def test_key_overlap_sketch_separator_injective(spark):
+    # composite tuples ('a\x1fb','c') vs ('a','b\x1fc') are DISJOINT;
+    # a concat_ws rendering would conflate them into full overlap
+    left = spark.createDataFrame([("a\x1fb", "c")], ["a", "b"])
+    right = spark.createDataFrame([("a", "b\x1fc")], ["a", "b"])
+    r = key_overlap_sketch(left, right, ["a", "b"]).first()
+    assert r["n_shared_est"] == 0.0
