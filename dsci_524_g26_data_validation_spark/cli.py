@@ -191,6 +191,15 @@ def main(argv: Optional[list] = None) -> int:
         help="exit 1 if any canary leaked (n_docs > 0)",
     )
 
+    p = sub.add_parser("gopher")
+    p.add_argument("--input", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--group-col", default="source")
+    p.add_argument(
+        "--min-pass-frac", type=float, default=None,
+        help="exit 1 if any group's pass_frac falls below this",
+    )
+
     p = sub.add_parser("span-census")
     p.add_argument("--input", required=True)
     p.add_argument("--tokens-col", default="tokens")
@@ -532,6 +541,28 @@ def main(argv: Optional[list] = None) -> int:
             sort_keys=True, default=str,
         ))
         return 0 if (n_leaked == 0 or not args.fail) else 1
+
+    if args.cmd == "gopher":
+        from .operators.quality_rules import gopher_census
+
+        rows = [
+            r.asDict()
+            for r in gopher_census(
+                df, text_col=args.text_col, group_col=args.group_col
+            ).orderBy(args.group_col).collect()
+        ]
+        low = [
+            r[args.group_col]
+            for r in rows
+            if args.min_pass_frac is not None
+            and r["pass_frac"] < args.min_pass_frac
+        ]
+        print(json.dumps(
+            {"groups": rows, "n_groups": len(rows),
+             "below_threshold": low, "ok": not low},
+            sort_keys=True, default=str,
+        ))
+        return 0 if not low else 1
 
     if args.cmd == "span-census":
         from .operators.spans import span_duplication_census

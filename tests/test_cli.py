@@ -390,3 +390,19 @@ def test_cli_canary(spark, sf_dir, tmp_path, capsys):
         "--canaries", str(cfile), "--fail",
     ])
     assert rc == 1
+
+
+def test_cli_gopher_census_and_gate(spark, sf_dir, capsys):
+    # census over the real documents table: word-salad docs fail some
+    # rules but the report must cover every source with ok JSON
+    assert main(["gopher", "--input", f"{sf_dir}/documents.parquet"]) == 0
+    rep = _last_json(capsys)
+    assert rep["n_groups"] > 0 and rep["ok"] is True
+    for g in rep["groups"]:
+        assert 0.0 <= g["pass_frac"] <= 1.0
+
+    # an impossible threshold trips the gate
+    rc = main(["gopher", "--input", f"{sf_dir}/documents.parquet",
+               "--min-pass-frac", "1.1"])
+    assert rc == 1
+    assert _last_json(capsys)["ok"] is False
