@@ -43,6 +43,7 @@ __all__ = [
     "minhash_signature_expr",
     "minhash_signatures",
     "minhash_band_digests",
+    "lsh_plan",
     "minhash_lsh_candidates",
     "jaccard_verify",
     "pair_group_matrix",
@@ -281,6 +282,73 @@ def minhash_band_digests(
     ).select(
         "_id", F.col("bd.band").alias("band"), F.col("bd.digest").alias("digest")
     )
+
+
+def lsh_plan(
+    threshold: float, *, num_hashes: int = 128, curve_points: int = 11
+) -> dict:
+    """Banded-LSH parameter advisor: choose ``(bands, rows_per_band)``
+    for a target Jaccard ``threshold`` — pure driver math, no Spark.
+
+    For b bands of r rows the candidate probability at similarity s is
+    the standard S-curve ``P(s) = 1 − (1 − s^r)^b`` (Leskovec/Rajaraman/
+    Ullman, *Mining of Massive Datasets* ch. 3 — public textbook
+    formula). Among all factorizations ``b·r = num_hashes`` this picks
+    the one minimizing total error mass around the threshold:
+    ``fp_area`` = ∫₀ᵗ P(s) ds (pairs BELOW the threshold that still
+    become candidates → wasted verification work) plus ``fn_area`` =
+    ∫ₜ¹ (1 − P(s)) ds (pairs ABOVE it that are missed → lost recall).
+    Both integrals have the closed-form antiderivative of a polynomial
+    in s^r, evaluated numerically here (1e-4 grid — exact to the output
+    rounding).
+
+    Returns ``{bands, rows_per_band, num_hashes, implied_threshold,
+    fp_area, fn_area, curve}`` where ``implied_threshold`` is the
+    S-curve midpoint ``(1/b)^(1/r)`` and ``curve`` samples
+    ``(s, P(candidate))`` at ``curve_points`` evenly spaced
+    similarities — feed ``bands`` straight into
+    :func:`minhash_lsh_candidates` / ``fuzzy_contamination_pairs``.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if num_hashes < 2:
+        raise ValueError(f"num_hashes must be >= 2, got {num_hashes}")
+
+    def p_candidate(s: float, b: int, r: int) -> float:
+        return 1.0 - (1.0 - s**r) ** b
+
+    best = None
+    for r in range(1, num_hashes + 1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        n, step = 10_000, 1.0 / 10_000
+        fp = sum(
+            p_candidate((i + 0.5) * step, b, r)
+            for i in range(int(threshold * n))
+        ) * step
+        fn = sum(
+            1.0 - p_candidate((i + 0.5) * step, b, r)
+            for i in range(int(threshold * n), n)
+        ) * step
+        err = fp + fn
+        if best is None or err < best[0]:
+            best = (err, b, r, fp, fn)
+    _, b, r, fp, fn = best
+    return {
+        "bands": b,
+        "rows_per_band": r,
+        "num_hashes": num_hashes,
+        "implied_threshold": round((1.0 / b) ** (1.0 / r), 6),
+        "fp_area": round(fp, 6),
+        "fn_area": round(fn, 6),
+        "curve": [
+            (round(s, 6), round(p_candidate(s, b, r), 6))
+            for s in (
+                i / (curve_points - 1) for i in range(curve_points)
+            )
+        ],
+    }
 
 
 def minhash_lsh_candidates(

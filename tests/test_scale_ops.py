@@ -335,3 +335,40 @@ def test_salted_join_plan_and_validation(spark):
         salted_join(left, right, on="k", salt=0)
     with pytest.raises(ValueError, match="at least one"):
         salted_join(left, right, on=[], salt=2)
+
+
+# -- LSH parameter advisor (pure driver math) --------------------------------
+
+
+def test_lsh_plan_classic_values():
+    from dsci_524_g26_data_validation_spark.operators.dedup import lsh_plan
+
+    # MMDS ch.3 anchor: 0.8 threshold at 128 hashes sits near r=8..16
+    p = lsh_plan(0.8, num_hashes=128)
+    assert p["bands"] * p["rows_per_band"] == 128
+    assert 0.6 < p["implied_threshold"] < 0.95
+    # S-curve monotone, near-0 at s=0, near-1 at s=1
+    probs = [pr for _, pr in p["curve"]]
+    assert probs == sorted(probs)
+    assert probs[0] < 0.01 and probs[-1] > 0.99
+
+
+def test_lsh_plan_threshold_moves_rows():
+    from dsci_524_g26_data_validation_spark.operators.dedup import lsh_plan
+
+    lo = lsh_plan(0.3, num_hashes=64)
+    hi = lsh_plan(0.9, num_hashes=64)
+    # low thresholds need shallower curves (fewer rows/band), high need steeper
+    assert lo["rows_per_band"] < hi["rows_per_band"]
+    assert lo["implied_threshold"] < hi["implied_threshold"]
+
+
+def test_lsh_plan_validation():
+    import pytest as _pytest
+
+    from dsci_524_g26_data_validation_spark.operators.dedup import lsh_plan
+
+    with _pytest.raises(ValueError):
+        lsh_plan(0.0)
+    with _pytest.raises(ValueError):
+        lsh_plan(0.5, num_hashes=1)
