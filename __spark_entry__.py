@@ -1404,7 +1404,16 @@ def _semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies under new ids. The multi-cell KMeans path is pinned by
     pytest (test_semantic_media_entropy.py) — exact copies always share
     the argmin cell."""
-    e = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # proof universe capped at 500 vectors: the single-cell argument is
+    # size-independent (cell-blocked == brute force over the SAME
+    # universe) and the all-pairs verification cost is the ORACLE's
+    # shape, not the engine's — at sf0.1 the uncapped 2000-vector
+    # universe spent 18 s of suite wall on 2M interpreted-HOF cosines
+    e = (
+        _read(spark, sf_dir, "embeddings")
+        .filter("vec_id < 500")
+        .select("vec_id", "embedding")
+    )
     copies = e.filter("vec_id < 10").select(
         (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"
     )
@@ -3678,7 +3687,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "semantic_dedup_pairs": """
             WITH aug AS (
-                SELECT vec_id, embedding FROM embeddings
+                SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500
                 UNION ALL
                 SELECT vec_id + 2000000, embedding FROM embeddings
                 WHERE vec_id < 10
