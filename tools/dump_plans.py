@@ -241,6 +241,20 @@ def main() -> None:
         ),
     )
 
+    from dsci_524_g26_data_validation_spark.operators.quality_rules import (
+        gopher_census,
+    )
+
+    add(
+        "Gopher quality-rule census (7 predicates, one scan)",
+        "All seven published rule predicates (word/line array lambdas, "
+        "stop-word contains, symbol counts via length-replace) evaluate in "
+        "one projection over a ReadSchema pruned to (text, source); the "
+        "census is a single map-side-combined HashAggregate on |sources| "
+        "keys — the exchange carries flag tuples, never rows.",
+        gopher_census(docs),
+    )
+
     header = (
         "# PLANS — headline physical plans (generated by tools/dump_plans.py)\n\n"
         f"Input: `{SF_DIR}` on local[4]; plans are pre-execution "
