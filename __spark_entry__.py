@@ -1907,9 +1907,11 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _read(spark, sf_dir, "embeddings")
     query = list(e.filter("vec_id = 7").select("embedding").first()["embedding"])
     cents = similarity.ivf_centroids(e, n_cells=8, seed=42)
-    return similarity.cosine_topk_ivf(
-        e, query, cents, k=15, n_probe=8
-    ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+    # NOTE: no re-round here — cosine_topk_bruteforce already rounds to
+    # 6 digits, and round(round(x, 6), 4) double-rounds boundary values
+    # (0.30624989 -> 0.306250 -> 0.3063) differently from a single
+    # round(x, 4) in the oracle.
+    return similarity.cosine_topk_ivf(e, query, cents, k=15, n_probe=8)
 
 
 def _contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3313,12 +3315,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    count(*) FILTER (WHERE hasb = 1 OR hasf = 1)
                        AS n_docs_changed,
-                   sum(hasb + hasf) AS n_lines_dropped,
-                   sum(length(text2)) AS chars_before,
-                   sum(length(text2)
+                   CAST(sum(hasb + hasf) AS BIGINT) AS n_lines_dropped,
+                   CAST(sum(length(text2)) AS BIGINT) AS chars_before,
+                   CAST(sum(length(text2)
                        - hasb * (length('ACCEPT COOKIES TO CONTINUE') + 1)
                        - hasf * (length('(c) example.com all rights reserved')
-                                 + 1)) AS chars_after
+                                 + 1)) AS BIGINT) AS chars_after
             FROM planted GROUP BY source ORDER BY source
         """,
         "sketch_profile_orders": """
@@ -3388,7 +3390,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT
                 (SELECT count(*) FROM typed WHERE kind = 'image')
                     AS n_images,
-                (SELECT sum(width * height) FROM typed
+                (SELECT CAST(sum(width * height) AS BIGINT) FROM typed
                  WHERE kind = 'image') AS total_pixels,
                 (SELECT count(*) FROM typed WHERE kind = 'image') AS n_ok,
                 (SELECT CAST(sum(CAST(floor((duration_ms - 1) / 5000)
@@ -4001,12 +4003,12 @@ def oracle_sql() -> dict[str, str]:
                        '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g') AS text
               FROM planted
             )
-            SELECT sum(len(regexp_extract_all(text, '<EMAIL>'))) AS n_email_ph,
-                   sum(len(regexp_extract_all(text, '<IP>'))) AS n_ip_ph,
-                   sum(len(regexp_extract_all(text, '<PHONE>'))) AS n_phone_ph,
-                   sum(len(regexp_extract_all(text, '<SSN>'))) AS n_ssn_ph,
-                   sum(len(regexp_extract_all(text,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS n_email_left
+            SELECT CAST(sum(len(regexp_extract_all(text, '<EMAIL>'))) AS BIGINT) AS n_email_ph,
+                   CAST(sum(len(regexp_extract_all(text, '<IP>'))) AS BIGINT) AS n_ip_ph,
+                   CAST(sum(len(regexp_extract_all(text, '<PHONE>'))) AS BIGINT) AS n_phone_ph,
+                   CAST(sum(len(regexp_extract_all(text, '<SSN>'))) AS BIGINT) AS n_ssn_ph,
+                   CAST(sum(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS BIGINT) AS n_email_left
             FROM red
         """,
         "pack_chunks_documents": """
@@ -4592,12 +4594,14 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": """
             SELECT vec_id,
                    round(list_cosine_similarity(
-                       embedding,
-                       (SELECT embedding FROM embeddings WHERE vec_id = 7)), 4) AS cosine
+                       embedding::DOUBLE[],
+                       (SELECT embedding::DOUBLE[] FROM embeddings
+                        WHERE vec_id = 7)), 6) AS cosine
             FROM embeddings
             ORDER BY list_cosine_similarity(
-                       embedding,
-                       (SELECT embedding FROM embeddings WHERE vec_id = 7)) DESC,
+                       embedding::DOUBLE[],
+                       (SELECT embedding::DOUBLE[] FROM embeddings
+                        WHERE vec_id = 7)) DESC,
                      vec_id ASC
             LIMIT 15
         """,
@@ -4953,11 +4957,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.canary,
                    count(*) FILTER (WHERE d.text IS NOT NULL
                                       AND contains(d.text, c.canary)) AS n_docs,
-                   coalesce(sum((length(d.text)
+                   CAST(coalesce(sum((length(d.text)
                                  - length(replace(d.text, c.canary, '')))
                                 // length(c.canary))
                             FILTER (WHERE contains(d.text, c.canary)),
-                            0) AS n_occurrences
+                            0) AS BIGINT) AS n_occurrences
             FROM c CROSS JOIN documents d
             GROUP BY c.canary
         """,

@@ -1,6 +1,16 @@
 """Local replica of the driver's correctness gate: run every
 __spark_entry__ query at sf0.01 AND its DuckDB oracle, compare
 row-count + schema + order-insensitive values (columns sorted by name).
+
+Driver-faithful typing (round-4): the driver hashes values after a
+pandas-style conversion, so DuckDB HUGEINT/DOUBLE render as ``5.0``
+while a Spark BIGINT renders as ``5`` — str()-based normalization
+alone misses that (this is exactly how the two r3 hash-reds slipped
+past the replica).  We therefore ALSO compare "render classes":
+integer-like vs float-like vs bool vs string vs temporal vs nested,
+derived from the real engine types (duckdb ``rel.types`` / Spark
+``df.schema``).  A HUGEINT oracle column against a Spark bigint is a
+TYPE-FAIL even when the numeric values agree.
 """
 
 from __future__ import annotations
@@ -41,6 +51,56 @@ def canon(rows, cols):
     return sorted(out), [cols[i] for i in order]
 
 
+def duck_render_class(t) -> str:
+    """Render class a pandas-based hasher sees for a DuckDB type."""
+    s = str(t).upper()
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if s in ("HUGEINT", "UHUGEINT"):
+        # pandas converts int128 to float64 -> renders "5.0" not "5"
+        return "float"
+    if s in ("FLOAT", "DOUBLE", "REAL") or s.startswith("DECIMAL"):
+        return "float"
+    if s == "BOOLEAN":
+        return "bool"
+    if s in ("VARCHAR", "STRING", "TEXT", "UUID"):
+        return "str"
+    if s == "DATE":
+        return "date"
+    if s.startswith("TIMESTAMP"):
+        return "timestamp"
+    if s.endswith("[]") or s.startswith(("LIST", "ARRAY")):
+        return "array"
+    if s.startswith(("STRUCT", "MAP")):
+        return "nested"
+    return "other"
+
+
+def spark_render_class(dt) -> str:
+    """Render class for a Spark SQL type (df.schema field dataType)."""
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    # Spark decimals arrive in pandas as Decimal objects which render
+    # like floats ("5.0"); group with float as DuckDB DECIMAL does.
+    if s in ("float", "double") or s.startswith("decimal"):
+        return "float"
+    if s == "boolean":
+        return "bool"
+    if s in ("string", "varchar", "char"):
+        return "str"
+    if s == "date":
+        return "date"
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s.startswith("array"):
+        return "array"
+    if s.startswith(("struct", "map")):
+        return "nested"
+    return "other"
+
+
 def main():
     from pyspark.sql import SparkSession
 
@@ -66,6 +126,10 @@ def main():
             sdf = fn(spark, SF_DIR)
             srows = sdf.collect()
             scols = sdf.columns
+            sclasses = {
+                f.name: spark_render_class(f.dataType)
+                for f in sdf.schema.fields
+            }
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
@@ -77,8 +141,22 @@ def main():
             orel = con.sql(oracles[name])
             orows = orel.fetchall()
             ocols = [d[0] for d in orel.description]
+            oclasses = {
+                c: duck_render_class(t)
+                for c, t in zip(ocols, orel.types)
+            }
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        type_mismatch = [
+            (c, sclasses.get(c), oclasses.get(c))
+            for c in sorted(set(scols) & set(ocols))
+            if sclasses.get(c) != oclasses.get(c)
+        ]
+        if type_mismatch:
+            print(f"FAIL {name}: render-class mismatch "
+                  f"(col, spark, oracle): {type_mismatch}")
             n_fail += 1
             continue
         sv, sc = canon(srows, scols)
