@@ -313,6 +313,8 @@ def lsh_plan(
         raise ValueError(f"threshold must be in (0, 1), got {threshold}")
     if num_hashes < 2:
         raise ValueError(f"num_hashes must be >= 2, got {num_hashes}")
+    if curve_points < 2:  # curve spans [0, 1] -> needs both endpoints
+        raise ValueError(f"curve_points must be >= 2, got {curve_points}")
 
     def p_candidate(s: float, b: int, r: int) -> float:
         return 1.0 - (1.0 - s**r) ** b

@@ -128,6 +128,7 @@ def token_equality_violations(
     arr_col: str = "tokens",
     verify_with_udf: bool = True,
     eager: bool = True,
+    verify_candidate_cap: int | None = None,
 ) -> DataFrame:
     """Rows of ``df`` whose token array differs from ``reference``'s (E6).
 
@@ -157,8 +158,12 @@ def token_equality_violations(
       confirmation execute AT CALL TIME (two bounded Spark jobs) and the
       returned DataFrame is backed by driver-local rows — later actions
       on it re-trigger nothing. If the candidate count exceeds
-      ``VERIFY_CANDIDATE_CAP`` the (already exact) hash verdicts are
-      returned as a lazy plan instead.
+      ``verify_candidate_cap`` (default: module constant
+      ``VERIFY_CANDIDATE_CAP``, 100k) the (already exact) hash verdicts
+      are returned as a LAZY plan instead — a mass mismatch must not be
+      collected to the driver. Callers that need a hard eager guarantee
+      raise the cap explicitly; callers that must never collect pass
+      ``eager=False``.
     * ``eager=False``: nothing executes; the returned DataFrame is a
       fully lazy distributed plan (hash pre-filter → array fetch →
       Arrow-UDF confirmation), for callers composing a larger plan who
@@ -218,8 +223,13 @@ def token_equality_violations(
     # (key, tokens) reads, zero array shuffle. If a mass mismatch
     # overflows the cap, the hash verdicts are returned as-is (still
     # exact for every reported row).
-    cand_local = cand.limit(VERIFY_CANDIDATE_CAP + 1).collect()
-    if len(cand_local) > VERIFY_CANDIDATE_CAP:
+    cap = (
+        VERIFY_CANDIDATE_CAP
+        if verify_candidate_cap is None
+        else verify_candidate_cap
+    )
+    cand_local = cand.limit(cap + 1).collect()
+    if len(cand_local) > cap:
         return cand
     spark = df.sparkSession
     key_type = df.select(F.col(k)).schema.fields[0].dataType

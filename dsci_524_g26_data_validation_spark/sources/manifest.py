@@ -140,10 +140,32 @@ def run_history(spark, root: str):
     )
     # a fresh root (no completed runs yet) matches no files — return an
     # empty history frame instead of letting the reader raise
-    # PATH_NOT_FOUND
-    if not glob.glob(os.path.join(root, "*", "part-*.json")):
+    # PATH_NOT_FOUND. The local-filesystem glob probe only applies to
+    # local roots: a remote root (s3a://, hdfs://) always looks empty to
+    # the driver's glob, which would silently hide real history, so for
+    # those we attempt the read and map Spark's PATH_NOT_FOUND to the
+    # empty frame instead. glob.escape keeps roots containing glob
+    # metacharacters ('[', '?') from matching nothing spuriously.
+    has_scheme = "://" in root
+    if not has_scheme and not glob.glob(
+        os.path.join(glob.escape(root), "*", "part-*.json")
+    ):
         return spark.createDataFrame([], out_schema)
-    raw = spark.read.schema(schema).json(os.path.join(root, "*", "part-*.json"))
+    # Hadoop's glob treats [ ] { } ? * as metachars too: escape them in
+    # the ROOT portion (backslash escaping per hadoop GlobPattern) so a
+    # root like ".../runs [prod]" matches itself literally.
+    hroot = "".join(
+        "\\" + ch if ch in "[]{}?*\\" else ch for ch in root
+    )
+    try:
+        raw = spark.read.schema(schema).json(
+            os.path.join(hroot, "*", "part-*.json")
+        )
+        raw.schema  # force analysis so a missing remote path raises here
+    except Exception as e:  # noqa: BLE001 — AnalysisException shape varies
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], out_schema)
+        raise
     kv = raw.select(
         "run_id",
         "partition",

@@ -74,3 +74,75 @@ def test_load_table_csv_json_landing_zone(spark, tmp_path):
     df.write.option("header", "true").csv(plain)
     got_forced = load_table(spark, plain, fmt="csv")
     assert got_forced.count() == 2 and "score" in got_forced.columns
+
+
+def test_time_travel_options_mapping():
+    """time_travel_options maps args to Iceberg's documented read-option
+    names and rejects combinations on the driver (r3 VERDICT item 4)."""
+    import pytest as _pytest
+
+    from dsci_524_g26_data_validation_spark.sources.tables import (
+        time_travel_options,
+    )
+
+    assert time_travel_options() == {}
+    assert time_travel_options(snapshot_id=123) == {"snapshot-id": "123"}
+    assert time_travel_options(as_of_timestamp=1700000000000) == {
+        "as-of-timestamp": "1700000000000"
+    }
+    assert time_travel_options(branch="audit") == {"branch": "audit"}
+    assert time_travel_options(tag="v1") == {"tag": "v1"}
+    with _pytest.raises(ValueError, match="at most one"):
+        time_travel_options(snapshot_id=1, branch="b")
+
+
+def test_load_table_threads_time_travel_options(spark, sf_dir):
+    """The catalog branch sets the time-travel option on the reader.
+    Without an Iceberg source the session catalog ignores unknown read
+    options, so the pin here is: options flow through load_table without
+    breaking the read, and are rejected for filesystem paths."""
+    import pytest as _pytest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    docs.createOrReplaceTempView("dv_tt_view")
+    got = load_table(spark, "dv_tt_view", snapshot_id=42)
+    assert got.count() == 50
+    with _pytest.raises(ValueError, match="catalog tables only"):
+        load_table(spark, f"{sf_dir}/documents.parquet", snapshot_id=42)
+
+
+def test_contract_in_table_properties_roundtrip(spark, sf_dir):
+    """SURVEY §1.1: the contract lives beside the data as the dv.contract
+    table property — write with store_contract, read with load_contract,
+    validate against the live table. ALTER TABLE SET TBLPROPERTIES /
+    SHOW TBLPROPERTIES are the same statements Iceberg tables accept."""
+    from dsci_524_g26_data_validation_spark.sources.tables import (
+        load_contract,
+        store_contract,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS dv_props_test")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    try:
+        docs.write.mode("overwrite").saveAsTable("dv_props_test.docs")
+        assert load_contract(spark, "dv_props_test.docs") is None
+
+        contract = dv.infer_contract(load_table(spark, "dv_props_test.docs"))
+        store_contract(spark, "dv_props_test.docs", contract)
+        back = load_contract(spark, "dv_props_test.docs")
+        assert back == contract
+        res = dv.validate_contract(
+            load_table(spark, "dv_props_test.docs"), back
+        )
+        assert res.ok
+
+        # TableContract envelope round-trips through the same property
+        tc = dv.TableContract(contract=contract, unique_keys=("doc_id",))
+        store_contract(spark, "dv_props_test.docs", tc)
+        back_tc = load_contract(spark, "dv_props_test.docs")
+        assert isinstance(back_tc, dv.TableContract)
+        assert back_tc.unique_keys == ("doc_id",)
+        assert back_tc.contract == contract
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dv_props_test.docs")
+        spark.sql("DROP DATABASE IF EXISTS dv_props_test")

@@ -272,6 +272,36 @@ def test_token_equality_lazy_matches_eager(spark):
     assert lazy == eager and len(eager) > 0
 
 
+def test_token_equality_cap_overflow_returns_lazy_hash_verdicts(spark):
+    """verify_candidate_cap (r3 VERDICT item 5): over-cap eager calls
+    fall back to the lazy hash-verdict plan — documented, and the rows
+    it reports are the same violation set (hash verdicts are exact for
+    every reported row)."""
+    import dsci_524_g26_data_validation_spark as dv
+    from dsci_524_g26_data_validation_spark.operators.tokens import (
+        token_equality_violations,
+    )
+
+    df = dv.token_table(spark, 2000, mutate_frac=0.02, num_partitions=4)
+    ref = dv.token_table(spark, 2000, num_partitions=4)
+    full = {
+        r["doc_id"] for r in token_equality_violations(df, ref).collect()
+    }
+    assert len(full) > 1
+    # cap=1 < |violations| -> the returned frame is a LAZY plan (not
+    # local-backed): its logical plan still references the parquet-free
+    # join, observable as a non-LocalRelation/LogicalRDD plan node
+    capped = token_equality_violations(df, ref, verify_candidate_cap=1)
+    plan = capped._jdf.queryExecution().logical().toString()
+    assert "Join" in plan  # lazy hash pre-filter plan, not collected rows
+    assert {r["doc_id"] for r in capped.collect()} == full
+    # a cap ABOVE the violation count keeps the eager local-backed path
+    roomy = token_equality_violations(
+        df, ref, verify_candidate_cap=100_000
+    )
+    assert {r["doc_id"] for r in roomy.collect()} == full
+
+
 def test_ks_drift_statistic(spark):
     """Binned KS: identical distributions -> 0; full location shift -> ~1;
     a mean shift KS catches clearly even when per-bin PSI is moderate."""

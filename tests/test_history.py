@@ -101,6 +101,27 @@ def test_run_history_empty_root_returns_empty(spark, tmp_path):
     assert "metric" in h.columns and "value" in h.columns
 
 
+def test_run_history_root_with_glob_metachars(spark, tmp_path):
+    # '[' and '?' in the root must not defeat the driver-side glob probe
+    # (glob.escape): records written under such a root read back fine
+    root = str(tmp_path / "runs [prod]")
+    store = dv.FileManifestStore(root, run_id="run00")
+    store.record("src=a", {"violations": 7})
+    h = dv.run_history(spark, root)
+    assert h.count() == 1
+    assert h.first()["value"] == 7.0
+
+
+def test_run_history_missing_remote_style_root_is_empty(spark, tmp_path):
+    # a root WITH a URI scheme skips the local glob probe; a missing
+    # path then maps Spark's PATH_NOT_FOUND to the empty frame instead
+    # of silently treating a real remote root as history-less
+    root = "file://" + str(tmp_path / "remote_nothing")
+    h = dv.run_history(spark, root)
+    assert h.count() == 0
+    assert "metric" in h.columns
+
+
 def test_key_overlap_sketch_separator_injective(spark):
     # composite tuples ('a\x1fb','c') vs ('a','b\x1fc') are DISJOINT;
     # a concat_ws rendering would conflate them into full overlap

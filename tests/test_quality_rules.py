@@ -14,12 +14,6 @@ import pytest
 
 from dsci_524_g26_data_validation_spark.operators import quality_rules as qr
 
-PASSING = (
-    "the results be clear to most of the readers and that they have "
-    "agreed with the method " * 3
-)  # 48 words... bumped below to clear the 50-word floor
-
-
 def _passing_text() -> str:
     # 60 natural words incl. >=2 stopwords, mean word len in [3,10]
     return (

@@ -372,3 +372,7 @@ def test_lsh_plan_validation():
         lsh_plan(0.0)
     with _pytest.raises(ValueError):
         lsh_plan(0.5, num_hashes=1)
+    with _pytest.raises(ValueError):  # curve needs both [0,1] endpoints
+        lsh_plan(0.5, curve_points=1)
+    with _pytest.raises(ValueError):
+        lsh_plan(0.5, curve_points=0)
