@@ -203,6 +203,7 @@ from .operators.quality_rules import (
     GOPHER_RULE_NAMES,
     GOPHER_STOPWORDS,
     compression_census,
+    dictionary_ratio_expr,
     gopher_census,
     gopher_flags,
     with_compression_ratio,
@@ -263,6 +264,7 @@ __all__ = [
     "GOPHER_RULE_NAMES",
     "GOPHER_STOPWORDS",
     "compression_census",
+    "dictionary_ratio_expr",
     "gopher_census",
     "gopher_flags",
     "with_compression_ratio",

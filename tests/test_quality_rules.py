@@ -165,3 +165,50 @@ def test_compression_ratio_deterministic(spark):
     a = qr.with_compression_ratio(df).collect()[0]["compression_ratio"]
     b = qr.with_compression_ratio(df).collect()[0]["compression_ratio"]
     assert a == b
+
+
+def test_dictionary_mode_matches_zlib_direction(spark):
+    """mode='dictionary' (pure Catalyst, oracle-able): same NULL/empty
+    semantics and the same repetitive-vs-diverse ordering as zlib."""
+    rows = [
+        (1, "nav nav nav nav nav nav nav nav", "a"),   # 1 type / 8 tokens
+        (2, "the quick brown fox jumps over lazy dogs", "a"),  # all distinct
+        (3, None, "a"),
+        (4, "", "a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["doc_id"]: r["compression_ratio"]
+        for r in qr.with_compression_ratio(df, mode="dictionary").collect()
+    }
+    assert got[3] is None and got[4] is None
+    assert got[1] == 1 / 8 and got[2] == 1.0
+    assert got[1] < got[2]  # repetitive < diverse, same direction as zlib
+
+    census = qr.compression_census(
+        df, mode="dictionary", repetitive_threshold=0.5
+    ).collect()[0]
+    assert (census["n_docs"], census["n_scored"]) == (4, 2)
+    assert census["repetitive_frac"] == 0.5
+    assert census["min_ratio"] == 0.125
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mode"):
+        qr.with_compression_ratio(df, mode="lz4")
+    with _pytest.raises(ValueError, match="mode"):
+        qr.compression_census(df, mode="lz4")
+
+
+def test_dictionary_mode_is_pure_catalyst(spark):
+    """No Python in the dictionary-mode hot path: the plan contains no
+    ArrowEvalPython / BatchEvalPython node (the zlib mode does)."""
+    df = spark.createDataFrame([(1, "a b c", "s")], "id long, text string, source string")
+    plan_dict = qr.with_compression_ratio(
+        df, mode="dictionary"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan_dict
+    plan_zlib = qr.with_compression_ratio(
+        df, mode="zlib"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" in plan_zlib
