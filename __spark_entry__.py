@@ -2338,6 +2338,49 @@ def _cohort_compare_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation capstone (r3 VERDICT item 6): dedup →
+    decontaminate → quality funnel → mixture → split, over documents
+    with 10 planted exact duplicates (doc_id % 50 == 1 re-inserted
+    under +1e6 ids), a benchmark carved from every doc_id % 97 == 3
+    document (same slice the contamination oracle uses), two SQL
+    quality gates, per-source mixture rates, and the standard 80/10/10
+    hash split. The DuckDB oracle replays ALL five stages in SQL and
+    must reproduce the admitted per-(split, source) census exactly.
+    Stage-resume semantics are pinned by tests/test_curate.py (manifest
+    kill/rerun can't be expressed in one SQL statement)."""
+    import tempfile
+
+    import dsci_524_g26_data_validation_spark as dv
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    aug = d.unionByName(
+        d.filter("doc_id % 50 = 1").select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "source"
+        )
+    )
+    bench = d.filter("doc_id % 97 = 3").select(
+        F.col("doc_id").alias("bench_id"),
+        F.substring("text", 30, 400).alias("text"),
+    )
+    res = dv.curate(
+        aug,
+        workdir=tempfile.mkdtemp(prefix="dv_curate_"),
+        benchmark=bench,
+        contamination_ngram=8,
+        filters=[
+            ("min_words", "size(split(text, ' ')) >= 12"),
+            ("min_chars", "length(text) >= 60"),
+        ],
+        mixture={"src0": 0.5, "src1": 0.0},
+        splits={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return res.admitted.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+    )
+
+
 def _funnel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/FineWeb-style sequential filter funnel over documents: four
     ordered keep-filters with first-fail attribution — the per-stage
@@ -2969,6 +3012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_report_documents": _preference_report_documents,
         "mixture_plan_documents": _mixture_plan_documents,
         "funnel_documents": _funnel_documents,
+        "curate_documents": _curate_documents,
         "cohort_compare_orders": _cohort_compare_orders,
         "funnel_by_lang_documents": _funnel_by_lang_documents,
         "lm_quality_documents": _lm_quality_documents,
@@ -4821,6 +4865,65 @@ def oracle_sql() -> dict[str, str]:
         # train/test overlap ground truth: distinct word 8-grams on both
         # sides (benchmark = the same deterministic doc slices), joined on
         # the n-gram itself (Spark joins xxhash64 of it — identical result)
+        "curate_documents": """
+            WITH aug AS (
+              SELECT doc_id, text, source FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text, source FROM documents
+              WHERE doc_id % 50 = 1
+            ), keep AS (
+              SELECT min(doc_id) AS doc_id FROM aug GROUP BY text
+            ), corpus AS (
+              SELECT a.* FROM aug a JOIN keep USING (doc_id)
+            ), ct AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+            ), cg AS (
+              SELECT doc_id,
+                     unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+                       for i in generate_series(1, greatest(len(toks)-7, 1))]))
+                       AS g
+              FROM ct
+            ), b AS (
+              SELECT string_split(substr(text, 30, 400), ' ') AS toks
+              FROM documents WHERE doc_id % 97 = 3
+            ), bg AS (
+              SELECT DISTINCT
+                     unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+                       for i in generate_series(1, greatest(len(toks)-7, 1))]))
+                       AS g
+              FROM b
+            ), contaminated AS (
+              SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g)
+            ), clean AS (
+              SELECT * FROM corpus
+              WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+            ), q AS (
+              SELECT * FROM clean
+              WHERE len(string_split(text, ' ')) >= 12
+                AND length(text) >= 60
+            ), mixed AS (
+              SELECT * FROM q
+              WHERE CAST(('0x' || substr(md5('mix' ||
+                          CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                      % 1000000
+                    < CAST(CASE source WHEN 'src0' THEN 0.5
+                                       WHEN 'src1' THEN 0.0
+                                       ELSE 1.0 END * 1000000 AS BIGINT)
+            ), labeled AS (
+              SELECT source, doc_id,
+                     CASE WHEN CAST(('0x' || substr(md5(
+                              CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                              % 1000000 < 800000 THEN 'train'
+                          WHEN CAST(('0x' || substr(md5(
+                              CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                              % 1000000 < 900000 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM mixed
+            )
+            SELECT split, source, count(*) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+            FROM labeled GROUP BY split, source
+        """,
         "contamination_documents": """
             WITH c AS (
               SELECT doc_id, string_split(text, ' ') AS toks FROM documents

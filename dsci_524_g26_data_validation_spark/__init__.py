@@ -116,6 +116,7 @@ from .operators.pii import (
     smallest_quasi_groups,
 )
 from .operators.funnel import apply_filters, filter_funnel
+from .operators.curate import CurationResult, curate
 from .operators.packing import pack_sequences, packing_summary
 from .operators.preferences import (
     duplicate_prompt_census,
@@ -264,6 +265,8 @@ __all__ = [
     "GOPHER_RULE_NAMES",
     "GOPHER_STOPWORDS",
     "compression_census",
+    "curate",
+    "CurationResult",
     "dictionary_ratio_expr",
     "gopher_census",
     "gopher_flags",
