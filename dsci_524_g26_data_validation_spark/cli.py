@@ -222,6 +222,27 @@ def main(argv: Optional[list] = None) -> int:
     )
     p.add_argument("--output", default=None)
 
+    p = sub.add_parser("curate")
+    p.add_argument("--input", required=True)
+    p.add_argument("--workdir", required=True,
+                   help="manifest + sidecar + output root (per-stage resume "
+                        "lives here; rerun with the same workdir/run-id to "
+                        "resume)")
+    p.add_argument("--run-id", default="curate")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--no-dedup", action="store_true")
+    p.add_argument("--benchmark", help="decontamination corpus (table/path)")
+    p.add_argument("--ngram", type=int, default=13)
+    p.add_argument("--filter", action="append", default=[],
+                   metavar="NAME=SQL_PREDICATE")
+    p.add_argument("--splits", metavar="train=0.8,val=0.1,test=0.1")
+    p.add_argument("--split-salt", default="")
+    p.add_argument("--mixture", metavar="web=0.5,books=1.0",
+                   help="per-group keep rates; unmentioned groups keep all")
+    p.add_argument("--mixture-group-col", default="source")
+    p.add_argument("--n-shards", type=int)
+
     p = sub.add_parser("join-preflight")
     p.add_argument("--left", required=True)
     p.add_argument("--right", required=True)
@@ -581,6 +602,41 @@ def main(argv: Optional[list] = None) -> int:
         print(json.dumps({
             "k": args.k, "sample_mod": args.sample_mod, "groups": rows,
         }, sort_keys=True))
+        return 0
+
+    if args.cmd == "curate":
+        from .operators.curate import curate
+
+        def _rates(spec):
+            out = {}
+            for kv in spec.split(","):
+                k, v = kv.split("=", 1)
+                out[k.strip()] = float(v)
+            return out
+
+        res = curate(
+            df,
+            workdir=args.workdir,
+            run_id=args.run_id,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            dedup=not args.no_dedup,
+            benchmark=(
+                load_table(spark, args.benchmark) if args.benchmark else None
+            ),
+            contamination_ngram=args.ngram,
+            filters=[tuple(f.split("=", 1)) for f in args.filter] or None,
+            splits=_rates(args.splits) if args.splits else None,
+            split_salt=args.split_salt,
+            mixture=_rates(args.mixture) if args.mixture else None,
+            mixture_group_col=args.mixture_group_col,
+            n_shards=args.n_shards,
+        )
+        print(json.dumps({
+            "report": res.report,
+            "resumed_stages": res.resumed_stages,
+            "output": res.output_path,
+        }, sort_keys=True, default=str))
         return 0
 
     if args.cmd == "split":

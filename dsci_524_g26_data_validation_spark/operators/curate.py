@@ -208,9 +208,11 @@ def curate(
                 "dedup", {"n_dropped": n_dropped},
                 lineage={"fingerprint": fp, "sidecar": sidecar("dedup")},
             )
+        # no broadcast HINT: the sidecar is parquet-backed so its size is
+        # known to the planner — size-based planning broadcasts the
+        # (typically vanishing) dropped set automatically and falls back
+        # to a shuffled anti-join when a pathological corpus makes it big
         survivors = df.join(
-            F.broadcast(dropped.withColumnRenamed(id_col, "_drop"))
-            if n_dropped < 10_000_000 else
             dropped.withColumnRenamed(id_col, "_drop"),
             df[f"`{id_col}`"] == F.col("_drop"),
             "left_anti",
@@ -242,8 +244,8 @@ def curate(
                 lineage={"fingerprint": fp,
                          "sidecar": sidecar("decontaminate")},
             )
-        survivors = survivors.join(
-            F.broadcast(contaminated.withColumnRenamed(id_col, "_cont")),
+        survivors = survivors.join(  # same no-hint rationale as dedup
+            contaminated.withColumnRenamed(id_col, "_cont"),
             survivors[f"`{id_col}`"] == F.col("_cont"),
             "left_anti",
         )

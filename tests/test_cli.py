@@ -406,3 +406,41 @@ def test_cli_gopher_census_and_gate(spark, sf_dir, capsys):
                "--min-pass-frac", "1.1"])
     assert rc == 1
     assert _last_json(capsys)["ok"] is False
+
+
+def test_cli_curate_end_to_end_and_resume(spark, tmp_path, capsys):
+    """curate command: full recipe JSON report, and a second invocation
+    with the same workdir resumes every stage."""
+    src = str(tmp_path / "corpus")
+    rows = [
+        (i, f"some training document body number {i} with plenty of words here",
+         "web" if i % 2 else "books")
+        for i in range(40)
+    ] + [(100, "some training document body number 1 with plenty of words here",
+          "web"),  # exact dup of doc 1
+         (101, "short", "web")]  # quality kill
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    ).write.parquet(src)
+
+    wd = str(tmp_path / "curate_wd")
+    argv = [
+        "curate", "--input", src, "--workdir", wd,
+        "--filter", "min_words=size(split(text, ' ')) >= 5",
+        "--splits", "train=0.9,val=0.1",
+        "--n-shards", "2",
+    ]
+    assert main(argv) == 0
+    rep = _last_json(capsys)
+    stages = {r["stage"]: r for r in rep["report"]}
+    assert stages["dedup"]["n_dropped"] == 1
+    assert stages["quality:min_words"]["n_dropped"] == 1
+    assert stages["assemble"]["n_admitted"] == 40
+    assert rep["resumed_stages"] == []
+    out = spark.read.parquet(rep["output"])
+    assert out.count() == 40 and {"split", "shard"} <= set(out.columns)
+
+    assert main(argv) == 0
+    rep2 = _last_json(capsys)
+    assert set(rep2["resumed_stages"]) == {"dedup", "quality", "assemble"}
+    assert {r["stage"] for r in rep2["report"]} == set(stages)

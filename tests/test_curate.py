@@ -5,7 +5,6 @@ chained fingerprint."""
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 

@@ -317,3 +317,55 @@ def test_shard_assignment_no_shuffle_and_plan_one_exchange(spark):
     # the per-shard aggregate: partial agg before the exchange, and the
     # share/balance window runs on the 8-row result, adding no corpus pass
     assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_curate_assembly_one_corpus_scan_row_local_stages(spark, sf_dir, tmp_path):
+    """curate()'s final assembly plan: the corpus appears in exactly ONE
+    scan; the dropped-id sidecar anti-join broadcasts (size-based — the
+    sidecar is a tiny parquet); quality/mixture/split are row-local
+    expressions in the same stage (no additional Exchange)."""
+    from dsci_524_g26_data_validation_spark.operators.curate import (
+        _mixture_keep_expr,
+    )
+    from dsci_524_g26_data_validation_spark.operators.dedup import (
+        exact_dropped_ids,
+    )
+    from dsci_524_g26_data_validation_spark.operators.funnel import apply_filters
+    from dsci_524_g26_data_validation_spark.operators.splits import assign_splits
+
+    # planted duplicates: an EMPTY sidecar would let AQE prune the
+    # anti-join away entirely (also a fine plan — but not the one this
+    # test pins)
+    docs = spark.createDataFrame(
+        [(i, "doc body %d with plenty of words in it" % (i % 40),
+          "src%d" % (i % 3)) for i in range(80)],
+        "doc_id long, text string, source string",
+    )
+    side = str(tmp_path / "dropped")
+    exact_dropped_ids(docs, cols=("text",)).write.parquet(side)
+    dropped = spark.read.parquet(side).withColumnRenamed("doc_id", "_drop")
+    survivors = docs.join(dropped, docs["doc_id"] == dropped["_drop"], "left_anti")
+    assembled = assign_splits(
+        apply_filters(
+            survivors, [("min_words", "size(split(text, ' ')) >= 12")]
+        ).filter(
+            _mixture_keep_expr(
+                {"src0": 0.5}, group_col="source", id_col="doc_id", salt="mix"
+            )
+        ),
+        {"train": 0.8, "val": 0.2},
+        id_col="doc_id",
+    )
+    plan = _final_plan(assembled).split("== Initial Plan ==")[0]
+    # one scan of the sidecar parquet; the corpus (createDataFrame here,
+    # a table/parquet scan in production) appears exactly once too
+    assert plan.count("Scan parquet") == 1  # the sidecar
+    assert plan.count("LocalTableScan") + plan.count("Scan ExistingRDD") == 1
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the quality/mixture/split expressions add NO exchange beyond the
+    # broadcast side (no aggregation, no repartition in the assembly)
+    exchange_lines = [
+        l for l in plan.splitlines()
+        if "Exchange" in l and "BroadcastExchange" not in l
+    ]
+    assert exchange_lines == [], exchange_lines

@@ -255,6 +255,55 @@ def main() -> None:
         gopher_census(docs),
     )
 
+    # curate assembly: survivors = corpus anti-joined against the two
+    # id sidecars + row-local quality/split predicates — ONE corpus scan
+    import tempfile
+
+    from dsci_524_g26_data_validation_spark.operators.curate import (
+        _mixture_keep_expr,
+    )
+    from dsci_524_g26_data_validation_spark.operators.funnel import (
+        apply_filters,
+    )
+    from dsci_524_g26_data_validation_spark.operators.splits import (
+        assign_splits,
+    )
+
+    side_dir = tempfile.mkdtemp(prefix="dv_plans_curate_")
+    from dsci_524_g26_data_validation_spark.operators.dedup import (
+        exact_dropped_ids,
+    )
+
+    exact_dropped_ids(docs, cols=("text",)).write.mode("overwrite").parquet(
+        f"{side_dir}/dropped"
+    )
+    dropped = spark.read.parquet(f"{side_dir}/dropped").withColumnRenamed(
+        "doc_id", "_drop"
+    )
+    survivors = docs.join(dropped, docs["doc_id"] == dropped["_drop"], "left_anti")
+    assembled = assign_splits(
+        apply_filters(
+            survivors, [("min_words", "size(split(text, ' ')) >= 12")]
+        ).filter(
+            _mixture_keep_expr(
+                {"src0": 0.5}, group_col="source", id_col="doc_id", salt="mix"
+            )
+        ),
+        {"train": 0.8, "val": 0.2},
+        id_col="doc_id",
+    )
+    add(
+        "Curation assembly (decision sidecars, one corpus scan)",
+        "The curate() final assembly: the corpus anti-joins the parquet-"
+        "backed dropped-id sidecar (tiny — size-based planning broadcasts "
+        "it), and the quality gate, mixture downsample, and split label are "
+        "all row-local expressions in the SAME projection — the corpus is "
+        "scanned once and the only later shuffle is the optional shard "
+        "repartition. The stage decisions are ids-only; full rows are "
+        "never written or shuffled until this final pass.",
+        assembled,
+    )
+
     header = (
         "# PLANS — headline physical plans (generated by tools/dump_plans.py)\n\n"
         f"Input: `{SF_DIR}` on local[4]; plans are pre-execution "
