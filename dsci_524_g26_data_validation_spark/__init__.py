@@ -95,6 +95,7 @@ from .operators.benford import benford_report, benford_stat
 from .operators.anomaly import cohort_compare, group_metric_anomalies
 from .operators.tokens import (
     key_integrity_counts,
+    tokenizer_efficiency_census,
     arrays_equal_udf,
     ntok_invariant_violations,
     token_equality_violations,
@@ -131,9 +132,13 @@ from .operators.joins import (
     join_explosion_report,
     key_overlap_sketch,
 )
-from .operators.labels import label_agreement_census, label_agreement_summary
+from .operators.labels import (
+    label_agreement_census,
+    label_agreement_kappa,
+    label_agreement_summary,
+)
 from .operators.terms import salient_terms
-from .operators.vocab import zipf_census
+from .operators.vocab import ngram_diversity_census, zipf_census
 from .operators.asof import asof_join
 from .operators.timeseries import (
     change_point_report,
@@ -399,10 +404,12 @@ __all__ = [
     "k_anonymity_report",
     "smallest_quasi_groups",
     "zipf_census",
+    "ngram_diversity_census",
     "conversation_violations",
     "conversation_census",
     "label_agreement_census",
     "label_agreement_summary",
+    "label_agreement_kappa",
     "join_explosion_report",
     "hot_join_keys",
     "preference_pair_violations",

@@ -47,6 +47,7 @@ __all__ = [
     "minhash_lsh_candidates",
     "jaccard_verify",
     "pair_group_matrix",
+    "containment_pairs",
     "simhash",
     "simhash_near_duplicates",
     "winnow_candidates",
@@ -522,6 +523,103 @@ def pair_group_matrix(
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("_doc_a").alias("n_docs_a"),
         F.countDistinct("_doc_b").alias("n_docs_b"),
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 50,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: quote/subset containment (Broder 1997's
+    second resemblance measure). Jaccard — and every MinHash screen
+    tuned to it — is structurally blind to a short document embedded in
+    a long one: a 50-word article quoted inside a 5,000-word page has
+    jaccard ≈ 0.01 but containment(article→page) = 1.0. That's exactly
+    the shape of syndicated quotes, scraped excerpts, and
+    prompt-inside-completion leaks.
+
+        containment(A→B) = |S(A) ∩ S(B)| / |S(A)|
+
+    → (id_a, id_b, n_common, n_a, n_b, containment_a, containment_b)
+    for pairs where max(containment_a, containment_b) >= threshold,
+    with id_a < id_b; containment_a is the fraction of A's shingles
+    found in B.
+
+    100 TB shape — an inverted shingle index, not an all-pairs scan:
+
+    - each doc's DISTINCT shingles hash to 8 bytes (xxhash64), so the
+      exploded index and every exchange carry fixed-width tuples;
+    - the document-frequency cut keeps only shingles shared by
+      2..``max_df`` docs (one window over the hash — the same exchange
+      the self-join reuses). Shingles in > max_df docs are boilerplate:
+      navigation chrome, licenses, headers — evidence of TEMPLATE
+      duplication, which the line-strip and frequent-span operators
+      own; letting them pair would cost O(df²) per shingle for pairs a
+      single rarer shared shingle almost always re-finds. The recall
+      contract: a pair is found iff it shares >= 1 shingle with
+      df <= max_df — documented, oracle-replicated;
+    - candidate verification is exact and candidates-only (the
+      jaccard_verify shape): shingle arrays are fetched for candidate
+      ids alone, intersections computed in Catalyst.
+
+    Reference baseline: the pandas reference has no dedup of any kind
+    (SURVEY §2.7); this extends the engine's dedup family
+    (minhash/simhash/winnowing) with the asymmetric measure.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if max_df < 2:
+        raise ValueError(f"max_df must be >= 2, got {max_df}")
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        shingles_expr(text_col, size=shingle_size).alias("_sh"),
+    )
+    ex = sh.select(
+        "_id",
+        F.explode(F.transform("_sh", lambda s: F.xxhash64(s))).alias("_h"),
+    )
+    w = Window.partitionBy("_h")
+    eligible = (
+        ex.select("_id", "_h", F.count(F.lit(1)).over(w).alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_df))
+        .drop("_df")
+    )
+    a = eligible.select(F.col("_id").alias("id_a"), "_h")
+    b = eligible.select(F.col("_id").alias("id_b"), "_h")
+    cand = (
+        a.join(b, "_h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh_a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
+    sh_b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
+    verified = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_sh_a", "_sh_b")).alias("n_common"),
+            F.size("_sh_a").alias("n_a"),
+            F.size("_sh_b").alias("n_b"),
+        )
+    )
+    c_a = F.col("n_common") / F.col("n_a")
+    c_b = F.col("n_common") / F.col("n_b")
+    return verified.filter(F.greatest(c_a, c_b) >= threshold).select(
+        "id_a",
+        "id_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        F.round(c_a, 6).alias("containment_a"),
+        F.round(c_b, 6).alias("containment_b"),
     )
 
 

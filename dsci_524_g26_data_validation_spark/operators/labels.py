@@ -21,7 +21,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["label_agreement_census", "label_agreement_summary"]
+__all__ = [
+    "label_agreement_census",
+    "label_agreement_summary",
+    "label_agreement_kappa",
+]
 
 
 def label_agreement_census(
@@ -80,4 +84,65 @@ def label_agreement_summary(
         F.count_distinct("declared").alias("n_declared_labels"),
         F.count_distinct("predicted").alias("n_predicted_labels"),
         F.count_if(~agree).alias("n_offdiag_cells"),
+    )
+
+
+def label_agreement_kappa(
+    df: DataFrame,
+    *,
+    declared_col: str,
+    predicted_col: str,
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement (Cohen 1960). Raw
+    agreement_rate flatters any pair of skewed labelers (two raters who
+    both say "en" 95% of the time agree ~90% by luck alone); kappa
+    subtracts the agreement their marginals predict under independence:
+
+        kappa = (p_o - p_e) / (1 - p_e),
+        p_e   = sum_L rowshare(L) * colshare(L)
+
+    ONE row → (n_rows, p_observed, p_expected, kappa,
+    n_declared_labels, n_predicted_labels). ``kappa`` is NULL when
+    p_e == 1 (both raters constant and equal — the statistic is
+    undefined, not 1.0). NULL labels count as a label value (null-safe
+    diagonal, same convention as the census).
+
+    100 TB shape: the corpus collapses to the labels²-bounded census
+    frame in one scan; that frame is materialized once
+    (``localCheckpoint``, the terms.py convention) because three
+    derivations read it (p_o fold + the two marginal frames joined
+    null-safely for p_e) — without the barrier each would re-scan the
+    corpus.
+    """
+    cells = label_agreement_census(
+        df, declared_col=declared_col, predicted_col=predicted_col
+    ).select("declared", "predicted", "n").localCheckpoint()
+
+    agree = F.col("declared").eqNullSafe(F.col("predicted"))
+    obs = cells.agg(
+        F.sum("n").alias("n_rows"),
+        F.coalesce(F.sum(F.when(agree, F.col("n"))), F.lit(0)).alias("n_agree"),
+        F.count_distinct("declared").alias("n_declared_labels"),
+        F.count_distinct("predicted").alias("n_predicted_labels"),
+    )
+    # marginals: inner null-safe join — a label seen by only one rater
+    # contributes rowshare * 0 to p_e, so the inner join is exact
+    rm = cells.groupBy("declared").agg(F.sum("n").alias("n_d"))
+    cm = cells.groupBy("predicted").agg(F.sum("n").alias("n_p"))
+    pe_num = (
+        rm.join(cm, rm["declared"].eqNullSafe(cm["predicted"]), "inner")
+        .agg(F.coalesce(F.sum(F.col("n_d") * F.col("n_p")), F.lit(0)).alias("pe_n"))
+    )
+    j = obs.crossJoin(pe_num)  # two 1-row frames
+    p_o = F.col("n_agree") / F.col("n_rows")
+    p_e = F.col("pe_n") / (F.col("n_rows") * F.col("n_rows"))
+    return j.select(
+        "n_rows",
+        F.round(p_o, 6).alias("p_observed"),
+        F.round(p_e, 6).alias("p_expected"),
+        F.round(
+            F.when(p_e < 1, (p_o - p_e) / (F.lit(1.0) - p_e)), 6
+        ).alias("kappa"),
+        "n_declared_labels",
+        "n_predicted_labels",
     )

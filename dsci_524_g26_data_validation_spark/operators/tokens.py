@@ -27,6 +27,7 @@ __all__ = [
     "token_equality_violations",
     "token_equality_report",
     "key_integrity_counts",
+    "tokenizer_efficiency_census",
 ]
 
 #: Max candidate rows fetched for Arrow-UDF confirmation; above this the
@@ -357,3 +358,67 @@ def token_equality_report(
     """Driver-side scalar summary for the Issue payload."""
     n_bad = token_equality_violations(df, reference, key=key, arr_col=arr_col).count()
     return {"mismatched_rows": int(n_bad)}
+
+
+def tokenizer_efficiency_census(
+    df: DataFrame,
+    *,
+    tokens_col: str = "tokens",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Tokenizer-fit census for a (text, tokens) sequence table — the
+    budget question behind every mixture plan: how many TOKENS does a
+    slice cost per unit of text? A tokenizer trained on English spends
+    3-5× more tokens per word on code, non-Latin scripts, or noisy
+    text (high "fertility"); a slice whose fertility spikes is either
+    out-of-domain for the tokenizer or corrupt, and its share of the
+    token budget silently exceeds its share of the corpus.
+
+    Per group → (group, n_seqs, total_tokens, total_words, total_chars,
+    fertility = tokens/word, chars_per_token), corpus-weighted (sums
+    ride one fused agg; ratios computed from the sums, so long docs
+    weigh in proportion to their text). NULL text/tokens rows count
+    toward n_seqs but contribute nothing to the sums — missingness is
+    its own check. Words are whitespace tokens of the trimmed text
+    (empty text = 0 words, never 1).
+
+    100 TB shape: pure Catalyst row-local terms (size/length/split)
+    fused into ONE scan + a |groups|-row exchange; the token ARRAY
+    never moves — only its size does.
+    """
+    toks = F.col(tokens_col)
+    txt = F.col(text_col)
+    words = F.when(
+        txt.isNotNull() & (F.trim(txt) != F.lit("")),
+        F.size(F.split(F.trim(txt), "\\s+")),
+    ).otherwise(F.lit(0))
+    n_tok = F.when(toks.isNotNull(), F.size(toks)).otherwise(F.lit(0))
+    n_chars = F.when(txt.isNotNull(), F.length(txt)).otherwise(F.lit(0))
+    agg = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum(n_tok).cast("bigint").alias("total_tokens"),
+        F.sum(words).cast("bigint").alias("total_words"),
+        F.sum(n_chars).cast("bigint").alias("total_chars"),
+    )
+    return agg.select(
+        "group",
+        "n_seqs",
+        "total_tokens",
+        "total_words",
+        "total_chars",
+        F.round(
+            F.when(
+                F.col("total_words") > 0,
+                F.col("total_tokens") / F.col("total_words"),
+            ),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.when(
+                F.col("total_tokens") > 0,
+                F.col("total_chars") / F.col("total_tokens"),
+            ),
+            6,
+        ).alias("chars_per_token"),
+    )

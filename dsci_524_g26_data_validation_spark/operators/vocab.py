@@ -26,9 +26,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import tokens_expr
+from .text import tokens_expr, word_ngrams_expr
 
-__all__ = ["zipf_census"]
+__all__ = ["zipf_census", "ngram_diversity_census"]
 
 
 def zipf_census(
@@ -121,4 +121,101 @@ def zipf_census(
         F.round(chao1, 6).alias("chao1_vocab"),
         F.round(slope, 6).alias("zipf_slope"),
         F.round(r2, 6).alias("zipf_r2"),
+    )
+
+
+def ngram_diversity_census(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 2,
+    lowercase: bool = True,
+    exact: bool = True,
+) -> DataFrame:
+    """Distinct-n diversity census (Li et al. 2016 "distinct" metric) —
+    the mode-collapse detector for synthetic/templated slices: a source
+    whose documents are individually fluent but drawn from a few
+    templates shows a normal per-doc distinct ratio and a CRATERED
+    corpus-level one (the same n-grams repeat across documents).
+
+    Per group → (group, n_docs, grams_total, avg_doc_distinct_ratio,
+    corpus_distinct_grams, corpus_distinct_ratio).
+
+    - per-doc ratio: distinct n-grams / n-grams of the doc, row-local
+      (array_distinct over the gram array — never leaves the task);
+    - corpus distinct: exact ``count_distinct`` over the exploded
+      (group, gram) pairs — partial-aggregated map-side so the exchange
+      carries the per-partition distinct gram set, bounded by gram
+      vocabulary, not occurrences. At 10^12 tokens the gram vocabulary
+      itself is huge: set ``exact=False`` to swap in
+      ``approx_count_distinct`` (HLL, fixed-size state) — same shape,
+      sketch-sized exchange. Exact mode is the oracle-verified path.
+
+    ONE scan: the doc marker struct and the gram explode share a single
+    projection (tagged rows: one marker row per doc + one row per gram
+    occurrence), so per-doc stats and corpus distinct counts fold from
+    the same exchange — the salient-terms/zipf plan shape.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    base = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens_expr(F.lower(base) if lowercase else base)
+    # materialize the token array behind a projection barrier first —
+    # an inline tokens_expr would re-split the text once per n-gram
+    # (the word_ngrams_expr lambda trap)
+    rows = df.select(
+        F.col(group_col).alias("group"), toks.alias("_toks")
+    ).select(
+        "group",
+        word_ngrams_expr(F.col("_toks"), n).alias("_grams"),
+    ).select(
+        "group",
+        F.size("_grams").alias("_n_grams"),
+        F.size(F.array_distinct("_grams")).alias("_n_distinct"),
+        "_grams",
+    )
+    # tagged union in one projection: marker row (gram NULL) per doc +
+    # one row per gram occurrence; explode_outer keeps gram-less docs
+    tagged = rows.select(
+        "group",
+        "_n_grams",
+        "_n_distinct",
+        F.explode_outer(
+            F.concat(F.array(F.lit(None).cast("string")), F.col("_grams"))
+        ).alias("_gram"),
+        # marker = the injected NULL head element; real grams are
+        # non-NULL (word_ngrams_expr output is concat_ws, never NULL)
+    ).withColumn("_is_marker", F.col("_gram").isNull())
+    distinct_grams = (
+        F.count_distinct(F.col("_gram"))
+        if exact
+        else F.approx_count_distinct(F.col("_gram"))
+    )
+    agg = tagged.groupBy("group").agg(
+        F.count_if(F.col("_is_marker")).alias("n_docs"),
+        F.sum(F.when(F.col("_is_marker"), F.col("_n_grams"))).alias(
+            "grams_total"
+        ),
+        F.avg(
+            F.when(
+                F.col("_is_marker") & (F.col("_n_grams") > 0),
+                F.col("_n_distinct") / F.col("_n_grams"),
+            )
+        ).alias("_avg_ratio"),
+        distinct_grams.alias("corpus_distinct_grams"),
+    )
+    return agg.select(
+        "group",
+        "n_docs",
+        F.col("grams_total").cast("bigint").alias("grams_total"),
+        F.round("_avg_ratio", 6).alias("avg_doc_distinct_ratio"),
+        "corpus_distinct_grams",
+        F.round(
+            F.when(
+                F.col("grams_total") > 0,
+                F.col("corpus_distinct_grams") / F.col("grams_total"),
+            ),
+            6,
+        ).alias("corpus_distinct_ratio"),
     )

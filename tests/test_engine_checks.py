@@ -691,3 +691,30 @@ def test_e5_null_array_flagged(spark):
     res2 = dv.validate_table_contract(df, tc2)
     inv2 = [i for i in res2.issues if i.kind == "invariant"]
     assert len(inv2) == 1 and inv2[0].observed == 3
+
+
+def test_tokenizer_efficiency_census(spark):
+    from dsci_524_g26_data_validation_spark.operators.tokens import (
+        tokenizer_efficiency_census,
+    )
+
+    rows = [
+        ("s1", "hello world", [1, 2, 3]),
+        ("s1", "", [7]),            # empty text: 0 words, 0 chars
+        ("s1", None, None),         # NULL row: counted, contributes nothing
+        ("s2", "one", []),          # empty tokens: fertility 0
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, text string, tokens array<int>"
+    )
+    got = {r.group: r for r in tokenizer_efficiency_census(df).collect()}
+    s1 = got["s1"]
+    assert (s1.n_seqs, s1.total_tokens, s1.total_words, s1.total_chars) == (
+        3, 4, 2, 11,
+    )
+    assert s1.fertility == 2.0
+    assert s1.chars_per_token == 2.75
+    s2 = got["s2"]
+    assert (s2.total_tokens, s2.total_words) == (0, 1)
+    assert s2.fertility == 0.0
+    assert s2.chars_per_token is None

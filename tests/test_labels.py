@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from dsci_524_g26_data_validation_spark.operators.labels import (
     label_agreement_census,
+    label_agreement_kappa,
     label_agreement_summary,
 )
 
@@ -60,3 +61,38 @@ def test_single_scan_plan(spark, sf_dir):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") == 1
+
+
+def test_kappa_hand_computed(spark):
+    rows = [("en", "en"), ("en", "en"), ("en", "fr"), ("fr", "fr"), ("fr", "en")]
+    df = spark.createDataFrame(rows, "lang string, lang_pred string")
+    r = label_agreement_kappa(
+        df, declared_col="lang", predicted_col="lang_pred"
+    ).first()
+    # p_o = 3/5; marginals en:3 fr:2 both sides -> p_e = (9+4)/25
+    assert r.n_rows == 5
+    assert r.p_observed == 0.6
+    assert r.p_expected == 0.52
+    assert r.kappa == round((0.6 - 0.52) / 0.48, 6)
+    assert (r.n_declared_labels, r.n_predicted_labels) == (2, 2)
+
+
+def test_kappa_null_labels_null_safe(spark):
+    rows = [(None, None), ("en", "en")]
+    df = spark.createDataFrame(rows, "lang string, lang_pred string")
+    r = label_agreement_kappa(
+        df, declared_col="lang", predicted_col="lang_pred"
+    ).first()
+    # NULL-NULL agrees; marginals match null-safely: p_e = (1+1)/4
+    assert (r.p_observed, r.p_expected, r.kappa) == (1.0, 0.5, 1.0)
+
+
+def test_kappa_degenerate_is_null_not_one(spark):
+    df = spark.createDataFrame(
+        [("en", "en")] * 4, "lang string, lang_pred string"
+    )
+    r = label_agreement_kappa(
+        df, declared_col="lang", predicted_col="lang_pred"
+    ).first()
+    assert r.p_expected == 1.0
+    assert r.kappa is None

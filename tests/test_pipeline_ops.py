@@ -1023,3 +1023,63 @@ def test_exact_dedup_null_columns_distinct(spark):
     )
     assert exact_duplicates(df, cols=("a", "b")).count() == 0
     assert deduplicate_exact(df, cols=("a", "b")).count() == 4
+
+
+# -- containment (asymmetric near-dup) ---------------------------------------
+
+
+def test_containment_finds_embedded_quote(spark):
+    from dsci_524_g26_data_validation_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    long_words = " ".join(f"w{i}" for i in range(20))
+    quote = " ".join(f"w{i}" for i in range(5, 11))  # w5..w10 inside long
+    other = " ".join(f"z{i}" for i in range(12))
+    rows = [(1, long_words), (2, quote), (3, other), (4, quote)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.id_a, r.id_b): r
+        for r in containment_pairs(df, threshold=0.8).collect()
+    }
+    # quote (4 3-shingles) fully contained in long (18 shingles):
+    # jaccard = 4/18 would never pass a 0.8 jaccard screen
+    assert set(got) == {(1, 2), (1, 4), (2, 4)}
+    r = got[(1, 2)]
+    assert (r.n_common, r.n_a, r.n_b) == (4, 18, 4)
+    assert r.containment_a == round(4 / 18, 6)
+    assert r.containment_b == 1.0
+    dup = got[(2, 4)]  # exact copies: both directions 1.0
+    assert (dup.containment_a, dup.containment_b) == (1.0, 1.0)
+
+
+def test_containment_df_cap_drops_boilerplate_only_pairs(spark):
+    from dsci_524_g26_data_validation_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    # 10 docs share ONLY the boilerplate shingle "x y z"; unique tails
+    rows = [
+        (i, f"x y z u{i} v{i}") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # df("x y z") = 10 > max_df=5 -> no candidate generation at all
+    assert containment_pairs(df, threshold=0.3, max_df=5).count() == 0
+    # raising the cap re-admits them: C(2,10)=45 pairs at containment 1/3
+    got = containment_pairs(df, threshold=0.3, max_df=50).collect()
+    assert len(got) == 45
+    assert all(r.containment_a == round(1 / 3, 6) for r in got)
+
+
+def test_containment_param_validation(spark):
+    from dsci_524_g26_data_validation_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="threshold"):
+        containment_pairs(df, threshold=0.0)
+    with _pt.raises(ValueError, match="max_df"):
+        containment_pairs(df, max_df=1)

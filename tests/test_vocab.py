@@ -84,3 +84,48 @@ def test_single_scan_plan(spark, sf_dir):
     out = zipf_census(d)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") == 1
+
+
+def test_ngram_diversity_hand_computed(spark):
+    from dsci_524_g26_data_validation_spark.operators.vocab import (
+        ngram_diversity_census,
+    )
+
+    rows = [
+        (1, "a b a b", "X"),   # bigrams: "a b","b a","a b" -> 3 total, 2 distinct
+        (2, "a b a b", "X"),   # identical doc: corpus distinct stays 2
+        (3, "c d", "Y"),       # 1 bigram
+        (4, "", "Y"),          # no bigrams: excluded from avg, counted in n_docs
+        (5, None, "Y"),        # NULL text: same as empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = {r.group: r for r in ngram_diversity_census(df, n=2).collect()}
+    x = got["X"]
+    assert (x.n_docs, x.grams_total) == (2, 6)
+    assert x.avg_doc_distinct_ratio == round(2 / 3, 6)
+    assert x.corpus_distinct_grams == 2
+    assert x.corpus_distinct_ratio == round(2 / 6, 6)
+    y = got["Y"]
+    assert (y.n_docs, y.grams_total) == (3, 1)
+    assert y.avg_doc_distinct_ratio == 1.0
+    assert (y.corpus_distinct_grams, y.corpus_distinct_ratio) == (1, 1.0)
+
+
+def test_ngram_diversity_lowercase_and_unigrams(spark):
+    from dsci_524_g26_data_validation_spark.operators.vocab import (
+        ngram_diversity_census,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "A a B", "X")], "doc_id bigint, text string, source string"
+    )
+    r = ngram_diversity_census(df, n=1).first()
+    # lowercased: tokens a,a,b -> 3 total, 2 distinct
+    assert (r.grams_total, r.corpus_distinct_grams) == (3, 2)
+    r2 = ngram_diversity_census(df, n=1, lowercase=False).first()
+    assert r2.corpus_distinct_grams == 3
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match=">= 1"):
+        ngram_diversity_census(df, n=0)
