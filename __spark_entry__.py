@@ -21,6 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 import dsci_524_g26_data_validation_spark as dv
 from dsci_524_g26_data_validation_spark.operators import (
     dedup,
+    lexicon,
     similarity,
     sketches,
     text,
@@ -2883,6 +2884,127 @@ def _media_census_oracle_sql() -> str:
     """
 
 
+#: Deny lexicon for the blocklist queries — words known to occur in the
+#: synthetic corpus so the gate demonstrably fires (a real deployment
+#: supplies the published C4 list).
+_BLOCKLIST = ["spark", "vector", "hash"]
+
+
+def _blocklist_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style deny-lexicon gate census per source: whole-word,
+    case-insensitive literal-array matching — row-local, zero shuffles
+    beyond the |sources|-row fold."""
+    from dsci_524_g26_data_validation_spark.operators import lexicon
+
+    return lexicon.blocklist_census(
+        _read(spark, sf_dir, "documents"), words=_BLOCKLIST
+    )
+
+
+def _blocklist_words_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH deny-lexicon words fire per source (doc counts)."""
+    from dsci_524_g26_data_validation_spark.operators import lexicon
+
+    return lexicon.blocklist_word_census(
+        _read(spark, sf_dir, "documents"), words=_BLOCKLIST
+    )
+
+
+def _template_leak_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic-text / chat-template leak census with PLANTED
+    contamination: every 53rd doc gets a ChatML control token appended,
+    every 97th an instruction-scaffold header prepended — the census
+    must count exactly those and report explicit zeros for the other
+    six markers (zero-inclusive, the canary convention)."""
+    from dsci_524_g26_data_validation_spark.operators import lexicon
+
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 53 == 0,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" <|im_start|>assistant")),
+        )
+        .when(
+            F.col("doc_id") % 97 == 0,
+            F.concat(F.lit("### Response: "), F.coalesce(F.col("text"), F.lit(""))),
+        )
+        .otherwise(F.col("text")),
+    )
+    return lexicon.template_leak_census(d)
+
+
+def _kappa_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected label agreement: Cohen's kappa between the
+    declared lang column and the stopword language_id prediction —
+    the one-number follow-up to lang_agreement_documents' census."""
+    d = text.language_id(_read(spark, sf_dir, "documents"))
+    return dv.label_agreement_kappa(
+        d, declared_col="lang", predicted_col="lang_pred"
+    )
+
+
+def _ngram_diversity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-2 diversity census per source (mode-collapse detector):
+    per-doc distinct-bigram ratio is row-local; corpus-level distinct
+    bigrams are exact (the oracle-verified mode; HLL at 10^12 tokens)."""
+    from dsci_524_g26_data_validation_spark.operators.vocab import (
+        ngram_diversity_census,
+    )
+
+    return ngram_diversity_census(
+        _read(spark, sf_dir, "documents"), n=2, exact=True
+    )
+
+
+def _fertility_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-efficiency census over a synthesized (text, tokens)
+    sequence table: token count = word count + doc_id % 4 (deterministic
+    fertility skew), with every 101st row's token array NULLed — the
+    census must count NULL rows in n_seqs while excluding them from the
+    sums."""
+    from dsci_524_g26_data_validation_spark.operators.tokens import (
+        tokenizer_efficiency_census,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    words = F.when(
+        F.col("text").isNotNull() & (F.trim("text") != F.lit("")),
+        F.size(F.split(F.trim(F.col("text")), "\\s+")),
+    ).otherwise(F.lit(0))
+    d = d.withColumn(
+        "tokens",
+        F.when(
+            F.col("doc_id") % 101 != 0,
+            F.array_repeat(F.lit(1), (words + F.col("doc_id") % 4).cast("int")),
+        ),
+    )
+    return tokenizer_efficiency_census(d)
+
+
+def _containment_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup with PLANTED embedded quotes: every
+    37th document contributes a copy truncated to the first half of its
+    (first-200-char) words — jaccard against the parent is ~0.5 and
+    against other docs ~0, but containment(quote→parent) = 1.0, the
+    pair shape MinHash screens tuned to jaccard miss."""
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 200).alias("text")
+    )
+    toks = F.split(F.col("text"), " ")
+    half = F.greatest((F.size(toks) / 2).cast("int"), F.lit(3))
+    planted = (
+        d.filter((F.col("doc_id") % 37 == 0) & F.col("text").isNotNull())
+        .select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.array_join(F.slice(toks, 1, half), " ").alias("text"),
+        )
+    )
+    corpus = d.unionByName(planted)
+    return dedup.containment_pairs(
+        corpus, threshold=0.9, shingle_size=3, max_df=30
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_orders": _profile_orders,
@@ -3026,6 +3148,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 64-bit bit-vote + pigeonhole block join in SQL)
         "media_pipeline": _media_pipeline,
         "simhash_near_dups": _simhash_near_dups,
+        "blocklist_census_documents": _blocklist_census_documents,
+        "blocklist_words_documents": _blocklist_words_documents,
+        "template_leak_documents": _template_leak_documents,
+        "kappa_documents": _kappa_documents,
+        "ngram_diversity_documents": _ngram_diversity_documents,
+        "fertility_documents": _fertility_documents,
+        "containment_pairs_documents": _containment_pairs_documents,
     }
 
 
@@ -3091,6 +3220,26 @@ def oracle_sql() -> dict[str, str]:
             for l in langs
         )
         + " END"
+    )
+    # deny-lexicon word set as a DuckDB list literal (shared with the
+    # engine via _BLOCKLIST so the two can never drift)
+    bl_list = ", ".join(f"'{w}'" for w in _BLOCKLIST)
+    bl_toks = (
+        "list_distinct(string_split_regex(lower(coalesce(text,'')), "
+        "'[^a-z0-9'']+'))"
+    )
+    bl_hits = f"list_filter({bl_toks}, t -> list_contains([{bl_list}], t))"
+    # template-leak per-marker hit columns + the zero-inclusive unpivot,
+    # generated from the SAME marker list the engine matches
+    tpl_markers = [m.lower() for m in lexicon.TEMPLATE_MARKERS]
+    tpl_hit_cols = ",\n                   ".join(
+        "count(*) FILTER (WHERE contains(lower(coalesce(text,'')), "
+        f"'{m}')) AS m{i}"
+        for i, m in enumerate(tpl_markers)
+    )
+    tpl_unpivot = "\n            UNION ALL ".join(
+        f"SELECT grp, '{m}' AS marker, m{i} AS n_docs_hit, n_docs FROM g"
+        for i, m in enumerate(tpl_markers)
     )
     return {
         "profile_orders": """
@@ -6648,5 +6797,214 @@ def oracle_sql() -> dict[str, str]:
                    round(n_rows * 16.0 / CAST(sum(n_rows) OVER () AS DOUBLE), 9)
                      AS balance_ratio
             FROM g
+        """,
+        # whole-word deny-lexicon gate, replayed with the same regex
+        # split + intersect semantics
+        "blocklist_census_documents": f"""
+            WITH t AS (
+                SELECT source, len({bl_hits}) > 0 AS hit FROM documents
+            )
+            SELECT source AS "group",
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS n_flagged,
+                   round(count(*) FILTER (WHERE hit) * 1.0 / count(*), 6)
+                     AS flagged_frac
+            FROM t GROUP BY source
+        """,
+        "blocklist_words_documents": f"""
+            WITH t AS (
+                SELECT source, {bl_hits} AS m FROM documents
+            ), e AS (
+                SELECT source, unnest(m) AS word FROM t WHERE len(m) > 0
+            )
+            SELECT source AS "group", word,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM e GROUP BY source, word
+        """,
+        # planted ChatML/scaffold contamination; census is
+        # zero-inclusive over the full marker list
+        "template_leak_documents": f"""
+            WITH d AS (
+                SELECT source,
+                       CASE WHEN doc_id % 53 = 0
+                              THEN coalesce(text,'') || ' <|im_start|>assistant'
+                            WHEN doc_id % 97 = 0
+                              THEN '### Response: ' || coalesce(text,'')
+                            ELSE text END AS text
+                FROM documents
+            ), g AS (
+                SELECT source AS grp,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   {tpl_hit_cols}
+                FROM d GROUP BY source
+            ), u AS (
+                {tpl_unpivot}
+            )
+            SELECT grp AS "group", marker,
+                   CAST(n_docs_hit AS BIGINT) AS n_docs_hit,
+                   round(n_docs_hit * 1.0 / n_docs, 6) AS hit_frac
+            FROM u
+        """,
+        # Cohen's kappa from the same confusion cells as
+        # lang_agreement_documents: null-safe diagonal and marginals
+        "kappa_documents": f"""
+            WITH p AS (
+                SELECT lang AS declared, {lang_case} AS predicted
+                FROM documents
+            ), c AS (
+                SELECT declared, predicted, count(*) AS n
+                FROM p GROUP BY declared, predicted
+            ), obs AS (
+                SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+                       CAST(coalesce(sum(n) FILTER (
+                           WHERE declared IS NOT DISTINCT FROM predicted
+                       ), 0) AS BIGINT) AS n_agree,
+                       CAST(count(DISTINCT declared) AS BIGINT)
+                         AS n_declared_labels,
+                       CAST(count(DISTINCT predicted) AS BIGINT)
+                         AS n_predicted_labels
+                FROM c
+            ), rm AS (
+                SELECT declared AS lab, sum(n) AS n_d FROM c GROUP BY declared
+            ), cm AS (
+                SELECT predicted AS lab, sum(n) AS n_p FROM c GROUP BY predicted
+            ), pe AS (
+                SELECT coalesce(sum(n_d * n_p), 0) AS pe_n
+                FROM rm JOIN cm ON rm.lab IS NOT DISTINCT FROM cm.lab
+            )
+            SELECT n_rows,
+                   round(n_agree * 1.0 / n_rows, 6) AS p_observed,
+                   round(pe_n * 1.0 / (n_rows * n_rows), 6) AS p_expected,
+                   CASE WHEN pe_n * 1.0 / (n_rows * n_rows) < 1 THEN
+                     round((n_agree * 1.0 / n_rows
+                            - pe_n * 1.0 / (n_rows * n_rows))
+                           / (1 - pe_n * 1.0 / (n_rows * n_rows)), 6)
+                   END AS kappa,
+                   n_declared_labels, n_predicted_labels
+            FROM obs, pe
+        """,
+        # distinct-2 diversity: per-doc row-local ratio + exact corpus
+        # distinct bigrams, same lowercase/space tokenization
+        "ngram_diversity_documents": """
+            WITH t AS (
+                SELECT source,
+                       string_split(lower(coalesce(text,'')), ' ') AS toks
+                FROM documents
+            ), g AS (
+                SELECT source,
+                       [array_to_string(toks[i:i+1], ' ')
+                        for i in generate_series(1, len(toks)-1)] AS grams
+                FROM t
+            ), per AS (
+                SELECT source, len(grams) AS ng,
+                       len(list_distinct(grams)) AS nd, grams
+                FROM g
+            ), docs AS (
+                SELECT source,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(ng) AS BIGINT) AS grams_total,
+                       round(avg(CASE WHEN ng > 0 THEN nd * 1.0 / ng END), 6)
+                         AS avg_doc_distinct_ratio
+                FROM per GROUP BY source
+            ), dist AS (
+                SELECT source, CAST(count(DISTINCT gram) AS BIGINT) AS cd
+                FROM (SELECT source, unnest(grams) AS gram FROM g)
+                GROUP BY source
+            )
+            SELECT d.source AS "group", n_docs, grams_total,
+                   avg_doc_distinct_ratio,
+                   coalesce(cd, 0) AS corpus_distinct_grams,
+                   round(CASE WHEN grams_total > 0
+                         THEN coalesce(cd, 0) * 1.0 / grams_total END, 6)
+                     AS corpus_distinct_ratio
+            FROM docs d LEFT JOIN dist USING (source)
+        """,
+        # synthesized tokens: n_tok = words + doc_id % 4, every 101st
+        # row's array NULLed (0 tokens, still counted in n_seqs)
+        "fertility_documents": """
+            WITH d AS (
+                SELECT source, text, doc_id,
+                       CASE WHEN text IS NOT NULL AND trim(text) <> ''
+                            THEN len(string_split_regex(trim(text), '\\s+'))
+                            ELSE 0 END AS words
+                FROM documents
+            ), t AS (
+                SELECT source, words,
+                       CASE WHEN doc_id % 101 <> 0
+                            THEN words + doc_id % 4 ELSE 0 END AS n_tok,
+                       CASE WHEN text IS NOT NULL
+                            THEN length(text) ELSE 0 END AS n_chars
+                FROM d
+            ), g AS (
+                SELECT source AS "group",
+                       CAST(count(*) AS BIGINT) AS n_seqs,
+                       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                       CAST(sum(words) AS BIGINT) AS total_words,
+                       CAST(sum(n_chars) AS BIGINT) AS total_chars
+                FROM t GROUP BY source
+            )
+            SELECT "group", n_seqs, total_tokens, total_words, total_chars,
+                   round(CASE WHEN total_words > 0
+                         THEN total_tokens * 1.0 / total_words END, 6)
+                     AS fertility,
+                   round(CASE WHEN total_tokens > 0
+                         THEN total_chars * 1.0 / total_tokens END, 6)
+                     AS chars_per_token
+            FROM g
+        """,
+        # planted half-truncation quotes; candidates = pairs sharing a
+        # shingle with doc-frequency in [2, 30] (the operator's recall
+        # contract), exact containment from full shingle sets
+        "containment_pairs_documents": """
+            WITH d0 AS (
+                SELECT doc_id, substr(text, 1, 200) AS text FROM documents
+            ), pl AS (
+                SELECT doc_id + 10000000 AS doc_id,
+                       array_to_string(
+                         (string_split(text,' '))
+                           [1:greatest(len(string_split(text,' '))//2, 3)],
+                         ' ') AS text
+                FROM d0 WHERE doc_id % 37 = 0 AND text IS NOT NULL
+            ), corpus AS (
+                SELECT * FROM d0 UNION ALL SELECT * FROM pl
+            ), t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks
+                FROM corpus WHERE text IS NOT NULL
+            ), s AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(toks[i:i+2], ' ')
+                        for i in generate_series(1, greatest(len(toks)-2, 1))])
+                         AS sh
+                FROM t
+            ), e AS (
+                SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n FROM s
+            ), dfreq AS (
+                SELECT shingle, count(*) AS c FROM e GROUP BY shingle
+            ), elig AS (
+                SELECT e.doc_id, e.shingle
+                FROM e JOIN dfreq USING (shingle)
+                WHERE c BETWEEN 2 AND 30
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM elig a JOIN elig b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS n_common,
+                       any_value(a.n) AS n_a, any_value(b.n) AS n_b
+                FROM e a JOIN e b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), v AS (
+                SELECT i.* FROM inter i
+                JOIN cand USING (id_a, id_b)
+            )
+            SELECT id_a, id_b,
+                   CAST(n_common AS INT) AS n_common,
+                   CAST(n_a AS INT) AS n_a, CAST(n_b AS INT) AS n_b,
+                   round(n_common * 1.0 / n_a, 6) AS containment_a,
+                   round(n_common * 1.0 / n_b, 6) AS containment_b
+            FROM v
+            WHERE greatest(n_common * 1.0 / n_a, n_common * 1.0 / n_b) >= 0.9
         """,
     }
