@@ -369,3 +369,71 @@ def test_curate_assembly_one_corpus_scan_row_local_stages(spark, sf_dir, tmp_pat
         if "Exchange" in l and "BroadcastExchange" not in l
     ]
     assert exchange_lines == [], exchange_lines
+
+
+def test_lexicon_gates_are_row_local(spark):
+    """blocklist matching and template-marker hits are pure codegen
+    projections (zero Python eval nodes anywhere); the row fetch plans
+    with NO exchange, and each census needs exactly its one groupBy
+    exchange whose input projects only (group, tiny flag/hit columns) —
+    the document text never crosses an exchange."""
+    from dsci_524_g26_data_validation_spark.operators import lexicon
+
+    df = spark.createDataFrame(
+        [(i, f"spam text number {i}", f"s{i % 3}") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    rows_plan = _spark_plan(lexicon.blocklist_rows(df, words=["spam"]))
+    assert "Exchange" not in rows_plan
+    assert "EvalPython" not in rows_plan
+
+    census_plan = _final_plan(lexicon.blocklist_census(df, words=["spam"]))
+    census_plan = census_plan.split("== Initial Plan ==")[0]
+    assert "EvalPython" not in census_plan
+    for line in census_plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line
+
+    tpl_plan = _final_plan(lexicon.template_leak_census(df))
+    tpl_plan = tpl_plan.split("== Initial Plan ==")[0]
+    assert "EvalPython" not in tpl_plan
+    assert "*(" in tpl_plan  # whole-stage codegen carries the hit terms
+
+
+def test_containment_candidate_exchange_is_fixed_width(spark):
+    """containment_pairs candidate generation: no cartesian product
+    anywhere, no Python eval, and the window/self-join exchanges on the
+    inverted index carry only (id, 8-byte hash) — the document text and
+    shingle arrays stay out of every candidate-side exchange (arrays are
+    fetched only in the candidates-only verify join)."""
+    from dsci_524_g26_data_validation_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    plan = _spark_plan(containment_pairs(df, threshold=0.5))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning(_h" in line:
+            assert "_sh" not in line and "text" not in line
+
+
+def test_fertility_census_is_one_fused_scan(spark, sf_dir):
+    from dsci_524_g26_data_validation_spark.operators.tokens import (
+        tokenizer_efficiency_census,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "tokens", F.array(F.lit(1), F.lit(2))
+    )
+    final = _final_plan(tokenizer_efficiency_census(d))
+    final = final.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "EvalPython" not in final
+    # column pruning: the census never reads doc_id or lang
+    read_schema = [l for l in final.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" not in read_schema and "lang" not in read_schema
