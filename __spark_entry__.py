@@ -3005,6 +3005,40 @@ def _containment_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _edit_similarity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of the jaccard-verified near-dup pairs
+    (the BigCode stack's second gate): order-sensitive normalized
+    Levenshtein similarity — a shuffled-sentence pair keeps its jaccard
+    but loses edit similarity."""
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 120).alias("text")
+    )
+    cand = dedup.jaccard_verify(
+        d,
+        dedup.minhash_lsh_candidates(d, num_hashes=16, bands=8),
+        threshold=0.5,
+    )
+    return dedup.edit_similarity_verify(d, cand, threshold=0.6)
+
+
+def _near_dedup_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor election per near-dup component (the
+    Dolma keep-longest convention): argmax n_chars, ties to min id —
+    vs near_dedup_kept's min-id election on the same components."""
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 120).alias("text")
+    )
+    cand = dedup.jaccard_verify(
+        d,
+        dedup.minhash_lsh_candidates(d, num_hashes=16, bands=8),
+        threshold=0.5,
+    )
+    comp = dedup.resolve_components(cand)
+    return dedup.component_survivors(
+        comp, _read(spark, sf_dir, "documents"), metric_col="n_chars"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_orders": _profile_orders,
@@ -3155,6 +3189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_diversity_documents": _ngram_diversity_documents,
         "fertility_documents": _fertility_documents,
         "containment_pairs_documents": _containment_pairs_documents,
+        "edit_similarity_documents": _edit_similarity_documents,
+        "near_dedup_best_survivors": _near_dedup_best_survivors,
     }
 
 
@@ -7006,5 +7042,86 @@ def oracle_sql() -> dict[str, str]:
                    round(n_common * 1.0 / n_b, 6) AS containment_b
             FROM v
             WHERE greatest(n_common * 1.0 / n_a, n_common * 1.0 / n_b) >= 0.9
+        """,
+        # jaccard-verified pairs re-verified by normalized Levenshtein
+        # (>= 0.5 jaccard pairs are deterministic LSH recall — the
+        # minhash_candidates argument)
+        "edit_similarity_documents": """
+            WITH t AS (
+              SELECT doc_id, substr(text,1,120) AS txt,
+                     string_split(substr(text,1,120), ' ') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id, txt,
+                     list_distinct([array_to_string(toks[i:i+2], ' ')
+                                    for i in generate_series(1, greatest(len(toks)-2, 1))]) AS sh
+              FROM t
+            ), e AS (
+              SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n FROM s
+            ), cpairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+                     any_value(a.n) AS na, any_value(b.n) AS nb
+              FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), jpairs AS (
+              SELECT id_a, id_b FROM cpairs
+              WHERE inter*1.0/(na+nb-inter) >= 0.5
+            ), v AS (
+              SELECT id_a, id_b,
+                     1.0 - levenshtein(sa.txt, sb.txt) * 1.0
+                           / greatest(length(sa.txt), length(sb.txt), 1)
+                       AS sim
+              FROM jpairs
+              JOIN s sa ON sa.doc_id = id_a
+              JOIN s sb ON sb.doc_id = id_b
+            )
+            SELECT id_a, id_b, round(sim, 6) AS edit_sim
+            FROM v WHERE sim >= 0.6
+        """,
+        # same recursive-CTE components as near_dedup_kept; survivor =
+        # argmax(n_chars, ties -> min id), NULLs last
+        "near_dedup_best_survivors": """
+            WITH RECURSIVE t AS (
+              SELECT doc_id, string_split(substr(text,1,120), ' ') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(toks[i:i+2], ' ')
+                                    for i in generate_series(1, greatest(len(toks)-2, 1))]) AS sh
+              FROM t
+            ), e AS (
+              SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n FROM s
+            ), cpairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+                     any_value(a.n) AS na, any_value(b.n) AS nb
+              FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), jpairs AS (
+              SELECT id_a, id_b FROM cpairs
+              WHERE inter*1.0/(na+nb-inter) >= 0.5
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM jpairs
+              UNION
+              SELECT id_b, id_a FROM jpairs
+            ), reach(id, r) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e2.src, reach.r FROM edges e2 JOIN reach ON e2.dst = reach.id
+            ), comp AS (
+              SELECT id, min(r) AS comp FROM reach GROUP BY id
+            ), m AS (
+              SELECT c.id, c.comp, d.n_chars
+              FROM comp c JOIN documents d ON d.doc_id = c.id
+            ), ranked AS (
+              SELECT comp, id, n_chars,
+                     row_number() OVER (PARTITION BY comp
+                       ORDER BY n_chars DESC NULLS LAST, id ASC) AS rn,
+                     count(*) OVER (PARTITION BY comp) AS n_members
+              FROM m
+            )
+            SELECT comp AS component, id AS keep_id,
+                   n_chars AS keep_metric,
+                   CAST(n_members AS BIGINT) AS n_members
+            FROM ranked WHERE rn = 1
         """,
     }

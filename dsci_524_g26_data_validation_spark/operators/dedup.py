@@ -46,6 +46,7 @@ __all__ = [
     "lsh_plan",
     "minhash_lsh_candidates",
     "jaccard_verify",
+    "edit_similarity_verify",
     "pair_group_matrix",
     "containment_pairs",
     "simhash",
@@ -53,6 +54,8 @@ __all__ = [
     "winnow_candidates",
     "resolve_components",
     "deduplicate_near",
+    "component_survivors",
+    "deduplicate_near_best",
 ]
 
 
@@ -464,6 +467,62 @@ def jaccard_verify(
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
     return out
+
+
+def edit_similarity_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Normalized edit-distance verification on candidate pairs —
+    ORDER-SENSITIVE, where shingle jaccard is bag-of-shingles: two docs
+    with the same sentences shuffled have jaccard ≈ 1 but low edit
+    similarity, and a doc with systematic token-level noise (OCR, case
+    mangling) keeps high edit similarity while its exact shingles
+    crumble. The BigCode/StarCoder near-dedup stacks use exactly this
+    pair: MinHash candidates, edit-similarity verify.
+
+        edit_sim(a, b) = 1 − levenshtein(a, b) / max(|a|, |b|, 1)
+
+    → (id_a, id_b, edit_sim) for pairs with edit_sim >= threshold.
+
+    Scale shape: levenshtein is O(|a|·|b|) JVM work PER CANDIDATE PAIR
+    — affordable precisely because it never sees the corpus, only the
+    candidate set (the jaccard_verify contract); pre-truncate the text
+    column if candidate docs are megabyte-scale. A pair with a NULL
+    text on either side yields NULL similarity and is filtered (NULL
+    texts never reach candidate generation anyway — the shingle explode
+    drops them).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    out = (
+        candidates.select(id_a, id_b)
+        .join(
+            t.select(F.col("_id").alias(id_a), F.col("_t").alias("_ta")), id_a
+        )
+        .join(
+            t.select(F.col("_id").alias(id_b), F.col("_t").alias("_tb")), id_b
+        )
+        .select(
+            id_a,
+            id_b,
+            (
+                F.lit(1.0)
+                - F.levenshtein("_ta", "_tb")
+                / F.greatest(F.length("_ta"), F.length("_tb"), F.lit(1))
+            ).alias("_sim"),
+        )
+    )
+    return out.filter(F.col("_sim") >= threshold).select(
+        id_a, id_b, F.round("_sim", 6).alias("edit_sim")
+    )
 
 
 def pair_group_matrix(
@@ -1045,3 +1104,82 @@ def deduplicate_near(
     return df.join(
         dropped, df[f"`{id_col}`"] == dropped["_drop"], "left_anti"
     )
+
+
+def component_survivors(
+    components: DataFrame,
+    metrics: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    metric_col: str = "n_chars",
+    descending: bool = True,
+) -> DataFrame:
+    """Quality-aware survivor election per near-dup component — the
+    Dolma/RefinedWeb convention (keep the LONGEST / highest-quality
+    member, not an arbitrary one): min-id keep-one silently prefers
+    whichever copy was crawled first, which for truncated mirrors is
+    often the WORST copy.
+
+    ``components`` is resolve_components' (id, comp) frame; ``metrics``
+    maps ids to a quality metric (length, quality_score, lm score…).
+    → (component, keep_id, keep_metric, n_members): survivor = argmax
+    (argmin when ``descending=False``) of the metric, NULL metrics last,
+    ties broken by min id — fully deterministic.
+
+    Scale shape: the components frame is pair-graph-sized (a vanishing
+    fraction of the corpus), so it BROADCASTS against the column-pruned
+    (id, metric) corpus projection — the corpus never shuffles; the
+    election is one window over the component-members frame.
+    """
+    m = metrics.select(
+        F.col(f"`{id_col}`").alias("_mid"), F.col(f"`{metric_col}`").alias("_metric")
+    )
+    lab = (
+        F.broadcast(components.select("id", "comp"))
+        .join(m, components["id"] == m["_mid"], "left")
+        .select("id", "comp", "_metric")
+    )
+    order = (
+        F.desc_nulls_last("_metric") if descending else F.asc_nulls_last("_metric")
+    )
+    w = Window.partitionBy("comp").orderBy(order, F.asc("id"))
+    ranked = lab.select(
+        "id",
+        "comp",
+        "_metric",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("comp")).alias("_n"),
+    )
+    return ranked.filter(F.col("_rn") == 1).select(
+        F.col("comp").alias("component"),
+        F.col("id").alias("keep_id"),
+        F.col("_metric").alias("keep_metric"),
+        F.col("_n").alias("n_members"),
+    )
+
+
+def deduplicate_near_best(
+    df: DataFrame,
+    candidates: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    metric_col: str = "n_chars",
+    descending: bool = True,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """:func:`deduplicate_near` with quality-aware survivor election:
+    within each component the argmax-metric member survives (ties → min
+    id) instead of the min id. Same anti-join shape — only the dropped
+    id set (pairs-sized) ever ships, the corpus never shuffles."""
+    comp = resolve_components(candidates, id_a=id_a, id_b=id_b, max_iter=max_iter)
+    m = df.select(F.col(f"`{id_col}`"), F.col(f"`{metric_col}`"))
+    surv = component_survivors(
+        comp, m, id_col=id_col, metric_col=metric_col, descending=descending
+    ).select(F.col("keep_id").alias("_keep"))
+    dropped = (
+        comp.join(surv, comp["id"] == surv["_keep"], "left_anti")
+        .select(F.col("id").alias("_drop"))
+    )
+    return df.join(dropped, df[f"`{id_col}`"] == dropped["_drop"], "left_anti")

@@ -1083,3 +1083,92 @@ def test_containment_param_validation(spark):
         containment_pairs(df, threshold=0.0)
     with _pt.raises(ValueError, match="max_df"):
         containment_pairs(df, max_df=1)
+
+
+# -- edit-similarity verification / keep-best survivors ----------------------
+
+
+def test_edit_similarity_verify_hand_computed(spark):
+    from dsci_524_g26_data_validation_spark.operators.dedup import (
+        edit_similarity_verify,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcd"),
+            (2, "abxd"),                 # lev 1 vs doc 1 -> sim 0.75
+            (3, "ccc ddd aaa bbb"),      # shuffled copy of 4: high jaccard,
+            (4, "aaa bbb ccc ddd"),      # low edit similarity
+            (5, ""),
+            (6, ""),                     # two empties: sim 1.0 (max-len guard)
+            (7, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (1, 7)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        (r.id_a, r.id_b): r.edit_sim
+        for r in edit_similarity_verify(docs, pairs, threshold=0.7).collect()
+    }
+    assert got == {(1, 2): 0.75, (5, 6): 1.0}
+    # the shuffled pair is exactly what this verifier rejects
+    loose = {
+        (r.id_a, r.id_b): r.edit_sim
+        for r in edit_similarity_verify(docs, pairs, threshold=0.1).collect()
+    }
+    assert loose[(3, 4)] < 0.5
+    # NULL-text pair never passes any threshold
+    assert (1, 7) not in loose
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="threshold"):
+        edit_similarity_verify(docs, pairs, threshold=1.5)
+
+
+def test_component_survivors_keep_best(spark):
+    from dsci_524_g26_data_validation_spark.operators.dedup import (
+        component_survivors,
+    )
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)], "id bigint, comp bigint"
+    )
+    metrics = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (5, None), (6, None)],
+        "doc_id bigint, n_chars int",
+    )
+    got = {
+        r.component: r for r in component_survivors(comp, metrics).collect()
+    }
+    # metric tie at 50 -> min id 2 wins, never the min-id-overall 1
+    assert (got[1].keep_id, got[1].keep_metric, got[1].n_members) == (2, 50, 3)
+    # all-NULL metrics: NULLs last, tie -> min id
+    assert (got[5].keep_id, got[5].keep_metric, got[5].n_members) == (5, None, 2)
+
+
+def test_deduplicate_near_best_elects_longest(spark):
+    from dsci_524_g26_data_validation_spark.operators.dedup import (
+        deduplicate_near,
+        deduplicate_near_best,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short", 5),
+            (2, "a much longer surviving copy", 28),
+            (3, "medium length", 13),
+            (4, "untouched", 9),
+        ],
+        "doc_id bigint, text string, n_chars int",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a bigint, id_b bigint")
+    best = {
+        r.doc_id for r in deduplicate_near_best(docs, pairs).collect()
+    }
+    assert best == {2, 4}  # longest member survives + the unpaired doc
+    # min-id keep-one would have kept the SHORT crawl-first copy
+    minid = {r.doc_id for r in deduplicate_near(docs, pairs).collect()}
+    assert minid == {1, 4}
