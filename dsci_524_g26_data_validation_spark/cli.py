@@ -200,6 +200,29 @@ def main(argv: Optional[list] = None) -> int:
         help="exit 1 if any group's pass_frac falls below this",
     )
 
+    p = sub.add_parser("blocklist")
+    p.add_argument("--input", required=True)
+    p.add_argument("--lexicon", required=True, help="file, one word per line")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--group-col", default="source")
+    p.add_argument(
+        "--max-flagged-frac", type=float, default=None,
+        help="exit 1 if any group's flagged_frac exceeds this",
+    )
+
+    p = sub.add_parser("template-leak")
+    p.add_argument("--input", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--group-col", default="source")
+    p.add_argument(
+        "--markers", default=None,
+        help="file of literal markers, one per line (default: built-ins)",
+    )
+    p.add_argument(
+        "--fail", action="store_true",
+        help="exit 1 if any marker hits any group",
+    )
+
     p = sub.add_parser("span-census")
     p.add_argument("--input", required=True)
     p.add_argument("--tokens-col", default="tokens")
@@ -584,6 +607,54 @@ def main(argv: Optional[list] = None) -> int:
             sort_keys=True, default=str,
         ))
         return 0 if not low else 1
+
+    if args.cmd == "blocklist":
+        from .operators.lexicon import blocklist_census
+
+        with open(args.lexicon) as fh:
+            words = [ln.strip() for ln in fh if ln.strip()]
+        rows = [
+            r.asDict()
+            for r in blocklist_census(
+                df, text_col=args.text_col, words=words,
+                group_by=args.group_col,
+            ).orderBy("group").collect()
+        ]
+        over = [
+            r["group"]
+            for r in rows
+            if args.max_flagged_frac is not None
+            and r["flagged_frac"] > args.max_flagged_frac
+        ]
+        print(json.dumps(
+            {"groups": rows, "n_groups": len(rows), "n_words": len(words),
+             "over_threshold": over, "ok": not over},
+            sort_keys=True, default=str,
+        ))
+        return 0 if not over else 1
+
+    if args.cmd == "template-leak":
+        from .operators.lexicon import TEMPLATE_MARKERS, template_leak_census
+
+        if args.markers:
+            with open(args.markers) as fh:
+                markers = [ln.rstrip("\n") for ln in fh if ln.strip()]
+        else:
+            markers = list(TEMPLATE_MARKERS)
+        rows = [
+            r.asDict()
+            for r in template_leak_census(
+                df, text_col=args.text_col, markers=markers,
+                group_by=args.group_col,
+            ).orderBy("group", "marker").collect()
+        ]
+        n_hit = sum(1 for r in rows if r["n_docs_hit"] > 0)
+        print(json.dumps(
+            {"cells": rows, "n_markers": len(markers),
+             "n_cells_hit": n_hit, "ok": n_hit == 0},
+            sort_keys=True, default=str,
+        ))
+        return 0 if (n_hit == 0 or not args.fail) else 1
 
     if args.cmd == "span-census":
         from .operators.spans import span_duplication_census

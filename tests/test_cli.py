@@ -444,3 +444,33 @@ def test_cli_curate_end_to_end_and_resume(spark, tmp_path, capsys):
     rep2 = _last_json(capsys)
     assert set(rep2["resumed_stages"]) == {"dedup", "quality", "assemble"}
     assert {r["stage"] for r in rep2["report"]} == set(stages)
+
+
+def test_cli_blocklist_gate(spark, sf_dir, tmp_path, capsys):
+    lex = tmp_path / "lex.txt"
+    lex.write_text("spark\nvector\n")
+    assert main(["blocklist", "--input", f"{sf_dir}/documents.parquet",
+                 "--lexicon", str(lex)]) == 0
+    rep = _last_json(capsys)
+    assert rep["n_words"] == 2 and rep["n_groups"] == 20 and rep["ok"]
+    # the synthetic corpus uses these words everywhere: a tiny cap trips
+    rc = main(["blocklist", "--input", f"{sf_dir}/documents.parquet",
+               "--lexicon", str(lex), "--max-flagged-frac", "0.01"])
+    assert rc == 1
+    assert _last_json(capsys)["ok"] is False
+
+
+def test_cli_template_leak(spark, sf_dir, tmp_path, capsys):
+    # built-in markers: clean corpus -> ok, zero-inclusive cells
+    assert main(["template-leak", "--input", f"{sf_dir}/documents.parquet",
+                 "--fail"]) == 0
+    rep = _last_json(capsys)
+    assert rep["ok"] and rep["n_cells_hit"] == 0
+    assert len(rep["cells"]) == 20 * rep["n_markers"]
+    # a marker that DOES occur trips --fail
+    mk = tmp_path / "mk.txt"
+    mk.write_text("the\n")
+    rc = main(["template-leak", "--input", f"{sf_dir}/documents.parquet",
+               "--markers", str(mk), "--fail"])
+    assert rc == 1
+    assert _last_json(capsys)["ok"] is False

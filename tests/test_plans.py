@@ -422,12 +422,20 @@ def test_containment_candidate_exchange_is_fixed_width(spark):
             assert "_sh" not in line and "text" not in line
 
 
-def test_fertility_census_is_one_fused_scan(spark, sf_dir):
+def test_fertility_census_is_one_fused_scan(spark, tmp_path):
+    """Uses its own parquet file: other modules cache documents.parquet,
+    and the substituted InMemoryRelation's printed subtree carries a
+    full-schema parquet scan that defeats the pruning assertion."""
     from dsci_524_g26_data_validation_spark.operators.tokens import (
         tokenizer_efficiency_census,
     )
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"doc {i} text body", "en", f"s{i % 3}") for i in range(50)],
+        "doc_id bigint, text string, lang string, source string",
+    ).write.parquet(path)
+    d = spark.read.parquet(path).withColumn(
         "tokens", F.array(F.lit(1), F.lit(2))
     )
     final = _final_plan(tokenizer_efficiency_census(d))
