@@ -637,8 +637,12 @@ def main(argv: Optional[list] = None) -> int:
         from .operators.lexicon import TEMPLATE_MARKERS, template_leak_census
 
         if args.markers:
+            # rstrip('\r\n'), not strip(): CRLF files must not leave a
+            # stray '\r' on every marker (the gate would silently never
+            # fire), but intentional leading/trailing spaces in a marker
+            # like '### Response:' + ' ' stay significant
             with open(args.markers) as fh:
-                markers = [ln.rstrip("\n") for ln in fh if ln.strip()]
+                markers = [ln.rstrip("\r\n") for ln in fh if ln.strip()]
         else:
             markers = list(TEMPLATE_MARKERS)
         rows = [

@@ -125,11 +125,22 @@ def _mixture_keep_expr(
         ),
         F.lit(_BUCKETS),
     )
-    rate_map = F.create_map(
-        *[x for g, r in mixture.items() for x in (F.lit(g), F.lit(float(r)))]
+    # Cutoffs are computed driver-side with int(round(...)) — the same
+    # rounding hash_sample/assign_splits use. An engine-side
+    # (rate * _BUCKETS).cast('bigint') TRUNCATES (0.3 * 1e6 floats to
+    # 299999.99999... -> 299999), off by one bucket vs the documented
+    # 1e-6 resolution and the DuckDB oracle's rounding cast.
+    cutoff_map = F.create_map(
+        *[
+            x
+            for g, r in mixture.items()
+            for x in (F.lit(g), F.lit(int(round(float(r) * _BUCKETS))))
+        ]
     )
-    rate = F.coalesce(rate_map[F.col(f"`{group_col}`")], F.lit(1.0))
-    return bucket < (rate * _BUCKETS).cast("bigint")
+    cutoff = F.coalesce(
+        cutoff_map[F.col(f"`{group_col}`")], F.lit(_BUCKETS)
+    )
+    return bucket < cutoff
 
 
 def curate(
@@ -220,9 +231,38 @@ def curate(
         report.append({"stage": "dedup", "n_dropped": n_dropped})
 
     # ---- stage 2: decontamination → contaminated-id sidecar ----------------
+    # The benchmark IS fingerprinted (count + schema + order-independent
+    # content hash): unlike the 100 TB corpus input (caller's job, see
+    # module docstring), the benchmark is tiny and swapping it with the
+    # same workdir must invalidate the stale contaminated-id sidecar.
+    bench_fp = None
+    if benchmark is not None:
+        _bh = benchmark.select(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor, not sum: xxhash64 spans the full int64 range, so
+            # an ANSI-mode sum overflows; xor is order-independent too
+            F.bit_xor(
+                F.xxhash64(
+                    F.concat_ws(
+                        "\x00",
+                        *[
+                            F.coalesce(
+                                F.col(f"`{c}`").cast("string"), F.lit("\x01")
+                            )
+                            for c in benchmark.columns
+                        ],
+                    )
+                )
+            ).alias("h"),
+        ).collect()[0]
+        bench_fp = {
+            "n": int(_bh["n"]),
+            "h": int(_bh["h"]) if _bh["h"] is not None else 0,
+            "cols": list(benchmark.columns),
+        }
     fp = _fingerprint(
         {"stage": "decontaminate", "on": benchmark is not None,
-         "n": contamination_ngram}, prev=fp,
+         "n": contamination_ngram, "benchmark": bench_fp}, prev=fp,
     )
     if benchmark is not None:
         rec = stage_complete("decontaminate", fp)
@@ -244,8 +284,10 @@ def curate(
                 lineage={"fingerprint": fp,
                          "sidecar": sidecar("decontaminate")},
             )
+        # contaminated_ids always emits the column literally named
+        # 'doc_id' (contamination.py out_id) regardless of id_col
         survivors = survivors.join(  # same no-hint rationale as dedup
-            contaminated.withColumnRenamed(id_col, "_cont"),
+            contaminated.withColumnRenamed("doc_id", "_cont"),
             survivors[f"`{id_col}`"] == F.col("_cont"),
             "left_anti",
         )

@@ -1134,11 +1134,19 @@ def component_survivors(
     m = metrics.select(
         F.col(f"`{id_col}`").alias("_mid"), F.col(f"`{metric_col}`").alias("_metric")
     )
-    lab = (
-        F.broadcast(components.select("id", "comp"))
-        .join(m, components["id"] == m["_mid"], "left")
-        .select("id", "comp", "_metric")
-    )
+    # INNER join with the pair-graph-sized side broadcast. A left-outer
+    # join preserving the broadcast side is impossible as a
+    # BroadcastHashJoin (LeftOuter only builds right, RightOuter only
+    # builds left — the hint would be silently dropped and the corpus
+    # projection shuffled). Component ids come FROM the corpus, so inner
+    # semantics are identical when ``metrics`` is a corpus projection —
+    # the precondition; a member id absent from ``metrics`` is treated
+    # as nonexistent (NULL metric VALUES still rank last as documented).
+    lab = m.join(
+        F.broadcast(components.select("id", "comp")),
+        m["_mid"] == F.col("id"),
+        "inner",
+    ).select("id", "comp", "_metric")
     order = (
         F.desc_nulls_last("_metric") if descending else F.asc_nulls_last("_metric")
     )

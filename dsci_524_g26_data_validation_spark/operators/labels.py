@@ -58,6 +58,16 @@ def label_agreement_census(
     )
 
 
+def _distinct_with_null(col_name: str):
+    """Distinct label VALUES including NULL — ``count_distinct`` skips
+    NULL, which would undercount the label set whenever an untagged
+    slice exists (the docstrings promise NULL counts as a label)."""
+    c = F.col(col_name)
+    return F.count_distinct(c) + F.coalesce(
+        F.max(F.when(c.isNull(), F.lit(1))), F.lit(0)
+    )
+
+
 def label_agreement_summary(
     df: DataFrame,
     *,
@@ -81,8 +91,8 @@ def label_agreement_summary(
             / F.sum("n"),
             6,
         ).alias("agreement_rate"),
-        F.count_distinct("declared").alias("n_declared_labels"),
-        F.count_distinct("predicted").alias("n_predicted_labels"),
+        _distinct_with_null("declared").alias("n_declared_labels"),
+        _distinct_with_null("predicted").alias("n_predicted_labels"),
         F.count_if(~agree).alias("n_offdiag_cells"),
     )
 
@@ -122,8 +132,8 @@ def label_agreement_kappa(
     obs = cells.agg(
         F.sum("n").alias("n_rows"),
         F.coalesce(F.sum(F.when(agree, F.col("n"))), F.lit(0)).alias("n_agree"),
-        F.count_distinct("declared").alias("n_declared_labels"),
-        F.count_distinct("predicted").alias("n_predicted_labels"),
+        _distinct_with_null("declared").alias("n_declared_labels"),
+        _distinct_with_null("predicted").alias("n_predicted_labels"),
     )
     # marginals: inner null-safe join — a label seen by only one rater
     # contributes rowshare * 0 to p_e, so the inner join is exact

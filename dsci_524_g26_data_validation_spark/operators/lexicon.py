@@ -31,7 +31,8 @@ lists (C4's deny list is ~400 entries).
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+import re
+from typing import Dict, List, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -57,7 +58,20 @@ _WORD_SPLIT = "[^a-z0-9']+"
 MAX_LITERAL_LEXICON = 10_000
 
 
-def _check_lexicon(words: Sequence[str]) -> List[str]:
+#: An entry over the tokenization alphabet (matchable as one token).
+_WORD_RE = re.compile(r"^[a-z0-9']+$")
+#: A multi-word phrase: valid tokens separated by single spaces.
+_PHRASE_RE = re.compile(r"^[a-z0-9']+( [a-z0-9']+)+$")
+
+
+def _check_lexicon(words: Sequence[str]) -> Tuple[List[str], List[str]]:
+    """Normalize the lexicon to (single_words, phrases), REJECTING any
+    entry that could never match: tokens are drawn from [a-z0-9'], so an
+    entry carrying other characters ("f*ck") or shaped any other way
+    would silently produce zero hits — a false PASS of the safety gate
+    (the published C4 deny list contains many multi-word and punctuated
+    entries; feeding it in unvalidated must not quietly weaken the
+    filter)."""
     if not words:
         raise ValueError("blocklist lexicon must be non-empty")
     if len(words) > MAX_LITERAL_LEXICON:
@@ -65,22 +79,75 @@ def _check_lexicon(words: Sequence[str]) -> List[str]:
             f"lexicon has {len(words)} entries (> {MAX_LITERAL_LEXICON}); "
             "use a broadcast lexicon-table join instead of the literal path"
         )
-    out = [w.lower() for w in words]
-    for w in out:
+    singles: List[str] = []
+    phrases: List[str] = []
+    for raw in words:
+        w = str(raw).lower()
         if not w:
             raise ValueError("lexicon entries must be non-empty strings")
-    return out
+        if _WORD_RE.match(w):
+            singles.append(w)
+        elif _PHRASE_RE.match(w):
+            phrases.append(w)
+        else:
+            raise ValueError(
+                f"lexicon entry {raw!r} can never match: entries must be "
+                "single words or space-separated phrases over [a-z0-9'] "
+                "(the whole-word tokenization alphabet). Rewrite "
+                "punctuated entries in token form (e.g. drop the "
+                "punctuation) or match them with template_leak_census's "
+                "literal-substring mode instead."
+            )
+    return singles, phrases
 
 
 def blocklist_hits_expr(text_col: Column | str, words: Sequence[str]) -> Column:
-    """Sorted array of distinct lexicon words present (whole-word,
+    """Sorted array of distinct lexicon entries present (whole-word,
     case-insensitive) in the text — NULL text yields an empty array.
     Row-local: lowercase regex split + ``array_intersect`` with the
-    literal lexicon, all inside codegen."""
+    literal lexicon for single words; multi-word phrases match as
+    token-boundary substrings of the space-rejoined token stream (so
+    "hand job" hits "hand  job." but never "handjob"), all inside
+    codegen."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    lex = F.array(*[F.lit(w) for w in _check_lexicon(words)])
+    singles, phrases = _check_lexicon(words)
     toks = F.array_distinct(F.split(F.lower(F.coalesce(c, F.lit(""))), _WORD_SPLIT))
-    return F.array_sort(F.array_intersect(toks, lex))
+    hit_parts = []
+    if singles:
+        lex = F.array(*[F.lit(w) for w in singles])
+        hit_parts.append(F.array_intersect(toks, lex))
+    if phrases:
+        # token stream rejoined with single spaces, space-padded, so a
+        # padded phrase matches exactly on token boundaries
+        stream = F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.filter(
+                    F.split(F.lower(F.coalesce(c, F.lit(""))), _WORD_SPLIT),
+                    lambda t: t != F.lit(""),
+                ),
+                " ",
+            ),
+            F.lit(" "),
+        )
+        hit_parts.append(
+            F.array_compact(
+                F.array(
+                    *[
+                        F.when(
+                            F.contains(stream, F.lit(f" {p} ")), F.lit(p)
+                        )
+                        for p in phrases
+                    ]
+                )
+            )
+        )
+    combined = (
+        hit_parts[0]
+        if len(hit_parts) == 1
+        else F.concat(*hit_parts)
+    )
+    return F.array_sort(combined)
 
 
 def blocklist_rows(

@@ -160,7 +160,16 @@ def ngram_diversity_census(
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     base = F.coalesce(F.col(text_col), F.lit(""))
-    toks = tokens_expr(F.lower(base) if lowercase else base)
+    split = tokens_expr(F.lower(base) if lowercase else base)
+    # empty/NULL text = ZERO tokens, never one: split('', ' ') yields
+    # [''], which for n=1 would mint a phantom '' gram per empty doc
+    # (inflating grams_total, ratio 1.0 into the avg, '' in the corpus
+    # set) — the family convention is tokenizer_efficiency_census's
+    # "empty text = 0 words". n>=2 is unaffected (size 1 < n already
+    # yields zero grams).
+    toks = F.when(F.length(base) == 0, F.array().cast("array<string>")).otherwise(
+        split
+    )
     # materialize the token array behind a projection barrier first —
     # an inline tokens_expr would re-split the text once per n-gram
     # (the word_ngrams_expr lambda trap)

@@ -181,7 +181,11 @@ def store_contract(spark: SparkSession, table: str, contract) -> None:
         raise TypeError(
             f"expected Contract or TableContract, got {type(contract).__name__}"
         )
-    escaped = payload.replace("'", "''")
+    # Backslashes first: Spark's default string-literal parsing
+    # (escapedStringLiterals=false) collapses \\ -> \, so a contract
+    # carrying a regex pattern rule (JSON renders \d as \\d) would be
+    # corrupted into invalid JSON without the doubling.
+    escaped = payload.replace("\\", "\\\\").replace("'", "''")
     spark.sql(
         f"ALTER TABLE {table} SET TBLPROPERTIES "
         f"('{CONTRACT_PROPERTY}' = '{escaped}')"

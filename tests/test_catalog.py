@@ -143,6 +143,19 @@ def test_contract_in_table_properties_roundtrip(spark, sf_dir):
         assert isinstance(back_tc, dv.TableContract)
         assert back_tc.unique_keys == ("doc_id",)
         assert back_tc.contract == contract
+
+        # Regression: a pattern rule carries backslashes (JSON renders
+        # \d as \\d); Spark's string-literal parsing collapses \\ -> \
+        # unless store_contract doubles them, corrupting the stored JSON.
+        rules = dict(contract.columns)
+        rules["doc_id"] = dv.ColumnRule(
+            dtype=rules["doc_id"].dtype, pattern=r"\d+"
+        )
+        pat_contract = dv.Contract(columns=rules, name="pat")
+        store_contract(spark, "dv_props_test.docs", pat_contract)
+        back_pat = load_contract(spark, "dv_props_test.docs")
+        assert back_pat == pat_contract
+        assert back_pat.columns["doc_id"].pattern == r"\d+"
     finally:
         spark.sql("DROP TABLE IF EXISTS dv_props_test.docs")
         spark.sql("DROP DATABASE IF EXISTS dv_props_test")

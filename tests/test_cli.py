@@ -474,3 +474,17 @@ def test_cli_template_leak(spark, sf_dir, tmp_path, capsys):
                "--markers", str(mk), "--fail"])
     assert rc == 1
     assert _last_json(capsys)["ok"] is False
+
+
+def test_cli_template_leak_crlf_markers(spark, sf_dir, tmp_path, capsys):
+    """Regression: a CRLF-saved markers file must not leave '\\r' glued
+    to every marker (the gate would silently never fire — a false pass
+    on a contaminated corpus)."""
+    mk = tmp_path / "mk_crlf.txt"
+    mk.write_bytes(b"the\r\nand\r\n")
+    rc = main(["template-leak", "--input", f"{sf_dir}/documents.parquet",
+               "--markers", str(mk), "--fail"])
+    assert rc == 1
+    rep = _last_json(capsys)
+    assert rep["ok"] is False
+    assert {c["marker"] for c in rep["cells"]} == {"the", "and"}

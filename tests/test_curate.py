@@ -177,3 +177,79 @@ def test_curate_filter_must_be_sql_string(spark, tmp_path):
             workdir=str(tmp_path / "w"),
             filters=[("bad", F.col("text").isNotNull())],
         )
+
+
+def test_curate_custom_id_col_with_benchmark(spark, tmp_path):
+    """Regression: contaminated_ids always emits the literal column
+    'doc_id'; curate must rename THAT sidecar column for the anti-join,
+    not assume it carries the caller's id_col — a non-default id_col
+    with a benchmark used to crash analysis (UNRESOLVED_COLUMN)."""
+    corpus = _corpus(spark).withColumnRenamed("doc_id", "id")
+    res = dv.curate(
+        corpus,
+        workdir=str(tmp_path / "w"),
+        id_col="id",
+        benchmark=_benchmark(spark),
+        contamination_ngram=4,
+        filters=FILTERS,
+    )
+    got = {r["id"] for r in res.admitted.collect()}
+    assert got == {1, 2, 4, 5, 6, 8, 12}
+
+
+def test_curate_benchmark_swap_invalidates_sidecar(spark, tmp_path):
+    """Swapping the benchmark with the SAME workdir must re-run
+    decontamination — the stage fingerprint covers the benchmark's
+    content, so the stale contaminated-id sidecar is never reused."""
+    w = str(tmp_path / "w")
+    res1 = _run(spark, w)
+    assert {r["doc_id"] for r in res1.admitted.collect()} == {
+        1, 2, 4, 5, 6, 8, 12
+    }
+    # new benchmark contaminating doc 8 instead of doc 9
+    bench2 = spark.createDataFrame(
+        [(200, "the jived fox nymph grabs quick waltz anywhere")],
+        "bench_id long, text string",
+    )
+    res2 = dv.curate(
+        _corpus(spark),
+        workdir=w,
+        benchmark=bench2,
+        contamination_ngram=4,
+        filters=FILTERS,
+        splits={"train": 0.8, "val": 0.2},
+        n_shards=2,
+    )
+    assert "decontaminate" not in res2.resumed_stages
+    got2 = {r["doc_id"] for r in res2.admitted.collect()}
+    assert 8 not in got2 and 9 in got2
+    # dedup's input/params were untouched -> still resumed
+    assert "dedup" in res2.resumed_stages
+
+
+def test_mixture_cutoff_uses_rounding_not_truncation(spark):
+    """0.3 * 1e6 floats to 299999.99999...; the keep predicate must use
+    the driver-side int(round(...)) cutoff (300000) like hash_sample and
+    assign_splits — an engine-side bigint cast truncates to 299999,
+    silently dropping bucket 299999's rows vs the documented 1e-6
+    resolution and the DuckDB oracle's rounding."""
+    from dsci_524_g26_data_validation_spark.operators.sampling import (
+        _BUCKETS,
+        portable_hash64,
+    )
+
+    ids = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"), F.lit("g").alias("source")
+    )
+    kept = ids.filter(
+        cur._mixture_keep_expr(
+            {"g": 0.3}, group_col="source", id_col="doc_id", salt="s"
+        )
+    )
+    bucket = F.pmod(
+        portable_hash64(F.concat(F.lit("s"), F.col("doc_id").cast("string"))),
+        F.lit(_BUCKETS),
+    )
+    expected = ids.filter(bucket < F.lit(int(round(0.3 * _BUCKETS))))
+    assert kept.count() == expected.count()
+    assert kept.exceptAll(expected).count() == 0

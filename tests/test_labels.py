@@ -47,8 +47,9 @@ def test_summary_null_safe_agreement(spark, labeled):
     # agrees: en-en x2, fr-fr, null-null (null-safe) = 4 of 7
     assert (r.n_rows, r.n_agree) == (7, 4)
     assert r.agreement_rate == round(4 / 7, 6)
-    # count_distinct skips NULL by SQL semantics: en, fr, de
-    assert r.n_declared_labels == 3
+    # NULL counts as a label VALUE (the census convention): en, fr, de,
+    # NULL — plain count_distinct would skip the untagged slice
+    assert r.n_declared_labels == 4
     assert r.n_offdiag_cells == 3
 
 
@@ -85,6 +86,8 @@ def test_kappa_null_labels_null_safe(spark):
     ).first()
     # NULL-NULL agrees; marginals match null-safely: p_e = (1+1)/4
     assert (r.p_observed, r.p_expected, r.kappa) == (1.0, 0.5, 1.0)
+    # the label-set size counts NULL as a value: {NULL, 'en'} = 2
+    assert (r.n_declared_labels, r.n_predicted_labels) == (2, 2)
 
 
 def test_kappa_degenerate_is_null_not_one(spark):

@@ -109,3 +109,44 @@ def test_template_census_zero_inclusive(spark, chatty):
 def test_template_markers_param_validation(spark, chatty):
     with pytest.raises(ValueError, match="non-empty"):
         template_leak_census(chatty, markers=[])
+
+
+def test_phrase_entries_match_on_token_boundaries(spark, docs):
+    """Multi-word entries (the published C4 list is full of them) match
+    as token-boundary phrases of the normalized stream — never inside a
+    fused word, and robust to punctuation/extra whitespace between the
+    words."""
+    phr = spark.createDataFrame(
+        [
+            (1, "offers a Hand   Job, cheap", "w"),   # punct + runs of space
+            (2, "handjob mention", "w"),              # fused: NO hit
+            (3, "hand jobs plural", "w"),             # 'jobs' != 'job': NO hit
+            (4, "a helping hand job done", "w"),      # plain hit
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    got = {
+        r.doc_id: list(r.matched)
+        for r in blocklist_rows(phr, words=["hand job"]).collect()
+    }
+    assert got == {1: ["hand job"], 4: ["hand job"]}
+    # words and phrases compose in one expression
+    both = {
+        r.doc_id: list(r.matched)
+        for r in blocklist_rows(
+            phr, words=["hand job", "cheap"]
+        ).collect()
+    }
+    assert both[1] == ["cheap", "hand job"]  # sorted
+
+
+def test_unmatchable_entries_rejected_not_silent(spark, docs):
+    """An entry outside the tokenization alphabet can NEVER hit — it
+    must raise, not silently weaken the safety gate to a false pass."""
+    with pytest.raises(ValueError, match="can never match"):
+        blocklist_census(docs, words=["f*ck"])
+    with pytest.raises(ValueError, match="can never match"):
+        blocklist_census(docs, words=["spam", "tab\tseparated"])
+    # a gate whose every entry is unmatchable exits loudly too
+    with pytest.raises(ValueError, match="can never match"):
+        blocklist_hits_expr("text", ["<|im_start|>"])

@@ -445,3 +445,37 @@ def test_fertility_census_is_one_fused_scan(spark, tmp_path):
     # column pruning: the census never reads doc_id or lang
     read_schema = [l for l in final.splitlines() if "ReadSchema" in l][0]
     assert "doc_id" not in read_schema and "lang" not in read_schema
+
+
+def test_component_survivors_broadcasts_pair_graph(spark, tmp_path):
+    """The survivor election must broadcast the pair-graph-sized
+    components frame against the column-pruned corpus projection — the
+    corpus never shuffles. Regression: a LEFT-outer join with the hint
+    on the preserved side is structurally un-broadcastable
+    (BroadcastHashJoin LeftOuter only builds right), so the hint was
+    silently dropped and the corpus projection shuffled.
+
+    Own parquet file (the fertility-plan-test convention): other
+    modules cache documents.parquet, and the substituted
+    InMemoryRelation's printed subtree carries a full-schema scan that
+    defeats the pruning assertion."""
+    from dsci_524_g26_data_validation_spark.operators.dedup import (
+        component_survivors,
+    )
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"body text {i}", i % 90 + 10) for i in range(200)],
+        "doc_id bigint, text string, n_chars int",
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5), (6, 5)], "id bigint, comp bigint"
+    )
+    out = component_survivors(comp, docs, metric_col="n_chars")
+    plan = _spark_plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # column pruning: only (doc_id, n_chars) read from the corpus scan
+    scan = [l for l in plan.splitlines() if "FileScan parquet" in l][0]
+    assert "text" not in scan

@@ -129,3 +129,20 @@ def test_ngram_diversity_lowercase_and_unigrams(spark):
 
     with _pt.raises(ValueError, match=">= 1"):
         ngram_diversity_census(df, n=0)
+
+
+def test_ngram_diversity_unigram_empty_text_zero_grams(spark):
+    """Regression: split('', ' ') yields [''], which for n=1 minted a
+    phantom '' gram per empty/NULL doc — inflating grams_total, pulling
+    a 1.0 ratio into the average and '' into the corpus distinct set.
+    Empty text = 0 grams at EVERY n (the tokenizer-census convention)."""
+    from dsci_524_g26_data_validation_spark.operators.vocab import (
+        ngram_diversity_census,
+    )
+
+    rows = [(1, "a b", "X"), (2, "", "X"), (3, None, "X")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    r = ngram_diversity_census(df, n=1).first()
+    assert (r.n_docs, r.grams_total) == (3, 2)
+    assert r.corpus_distinct_grams == 2           # no '' gram
+    assert r.avg_doc_distinct_ratio == 1.0        # empty docs excluded
