@@ -1247,6 +1247,131 @@ def _json_field_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JSON_CONTRACT_RULES = (
+    dv.JsonFieldRule(
+        field="k", required=True, dtype="integer", min_value=0,
+        max_value=100,
+    ),
+    dv.JsonFieldRule(
+        field="tag", allowed=("a", "b"), pattern="^[ab]$", name="tag_rule"
+    ),
+)
+
+
+def _json_contract_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared planted-fault payload frame for the JSON-contract queries:
+    NULL payload (% 43), malformed (% 41), valid non-object (% 37),
+    missing required key (% 13), wrong dtype (% 17), out of range
+    (% 19), undeclared key (% 11), domain/pattern fault (% 23). WHEN
+    order matches the oracle CASE exactly."""
+    e = _read(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.when(F.col("event_id") % 43 == 0, F.lit(None).cast("string"))
+        .when(F.col("event_id") % 41 == 0, F.lit("not json"))
+        .when(F.col("event_id") % 37 == 0, F.lit("[1, 2]"))
+        .when(F.col("event_id") % 13 == 0, F.lit("{}"))
+        .when(F.col("event_id") % 17 == 0, F.lit('{"k": "oops"}'))
+        .when(F.col("event_id") % 19 == 0, F.lit('{"k": 9999}'))
+        .when(
+            F.col("event_id") % 11 == 0,
+            F.concat(
+                F.substring("props", 1, F.length("props") - 1),
+                F.lit(', "beta": true}'),
+            ),
+        )
+        .when(F.col("event_id") % 23 == 0, F.lit('{"k": 5, "tag": "zz"}'))
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+
+
+#: shared planted-payload + per-row facet CTE for the two JSON-contract
+#: oracles — mirrors _json_contract_planted's WHEN order exactly and the
+#: operator's pinned cross-engine semantics (json-null == missing,
+#: integer via floor(double), payload-valid == json_valid AND OBJECT).
+_JSON_CONTRACT_FACETS_CTE = """
+            WITH planted AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 43 = 0 THEN NULL
+                          WHEN event_id % 41 = 0 THEN 'not json'
+                          WHEN event_id % 37 = 0 THEN '[1, 2]'
+                          WHEN event_id % 13 = 0 THEN '{}'
+                          WHEN event_id % 17 = 0 THEN '{"k": "oops"}'
+                          WHEN event_id % 19 = 0 THEN '{"k": 9999}'
+                          WHEN event_id % 11 = 0 THEN
+                               substr(props, 1, length(props) - 1)
+                               || ', "beta": true}'
+                          WHEN event_id % 23 = 0
+                               THEN '{"k": 5, "tag": "zz"}'
+                          ELSE props END AS j
+              FROM events
+            ), v AS (
+              SELECT event_id, j,
+                     CASE WHEN j IS NULL THEN FALSE
+                          WHEN NOT json_valid(j) THEN FALSE
+                          WHEN json_type(j) != 'OBJECT' THEN FALSE
+                          ELSE TRUE END AS valid
+              FROM planted
+            ), e AS (
+              SELECT event_id, j, valid,
+                     CASE WHEN valid
+                          THEN json_extract_string(j, '$.k') END AS vk,
+                     CASE WHEN valid
+                          THEN json_extract_string(j, '$.tag') END AS vt,
+                     CASE WHEN valid THEN json_keys(j) END AS ks
+              FROM v
+            ), f AS (
+              SELECT event_id, valid,
+                     (j IS NULL) AS p_null,
+                     (j IS NOT NULL AND NOT valid) AS p_invalid,
+                     (valid AND len(list_filter(ks,
+                          x -> x != 'k' AND x != 'tag')) > 0) AS p_extra,
+                     (valid AND vk IS NULL) AS k_missing,
+                     (valid AND vk IS NOT NULL
+                      AND (dk IS NULL OR floor(dk) != dk)) AS k_type,
+                     (valid AND vk IS NOT NULL AND dk IS NOT NULL
+                      AND (dk < 0 OR dk > 100)) AS k_range,
+                     ((valid AND vk IS NULL)
+                      OR (valid AND vk IS NOT NULL
+                          AND (dk IS NULL OR floor(dk) != dk))
+                      OR (valid AND vk IS NOT NULL AND dk IS NOT NULL
+                          AND (dk < 0 OR dk > 100))) AS k_bad,
+                     (valid AND vt IS NULL) AS t_missing,
+                     (valid AND vt IS NOT NULL
+                      AND vt NOT IN ('a', 'b')) AS t_domain,
+                     (valid AND vt IS NOT NULL
+                      AND NOT regexp_matches(vt, '^[ab]$')) AS t_pattern,
+                     ((valid AND vt IS NOT NULL AND vt NOT IN ('a', 'b'))
+                      OR (valid AND vt IS NOT NULL
+                          AND NOT regexp_matches(vt, '^[ab]$'))) AS t_bad
+              FROM (SELECT *, TRY_CAST(vk AS DOUBLE) AS dk FROM e)
+            )
+"""
+
+
+def _json_contract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload contract report (operators/json_contract.py) over
+    events.props with planted faults in every facet: per-rule missing /
+    type / range / domain / pattern counters plus the __payload__
+    pseudo-rule (NULL / malformed / undeclared-key census), all in ONE
+    fused single-scan aggregate."""
+    planted = _json_contract_planted(spark, sf_dir)
+    return dv.json_contract_report(
+        planted, _JSON_CONTRACT_RULES, col="props", declared_only=True
+    )
+
+
+def _json_contract_triage_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level JSON contract triage: (event_id, rule, facet) with
+    first-fail facet attribution (missing > type > range > domain >
+    pattern); clean rows are pruned BEFORE the explode."""
+    planted = _json_contract_planted(spark, sf_dir)
+    return dv.json_contract_violations(
+        planted, _JSON_CONTRACT_RULES, ["event_id"], col="props"
+    )
+
+
 def _hygiene_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoding/markup hygiene census with planted faults: mojibake
     (U+FFFD) on doc_id % 31, markup + entity residue on % 29, a C0
@@ -3129,6 +3254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hygiene_documents": _hygiene_documents,
         "json_key_census_events": _json_key_census_events,
         "json_field_stats_events": _json_field_stats_events,
+        "json_contract_events": _json_contract_events,
+        "json_contract_triage_events": _json_contract_triage_events,
         "infer_profile_documents": _infer_profile_documents,
         "quantiles_orders": _quantiles_orders,
         "group_quantiles_documents": _group_quantiles_documents,
@@ -4751,6 +4878,67 @@ def oracle_sql() -> dict[str, str]:
                    round(max(n), 6) AS max_value,
                    round(avg(n), 6) AS avg_value
             FROM vals GROUP BY event_type
+        """,
+        "json_contract_events": _JSON_CONTRACT_FACETS_CTE + """
+            SELECT '__payload__' AS rule, 'props' AS field,
+                   CAST(count(*) AS BIGINT) AS n_applicable,
+                   CAST(count(*) FILTER (WHERE p_null) AS BIGINT)
+                       AS n_missing,
+                   CAST(count(*) FILTER (WHERE p_invalid) AS BIGINT)
+                       AS n_type_bad,
+                   CAST(0 AS BIGINT) AS n_range_bad,
+                   CAST(count(*) FILTER (WHERE p_extra) AS BIGINT)
+                       AS n_domain_bad,
+                   CAST(0 AS BIGINT) AS n_pattern_bad,
+                   CAST(count(*) FILTER (WHERE p_invalid OR p_extra)
+                       AS BIGINT) AS n_violations,
+                   CASE WHEN count(*) > 0
+                        THEN round((count(*) FILTER (WHERE p_invalid
+                                                     OR p_extra)) * 1.0
+                                   / count(*), 6)
+                        ELSE 0.0 END AS violation_rate
+            FROM f
+            UNION ALL
+            SELECT '$.k', '$.k',
+                   CAST(count(*) FILTER (WHERE valid) AS BIGINT),
+                   CAST(count(*) FILTER (WHERE k_missing) AS BIGINT),
+                   CAST(count(*) FILTER (WHERE k_type) AS BIGINT),
+                   CAST(count(*) FILTER (WHERE k_range) AS BIGINT),
+                   CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                   CAST(count(*) FILTER (WHERE k_bad) AS BIGINT),
+                   CASE WHEN count(*) FILTER (WHERE valid) > 0
+                        THEN round((count(*) FILTER (WHERE k_bad)) * 1.0
+                                   / (count(*) FILTER (WHERE valid)), 6)
+                        ELSE 0.0 END
+            FROM f
+            UNION ALL
+            SELECT 'tag_rule', '$.tag',
+                   CAST(count(*) FILTER (WHERE valid) AS BIGINT),
+                   CAST(count(*) FILTER (WHERE t_missing) AS BIGINT),
+                   CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                   CAST(count(*) FILTER (WHERE t_domain) AS BIGINT),
+                   CAST(count(*) FILTER (WHERE t_pattern) AS BIGINT),
+                   CAST(count(*) FILTER (WHERE t_bad) AS BIGINT),
+                   CASE WHEN count(*) FILTER (WHERE valid) > 0
+                        THEN round((count(*) FILTER (WHERE t_bad)) * 1.0
+                                   / (count(*) FILTER (WHERE valid)), 6)
+                        ELSE 0.0 END
+            FROM f
+        """,
+        "json_contract_triage_events": _JSON_CONTRACT_FACETS_CTE + """
+            SELECT event_id, '__payload__' AS rule, 'payload' AS facet
+            FROM f WHERE p_invalid
+            UNION ALL
+            SELECT event_id, '$.k',
+                   CASE WHEN k_missing THEN 'missing'
+                        WHEN k_type THEN 'type'
+                        WHEN k_range THEN 'range' END
+            FROM f WHERE k_bad
+            UNION ALL
+            SELECT event_id, 'tag_rule',
+                   CASE WHEN t_domain THEN 'domain'
+                        WHEN t_pattern THEN 'pattern' END
+            FROM f WHERE t_bad
         """,
         "hygiene_documents": """
             WITH planted AS (

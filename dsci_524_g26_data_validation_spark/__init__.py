@@ -217,6 +217,11 @@ from .operators.quality_rules import (
 from .operators.multimodal import media_format_census, sniff_format_expr
 from .operators.similarity import semantic_dedup_pairs, semantic_deduplicate
 from .operators.json_profile import json_field_stats, json_key_census
+from .operators.json_contract import (
+    JsonFieldRule,
+    json_contract_report,
+    json_contract_violations,
+)
 from .operators.incremental import (
     admit_batch,
     incremental_near_dup_pairs,
@@ -295,6 +300,9 @@ __all__ = [
     "comissingness",
     "json_key_census",
     "json_field_stats",
+    "JsonFieldRule",
+    "json_contract_report",
+    "json_contract_violations",
     "minhash_index",
     "shingle_hash_index",
     "incremental_near_dup_pairs",

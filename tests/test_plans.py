@@ -479,3 +479,57 @@ def test_component_survivors_broadcasts_pair_graph(spark, tmp_path):
     # column pruning: only (doc_id, n_chars) read from the corpus scan
     scan = [l for l in plan.splitlines() if "FileScan parquet" in l][0]
     assert "text" not in scan
+
+
+def test_json_contract_report_single_fused_agg(spark, sf_dir):
+    """Every JSON-contract facet counter must ride ONE fused global
+    aggregate over one scan: no hash-partitioned exchange (the only
+    exchange is the 1-row SinglePartition gather), no Generate (facets
+    are predicates, never an explode), and the stack pivot sits above
+    the aggregate, adding zero jobs."""
+    from dsci_524_g26_data_validation_spark.operators.json_contract import (
+        JsonFieldRule,
+        json_contract_report,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rules = [
+        JsonFieldRule(field="k", required=True, dtype="integer",
+                      min_value=0, max_value=100),
+        JsonFieldRule(field="tag", allowed=("a", "b")),
+    ]
+    rep = json_contract_report(
+        e.repartition(4), rules, col="props", declared_only=True
+    )
+    plan = _spark_plan(rep)
+    # no key shuffle anywhere — the only exchange this plan may ever
+    # contain is the 1-row gather between partial and final
+    # HashAggregate (AQE defers materializing it on small inputs)
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert plan.count("HashAggregate") == 2  # partial + final, fused
+    # the only Generate is the JVM-side stack pivot ABOVE the aggregate
+    # (a row-multiplying explode below it would be a defect)
+    gens = [l for l in plan.splitlines() if "Generate" in l]
+    assert len(gens) == 1 and "stack" in gens[0]
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_json_contract_violations_prune_before_explode(spark, sf_dir):
+    """Triage must stay shuffle-free and prune clean rows BEFORE the
+    explode: the Generate node's child subtree contains the disjunction
+    Filter, so row multiplication only ever applies to dirty rows."""
+    from dsci_524_g26_data_validation_spark.operators.json_contract import (
+        JsonFieldRule,
+        json_contract_violations,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rules = [JsonFieldRule(field="k", required=True, dtype="integer")]
+    out = json_contract_violations(e, rules, ["event_id"], col="props")
+    plan = _spark_plan(out)
+    assert "Exchange" not in plan
+    lines = plan.splitlines()
+    gen = next(i for i, l in enumerate(lines) if "Generate" in l)
+    # plans print top-down: a Filter BELOW the Generate line is its child
+    assert any("Filter" in l for l in lines[gen + 1:])
