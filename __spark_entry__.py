@@ -2930,6 +2930,21 @@ def _shard_plan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _interleave_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order mixing census over an 8-way deterministic shard
+    assignment of documents: per-shard source run-length stats (n_runs /
+    mean / max in doc_id order), entropy, and JS divergence vs the
+    global source mix — one corpus scan, one shard-key exchange, runs
+    frame thereafter."""
+    from dsci_524_g26_data_validation_spark.sources import shards
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    a = shards.assign_shards(d, id_col="doc_id", n_shards=8, salt="il1")
+    return dv.interleaving_census(
+        a, shard_col="shard", order_col="doc_id", source_col="source"
+    )
+
+
 from dsci_524_g26_data_validation_spark.operators.structure import (
     DEFAULT_CAPS as _DEFAULT_CAPS,
 )
@@ -3320,6 +3335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_census_documents": _domain_census_documents,
         "normalize_census_documents": _normalize_census_documents,
         "shard_plan_documents": _shard_plan_documents,
+        "interleave_census_documents": _interleave_census_documents,
         # fully oracled as of r3: media via portable-hash feature math,
         # simhash via the portable token hash (oracle replays the full
         # 64-bit bit-vote + pigeonhole block join in SQL)
@@ -7037,6 +7053,74 @@ def oracle_sql() -> dict[str, str]:
                    round(n_rows * 16.0 / CAST(sum(n_rows) OVER () AS DOUBLE), 9)
                      AS balance_ratio
             FROM g
+        """,
+        # run segmentation via window lag + running sum; absent-source
+        # JS mass folded closed-form (0.5 * uncovered q); + 0.0
+        # normalizes IEEE -0.0 exactly like the Spark side
+        "interleave_census_documents": """
+            WITH a AS (
+              SELECT doc_id, source,
+                     CAST(CAST(('0x'||substr(md5('il1' ||
+                              CAST(doc_id AS VARCHAR)),1,15))
+                          AS BIGINT) % 8 AS INT) AS shard
+              FROM documents
+            ), b AS (
+              SELECT shard, doc_id, source,
+                     lag(source) OVER
+                         (PARTITION BY shard ORDER BY doc_id) AS prev,
+                     row_number() OVER
+                         (PARTITION BY shard ORDER BY doc_id) AS rn
+              FROM a
+            ), r AS (
+              SELECT shard, source,
+                     sum(CASE WHEN rn = 1 THEN 1
+                              WHEN prev IS NOT DISTINCT FROM source THEN 0
+                              ELSE 1 END)
+                         OVER (PARTITION BY shard ORDER BY doc_id)
+                         AS run_id
+              FROM b
+            ), runs AS (
+              SELECT shard, run_id, source,
+                     CAST(count(*) AS BIGINT) AS len
+              FROM r GROUP BY shard, run_id, source
+            ), pr AS (
+              SELECT shard, CAST(count(*) AS BIGINT) AS n_runs,
+                     max(len) AS max_run
+              FROM runs GROUP BY shard
+            ), c AS (
+              SELECT shard, source, CAST(sum(len) AS BIGINT) AS n
+              FROM runs GROUP BY shard, source
+            ), cp AS (
+              SELECT shard, source, n,
+                     n * 1.0 / sum(n) OVER (PARTITION BY shard) AS p
+              FROM c
+            ), ss AS (
+              SELECT shard, CAST(sum(n) AS BIGINT) AS n_rows,
+                     CAST(count(*) AS BIGINT) AS n_sources,
+                     round(-sum(p * log2(p)) + 0.0, 6) AS entropy
+              FROM cp GROUP BY shard
+            ), q AS (
+              SELECT source,
+                     sum(n) * 1.0 / (SELECT sum(n) FROM c) AS q
+              FROM c GROUP BY source
+            ), j AS (
+              SELECT cp.shard,
+                     round(sum(
+                         CASE WHEN p > 0
+                              THEN 0.5 * p * log2(p / ((p + q) / 2))
+                              ELSE 0 END
+                       + CASE WHEN q > 0
+                              THEN 0.5 * q * log2(q / ((p + q) / 2))
+                              ELSE 0 END)
+                       + 0.5 * (1 - sum(q)) + 0.0, 6) AS js_vs_global
+              FROM cp JOIN q ON cp.source IS NOT DISTINCT FROM q.source
+              GROUP BY cp.shard
+            )
+            SELECT ss.shard, n_rows, n_sources, n_runs,
+                   round(n_rows * 1.0 / n_runs, 6) AS mean_run,
+                   max_run, entropy, js_vs_global
+            FROM ss JOIN pr ON ss.shard = pr.shard
+                    JOIN j ON ss.shard = j.shard
         """,
         # whole-word deny-lexicon gate, replayed with the same regex
         # split + intersect semantics

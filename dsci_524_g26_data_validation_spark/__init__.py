@@ -222,6 +222,7 @@ from .operators.json_contract import (
     json_contract_report,
     json_contract_violations,
 )
+from .operators.interleave import interleaving_census
 from .operators.incremental import (
     admit_batch,
     incremental_near_dup_pairs,
@@ -303,6 +304,7 @@ __all__ = [
     "JsonFieldRule",
     "json_contract_report",
     "json_contract_violations",
+    "interleaving_census",
     "minhash_index",
     "shingle_hash_index",
     "incremental_near_dup_pairs",

@@ -533,3 +533,28 @@ def test_json_contract_violations_prune_before_explode(spark, sf_dir):
     gen = next(i for i, l in enumerate(lines) if "Generate" in l)
     # plans print top-down: a Filter BELOW the Generate line is its child
     assert any("Filter" in l for l in lines[gen + 1:])
+
+
+def test_interleave_census_corpus_read_once(spark, tmp_path):
+    """The runs-frame localCheckpoint must truncate lineage so every
+    downstream aggregate (run stats, entropy, JS) reads the materialized
+    |runs|-frame, never the corpus: the output plan contains NO parquet
+    scan — the corpus was scanned exactly once, inside the checkpoint."""
+    from dsci_524_g26_data_validation_spark.operators.interleave import (
+        interleaving_census,
+    )
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(300)],
+        "doc_id bigint, source string",
+    ).repartition(4).write.parquet(path)
+    d = spark.read.parquet(path).withColumn(
+        "shard", (F.col("doc_id") % 4).cast("int")
+    )
+    out = interleaving_census(
+        d, shard_col="shard", order_col="doc_id", source_col="source"
+    )
+    plan = _spark_plan(out)
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
