@@ -2945,6 +2945,19 @@ def _interleave_census_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _suggest_bounds_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract advisor: quantile-budgeted bound suggestions (exact
+    percentile mode) for two orders numerics with the realized
+    violation counts the bounds would produce today — Spark's exact
+    `percentile` and DuckDB's `quantile_cont` are the same
+    linear-interpolation estimator, so the oracle replays it
+    value-exact."""
+    o = _read(spark, sf_dir, "orders")
+    return dv.suggest_bounds(
+        o, ["o_custkey", "o_totalprice"], violation_budget=0.02
+    )
+
+
 from dsci_524_g26_data_validation_spark.operators.structure import (
     DEFAULT_CAPS as _DEFAULT_CAPS,
 )
@@ -3336,6 +3349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_census_documents": _normalize_census_documents,
         "shard_plan_documents": _shard_plan_documents,
         "interleave_census_documents": _interleave_census_documents,
+        "suggest_bounds_orders": _suggest_bounds_orders,
         # fully oracled as of r3: media via portable-hash feature math,
         # simhash via the portable token hash (oracle replays the full
         # 64-bit bit-vote + pigeonhole block join in SQL)
@@ -7121,6 +7135,46 @@ def oracle_sql() -> dict[str, str]:
                    max_run, entropy, js_vs_global
             FROM ss JOIN pr ON ss.shard = pr.shard
                     JOIN j ON ss.shard = j.shard
+        """,
+        # violation counts run against the UNROUNDED quantiles (the
+        # engine's semantics); only the report rendering rounds to 6dp
+        "suggest_bounds_orders": """
+            WITH p AS (
+              SELECT quantile_cont(CAST(o_custkey AS DOUBLE),
+                                   [0.01, 0.99]) AS pc,
+                     quantile_cont(CAST(o_totalprice AS DOUBLE),
+                                   [0.01, 0.99]) AS pt
+              FROM orders
+            ), c AS (
+              SELECT CAST(count(o_custkey) AS BIGINT) AS nc,
+                     CAST(count(*) FILTER (WHERE CAST(o_custkey AS DOUBLE)
+                          < (SELECT pc[1] FROM p)) AS BIGINT) AS cb,
+                     CAST(count(*) FILTER (WHERE CAST(o_custkey AS DOUBLE)
+                          > (SELECT pc[2] FROM p)) AS BIGINT) AS ca,
+                     CAST(count(o_totalprice) AS BIGINT) AS nt,
+                     CAST(count(*) FILTER (WHERE CAST(o_totalprice AS DOUBLE)
+                          < (SELECT pt[1] FROM p)) AS BIGINT) AS tb,
+                     CAST(count(*) FILTER (WHERE CAST(o_totalprice AS DOUBLE)
+                          > (SELECT pt[2] FROM p)) AS BIGINT) AS ta
+              FROM orders
+            )
+            SELECT 'o_custkey' AS "column", nc AS n_nonnull,
+                   round((SELECT pc[1] FROM p), 6) AS suggested_min,
+                   round((SELECT pc[2] FROM p), 6) AS suggested_max,
+                   cb AS n_below, ca AS n_above,
+                   CASE WHEN nc > 0
+                        THEN round((cb + ca) * 1.0 / nc, 6)
+                        ELSE 0.0 END AS realized_rate
+            FROM c
+            UNION ALL
+            SELECT 'o_totalprice', nt,
+                   round((SELECT pt[1] FROM p), 6),
+                   round((SELECT pt[2] FROM p), 6),
+                   tb, ta,
+                   CASE WHEN nt > 0
+                        THEN round((tb + ta) * 1.0 / nt, 6)
+                        ELSE 0.0 END
+            FROM c
         """,
         # whole-word deny-lexicon gate, replayed with the same regex
         # split + intersect semantics

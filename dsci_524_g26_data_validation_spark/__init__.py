@@ -223,6 +223,7 @@ from .operators.json_contract import (
     json_contract_violations,
 )
 from .operators.interleave import interleaving_census
+from .operators.advisor import suggest_bounds, suggest_contract
 from .operators.incremental import (
     admit_batch,
     incremental_near_dup_pairs,
@@ -305,6 +306,8 @@ __all__ = [
     "json_contract_report",
     "json_contract_violations",
     "interleaving_census",
+    "suggest_bounds",
+    "suggest_contract",
     "minhash_index",
     "shingle_hash_index",
     "incremental_near_dup_pairs",
