@@ -2958,6 +2958,25 @@ def _suggest_bounds_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_outlier_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-distance outlier census over the embeddings table:
+    vectors farther than mean + 2*std from the corpus centroid. Centroid
+    from dim-bounded sufficient stats; distance is row-local codegen
+    (zip_with + aggregate), no UDF, no vector shuffle."""
+    e = _read(spark, sf_dir, "embeddings")
+    return dv.embedding_outlier_census(e, vec_col="embedding", dim=64, z=2.0)
+
+
+def _embedding_outlier_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ten vectors farthest from the corpus centroid (rounded-distance
+    ordering, vec_id tiebreak) — TakeOrderedAndProject, never a global
+    sort."""
+    e = _read(spark, sf_dir, "embeddings")
+    return dv.embedding_outlier_topk(
+        e, id_col="vec_id", vec_col="embedding", dim=64, k=10
+    )
+
+
 from dsci_524_g26_data_validation_spark.operators.structure import (
     DEFAULT_CAPS as _DEFAULT_CAPS,
 )
@@ -3350,6 +3369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_plan_documents": _shard_plan_documents,
         "interleave_census_documents": _interleave_census_documents,
         "suggest_bounds_orders": _suggest_bounds_orders,
+        "embedding_outlier_census": _embedding_outlier_census_q,
+        "embedding_outlier_topk": _embedding_outlier_topk_q,
         # fully oracled as of r3: media via portable-hash feature math,
         # simhash via the portable token hash (oracle replays the full
         # 64-bit bit-vote + pigeonhole block join in SQL)
@@ -7175,6 +7196,62 @@ def oracle_sql() -> dict[str, str]:
                         THEN round((tb + ta) * 1.0 / nt, 6)
                         ELSE 0.0 END
             FROM c
+        """,
+        "embedding_outlier_census": """
+            WITH d AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings
+              WHERE embedding IS NOT NULL AND len(embedding) = 64
+                AND len(list_filter(CAST(embedding AS DOUBLE[]),
+                                    x -> isnan(x))) = 0
+            ), u AS (
+              SELECT vec_id, unnest(e) AS x,
+                     generate_subscripts(e, 1) AS pos
+              FROM d
+            ), cent AS (
+              SELECT pos, avg(x) AS c FROM u GROUP BY pos
+            ), rd AS (
+              SELECT vec_id, sqrt(sum((x - c) * (x - c))) AS dist
+              FROM u JOIN cent USING (pos) GROUP BY vec_id
+            ), st AS (
+              SELECT count(*) AS n, avg(dist) AS m,
+                     coalesce(stddev_samp(dist), 0.0) AS s
+              FROM rd
+            )
+            SELECT CAST(n AS BIGINT) AS n_vectors,
+                   round(m, 6) AS mean_dist,
+                   round(s, 6) AS std_dist,
+                   round(m + 2.0 * s, 6) AS threshold,
+                   CAST((SELECT count(*) FROM rd
+                         WHERE dist > (SELECT m + 2.0 * s FROM st))
+                        AS BIGINT) AS n_outliers,
+                   round((SELECT count(*) FROM rd
+                          WHERE dist > (SELECT m + 2.0 * s FROM st))
+                         * 1.0 / n, 6) AS outlier_frac
+            FROM st
+        """,
+        # ordering is on the ROUNDED distance with vec_id tiebreak, the
+        # engine's deterministic-output convention
+        "embedding_outlier_topk": """
+            WITH d AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings
+              WHERE embedding IS NOT NULL AND len(embedding) = 64
+                AND len(list_filter(CAST(embedding AS DOUBLE[]),
+                                    x -> isnan(x))) = 0
+            ), u AS (
+              SELECT vec_id, unnest(e) AS x,
+                     generate_subscripts(e, 1) AS pos
+              FROM d
+            ), cent AS (
+              SELECT pos, avg(x) AS c FROM u GROUP BY pos
+            ), rd AS (
+              SELECT vec_id,
+                     round(sqrt(sum((x - c) * (x - c))), 6) AS dist
+              FROM u JOIN cent USING (pos) GROUP BY vec_id
+            )
+            SELECT vec_id, dist FROM rd
+            ORDER BY dist DESC, vec_id ASC LIMIT 10
         """,
         # whole-word deny-lexicon gate, replayed with the same regex
         # split + intersect semantics

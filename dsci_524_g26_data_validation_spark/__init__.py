@@ -215,7 +215,13 @@ from .operators.quality_rules import (
     with_compression_ratio,
 )
 from .operators.multimodal import media_format_census, sniff_format_expr
-from .operators.similarity import semantic_dedup_pairs, semantic_deduplicate
+from .operators.similarity import (
+    centroid_vector,
+    embedding_outlier_census,
+    embedding_outlier_topk,
+    semantic_dedup_pairs,
+    semantic_deduplicate,
+)
 from .operators.json_profile import json_field_stats, json_key_census
 from .operators.json_contract import (
     JsonFieldRule,
@@ -308,6 +314,9 @@ __all__ = [
     "interleaving_census",
     "suggest_bounds",
     "suggest_contract",
+    "centroid_vector",
+    "embedding_outlier_census",
+    "embedding_outlier_topk",
     "minhash_index",
     "shingle_hash_index",
     "incremental_near_dup_pairs",

@@ -61,6 +61,9 @@ __all__ = [
     "semantic_deduplicate",
     "dimension_stats",
     "embedding_drift",
+    "centroid_vector",
+    "embedding_outlier_census",
+    "embedding_outlier_topk",
 ]
 
 
@@ -859,4 +862,126 @@ def embedding_drift(
         F.round(F.max(F.abs(diff)), r).alias("max_dim_shift"),
         F.max_by("pos", F.abs(diff)).alias("max_shift_pos"),
         F.round(F.avg(F.abs(diff)), r).alias("avg_dim_shift"),
+    )
+
+
+def centroid_vector(
+    df: DataFrame, *, vec_col: str = "embedding", dim: Optional[int] = None
+) -> List[float]:
+    """Global mean vector over clean rows, as a Python list (``dim``
+    floats — driver-sized by definition). Derived from
+    :func:`dimension_stats`, so the shuffle carries ``dim × partitions``
+    sufficient-stat rows, never vectors."""
+    stats = dimension_stats(df, vec_col=vec_col, dim=dim).collect()
+    if not stats:
+        raise ValueError("centroid_vector: no clean vectors")
+    by_pos = {int(r["pos"]): float(r["sum_x"]) / float(r["n"]) for r in stats}
+    return [by_pos[i] for i in range(len(by_pos))]
+
+
+def _centroid_dist_expr(vec_col: str, centre: List[float]):
+    """Row-local L2 distance to a literal centroid — pure Catalyst
+    (zip_with + aggregate), whole-stage codegen, no UDF."""
+    vd = F.col(f"`{vec_col}`").cast("array<double>")
+    c = F.array(*[F.lit(float(x)) for x in centre])
+    sq = F.zip_with(vd, c, lambda x, y: (x - y) * (x - y))
+    return F.sqrt(
+        F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def embedding_outlier_census(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+    z: float = 3.0,
+) -> DataFrame:
+    """One-row census of centroid-distance outliers: ``(n_vectors,
+    mean_dist, std_dist, threshold, n_outliers, outlier_frac)``.
+
+    The embedding-space analog of the engine's robust scalar outlier
+    check: rows whose L2 distance to the corpus centroid exceeds
+    ``mean + z·std`` are flagged — the standard screen for corrupt /
+    out-of-distribution vectors (wrong preprocessing, zeroed rows,
+    truncated uploads) before an ANN index is built over them.
+
+    Scale shape: three fused single-scan jobs, inherently sequential —
+    (1) centroid from dim-bounded sufficient stats, (2) distance
+    mean/std, (3) threshold count — each scan evaluates the distance as
+    a row-local codegen expression (no UDF, no vector shuffle, no
+    driver loop beyond the dim-sized centroid). ``std`` is the sample
+    standard deviation (``stddev_samp``) in both engines.
+    """
+    dist = _centroid_dist_expr(
+        vec_col, centroid_vector(df, vec_col=vec_col, dim=dim)
+    )
+    if dim is None:
+        dim = infer_dim(df, vec_col)
+    v = F.col(f"`{vec_col}`")
+    clean = (
+        v.isNotNull()
+        & (F.size(v) == F.lit(dim))
+        & ~F.exists(v.cast("array<double>"), lambda x: F.isnan(x))
+    )
+    base = df.filter(clean).select(dist.alias("_d"))
+    srow = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("_d").alias("m"),
+        F.stddev_samp("_d").alias("s"),
+    ).collect()[0]
+    n, m, s = int(srow["n"]), srow["m"], srow["s"]
+    if m is None:
+        raise ValueError("embedding_outlier_census: no clean vectors")
+    thr = float(m) + float(z) * float(s if s is not None else 0.0)
+    out = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.round(F.avg("_d"), 6).alias("mean_dist"),
+        F.round(F.coalesce(F.stddev_samp("_d"), F.lit(0.0)), 6).alias(
+            "std_dist"
+        ),
+        F.round(F.lit(thr), 6).alias("threshold"),
+        F.count_if(F.col("_d") > F.lit(thr)).cast("bigint").alias(
+            "n_outliers"
+        ),
+    )
+    return out.select(
+        "*",
+        F.round(
+            F.col("n_outliers").cast("double")
+            / F.col("n_vectors").cast("double"),
+            6,
+        ).alias("outlier_frac"),
+    )
+
+
+def embedding_outlier_topk(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+    k: int = 10,
+) -> DataFrame:
+    """The ``k`` vectors farthest from the corpus centroid:
+    ``(id, dist)`` ordered by distance descending (ties broken by id
+    ascending, so the result is deterministic). TakeOrderedAndProject —
+    a per-partition heap of ``k`` rows, never a global sort."""
+    centre = centroid_vector(df, vec_col=vec_col, dim=dim)
+    if dim is None:
+        dim = infer_dim(df, vec_col)
+    v = F.col(f"`{vec_col}`")
+    clean = (
+        v.isNotNull()
+        & (F.size(v) == F.lit(dim))
+        & ~F.exists(v.cast("array<double>"), lambda x: F.isnan(x))
+    )
+    return (
+        df.filter(clean)
+        .select(
+            F.col(f"`{id_col}`"),
+            F.round(_centroid_dist_expr(vec_col, centre), 6).alias("dist"),
+        )
+        .orderBy(F.desc("dist"), F.asc(id_col))
+        .limit(k)
     )

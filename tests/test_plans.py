@@ -558,3 +558,23 @@ def test_interleave_census_corpus_read_once(spark, tmp_path):
     plan = _spark_plan(out)
     assert "FileScan parquet" not in plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_embedding_outlier_plans(spark, sf_dir):
+    """Centroid-distance ops must stay UDF-free (the distance is a
+    zip_with/aggregate codegen expression — no Arrow/Python eval node)
+    and top-k must plan a per-partition heap, never a global sort."""
+    from dsci_524_g26_data_validation_spark.operators import similarity
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    top = similarity.embedding_outlier_topk(
+        e, id_col="vec_id", vec_col="embedding", dim=64, k=5
+    )
+    plan = _spark_plan(top)
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan  # no Batch/ArrowEvalPython
+    census = similarity.embedding_outlier_census(
+        e, vec_col="embedding", dim=64, z=2.0
+    )
+    cplan = _spark_plan(census)
+    assert "EvalPython" not in cplan
