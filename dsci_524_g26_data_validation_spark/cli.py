@@ -38,6 +38,16 @@ Commands (input = parquet path or catalog/Iceberg table name):
     file-order --input T --key COL [--descending] [--per-file] [--fail]
               (within-file sort-order census: is the declared sort
               order still honoured inside each physical file?)
+    suggest   --input T --output contract.json [--budget F] [--approx]
+              (contract advisor: quantile-budgeted numeric bounds +
+              the realized violation counts they would produce today)
+    json-contract --input T --rules rules.json [--col C]
+              [--declared-only] [--id-col C --violations-out PATH]
+              [--fail]   (per-field contract over a JSON payload
+              column: required/dtype/range/domain/pattern facets)
+    interleave --input T --order-col C [--shard-col C] [--source-col C]
+              (training-order mixing census: per-shard run lengths,
+              entropy, JS divergence vs the global source mix)
 
 Every command prints ONE JSON report to stdout (machine-parseable; logs
 go to stderr) and exits 0/1 per the verdict when --fail is given.
@@ -292,6 +302,34 @@ def main(argv: Optional[list] = None) -> int:
         help="md5 digests (cross-engine) instead of dual-seed xxhash",
     )
 
+    p = sub.add_parser("suggest")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True, help="suggested contract JSON")
+    p.add_argument("--budget", type=float, default=0.01)
+    p.add_argument("--max-categories", type=int, default=1000)
+    p.add_argument(
+        "--approx", action="store_true",
+        help="percentile_approx (bounded memory) instead of exact",
+    )
+
+    p = sub.add_parser("json-contract")
+    p.add_argument("--input", required=True)
+    p.add_argument("--col", default="props")
+    p.add_argument(
+        "--rules", required=True,
+        help="JSON file: list of JsonFieldRule kwargs objects",
+    )
+    p.add_argument("--declared-only", action="store_true")
+    p.add_argument("--id-col", default=None)
+    p.add_argument("--violations-out", default=None)
+    p.add_argument("--fail", action="store_true")
+
+    p = sub.add_parser("interleave")
+    p.add_argument("--input", required=True)
+    p.add_argument("--shard-col", default="shard")
+    p.add_argument("--order-col", required=True)
+    p.add_argument("--source-col", default="source")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "compare":  # driver-only: no SparkSession needed
@@ -388,6 +426,86 @@ def main(argv: Optional[list] = None) -> int:
         return 0
 
     df = load_table(spark, args.input)
+
+    if args.cmd == "suggest":
+        from .operators.advisor import suggest_bounds, suggest_contract
+
+        contract = suggest_contract(
+            df,
+            violation_budget=args.budget,
+            max_categories=args.max_categories,
+            approx=args.approx,
+        )
+        with open(args.output, "w") as f:
+            f.write(contract_to_json(contract, indent=2))
+        numeric = [
+            r.asDict()
+            for r in suggest_bounds(
+                df, violation_budget=args.budget, approx=args.approx
+            ).collect()
+        ]
+        print(json.dumps(
+            {"written": args.output, "n_columns": len(contract.columns),
+             "violation_budget": args.budget, "bounds": numeric},
+            sort_keys=True,
+        ))
+        return 0
+
+    if args.cmd == "json-contract":
+        from .operators.json_contract import (
+            JsonFieldRule,
+            json_contract_report,
+            json_contract_violations,
+        )
+
+        with open(args.rules) as f:
+            specs = json.load(f)
+        rules = [
+            JsonFieldRule(
+                **{
+                    **spec,
+                    **(
+                        {"allowed": tuple(spec["allowed"])}
+                        if spec.get("allowed") is not None
+                        else {}
+                    ),
+                }
+            )
+            for spec in specs
+        ]
+        rows = [
+            r.asDict()
+            for r in json_contract_report(
+                df, rules, col=args.col, declared_only=args.declared_only
+            ).collect()
+        ]
+        out = {"report": rows,
+               "ok": all(r["n_violations"] == 0 for r in rows)}
+        if args.violations_out and not out["ok"]:
+            if not args.id_col:
+                raise SystemExit("--violations-out requires --id-col")
+            json_contract_violations(
+                df, rules, [args.id_col], col=args.col
+            ).write.mode("overwrite").parquet(args.violations_out)
+            out["violations_path"] = args.violations_out
+        print(json.dumps(out, sort_keys=True))
+        return 0 if (out["ok"] or not args.fail) else 1
+
+    if args.cmd == "interleave":
+        from .operators.interleave import interleaving_census
+
+        rows = [
+            r.asDict()
+            for r in interleaving_census(
+                df,
+                shard_col=args.shard_col,
+                order_col=args.order_col,
+                source_col=args.source_col,
+            ).collect()
+        ]
+        print(json.dumps({"shards": rows, "n_shards": len(rows)},
+                         sort_keys=True, default=str))
+        return 0
 
     if args.cmd == "infer":
         if args.profile:

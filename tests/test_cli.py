@@ -488,3 +488,70 @@ def test_cli_template_leak_crlf_markers(spark, sf_dir, tmp_path, capsys):
     rep = _last_json(capsys)
     assert rep["ok"] is False
     assert {c["marker"] for c in rep["cells"]} == {"the", "and"}
+
+
+def test_cli_suggest(spark, sf_dir, tmp_path, capsys):
+    cpath = str(tmp_path / "suggested.json")
+    assert main(["suggest", "--input", f"{sf_dir}/orders.parquet",
+                 "--output", cpath, "--budget", "0.05"]) == 0
+    rep = _last_json(capsys)
+    assert rep["written"] == cpath and rep["n_columns"] == 6
+    cols = {b["column"] for b in rep["bounds"]}
+    assert "o_totalprice" in cols
+    # the suggested contract round-trips and validates its own data
+    # with at most the budgeted tail flagged as range issues
+    from dsci_524_g26_data_validation_spark import (
+        contract_from_json,
+        validate_contract,
+    )
+
+    with open(cpath) as f:
+        c = contract_from_json(f.read())
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    res = validate_contract(df, c)
+    assert any(i.kind == "range" for i in res.issues)
+
+
+def test_cli_json_contract(spark, sf_dir, tmp_path, capsys):
+    import json as _json
+
+    rules = str(tmp_path / "rules.json")
+    with open(rules, "w") as f:
+        _json.dump(
+            [{"field": "k", "required": True, "dtype": "integer",
+              "min_value": 0, "max_value": 10},
+             {"field": "tag", "allowed": ["a", "b"]}],
+            f,
+        )
+    rc = main(["json-contract", "--input", f"{sf_dir}/events.parquet",
+               "--rules", rules, "--col", "props", "--fail",
+               "--id-col", "event_id",
+               "--violations-out", str(tmp_path / "jviol")])
+    rep = _last_json(capsys)
+    # events props k runs 0..99 -> range violations above 10 -> fail
+    assert rc == 1 and rep["ok"] is False
+    viol = spark.read.parquet(str(tmp_path / "jviol"))
+    assert viol.count() > 0 and set(viol.columns) == {
+        "event_id", "rule", "facet"
+    }
+
+
+def test_cli_interleave(spark, sf_dir, capsys):
+    from dsci_524_g26_data_validation_spark.sources.shards import (
+        assign_shards,
+    )
+
+    # CLI reads a table path; pre-assign shards into a temp parquet
+    import tempfile
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        path = f"{td}/sharded"
+        assign_shards(d, id_col="doc_id", n_shards=4).write.parquet(path)
+        assert main(["interleave", "--input", path,
+                     "--order-col", "doc_id"]) == 0
+        rep = _last_json(capsys)
+        assert rep["n_shards"] == 4
+        assert all("max_run" in s and "entropy" in s for s in rep["shards"])
