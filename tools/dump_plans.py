@@ -304,6 +304,59 @@ def main() -> None:
         assembled,
     )
 
+    from dsci_524_g26_data_validation_spark.operators.interleave import (
+        interleaving_census,
+    )
+    from dsci_524_g26_data_validation_spark.operators.json_contract import (
+        JsonFieldRule,
+        json_contract_report,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    add(
+        "JSON payload contract report (one fused scan)",
+        "Every per-field facet counter (missing/type/range/domain/pattern "
+        "x rules, plus payload rot) is a count_if term of ONE global "
+        "aggregate over one scan; the stack pivot to per-rule rows sits "
+        "ABOVE the 1-row aggregate, so adding rules adds projection "
+        "columns, never scans or shuffles.",
+        json_contract_report(
+            events,
+            [
+                JsonFieldRule(field="k", required=True, dtype="integer",
+                              min_value=0, max_value=100),
+                JsonFieldRule(field="tag", allowed=("a", "b")),
+            ],
+            col="props",
+            declared_only=True,
+        ),
+    )
+    add(
+        "Shard interleaving census (corpus collapses to its runs frame)",
+        "One corpus scan, one shard-key exchange (the minimum any "
+        "order-sensitive statistic needs), a window + running sum, then "
+        "the localCheckpointed |runs| frame feeds run stats, entropy, and "
+        "JS — the plan below reads Scan ExistingRDD, never parquet: the "
+        "corpus is not re-read.",
+        interleaving_census(
+            docs.withColumn("shard", (F.col("doc_id") % 8).cast("int")),
+            shard_col="shard",
+            order_col="doc_id",
+            source_col="source",
+        ),
+    )
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    add(
+        "Embedding centroid-outlier top-k (codegen distance, heap top-k)",
+        "The L2 distance to the (driver-sized) centroid literal is a "
+        "zip_with/aggregate codegen expression — no Arrow/Python eval "
+        "node anywhere — and the top-k is TakeOrderedAndProject: a "
+        "per-partition heap of k rows, never a global sort.",
+        similarity.embedding_outlier_topk(
+            emb, id_col="vec_id", vec_col="embedding", dim=64, k=10
+        ),
+    )
+
     header = (
         "# PLANS — headline physical plans (generated by tools/dump_plans.py)\n\n"
         f"Input: `{SF_DIR}` on local[4]; plans are pre-execution "
