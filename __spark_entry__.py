@@ -1867,6 +1867,28 @@ def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_verify(d, cand, threshold=0.5)
 
 
+def _token_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs over PRE-TOKENIZED sequences (the north-rule input
+    shape): portable token ids from a 120-char prefix, banded MinHash on
+    token 3-grams (16 bands x 1 row: P(miss) < 2e-6 at jaccard 0.5, so
+    the exact-verified output equals the ground-truth pair set the
+    oracle recomputes), exact k-gram-jaccard verification."""
+    d = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", F.substring("text", 1, 120).alias("text"))
+        .select("doc_id", _portable_token_ids().alias("tokens"))
+    )
+    return dedup.token_near_duplicates(
+        d,
+        tokens_col="tokens",
+        id_col="doc_id",
+        k=3,
+        num_hashes=16,
+        bands=16,
+        threshold=0.5,
+    )
+
+
 def _near_dedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup: LSH candidates → exact-jaccard verify →
     connected components (min-label propagation) → the DROPPED ids (all
@@ -3313,6 +3335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_documents": _contamination_documents,
         "embedding_near_dups": _embedding_near_dups,
         "minhash_candidates": _minhash_candidates,
+        "token_near_dup_documents": _token_near_dup_documents,
         "dup_source_matrix": _dup_source_matrix,
         "fuzzy_contamination_documents": _fuzzy_contamination_documents,
         "canary_census_documents": _canary_census_documents,
@@ -5415,6 +5438,37 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2
             )
             SELECT id_a, id_b, round(inter*1.0/(na+nb-inter), 6) AS jaccard
+            FROM pairs WHERE inter*1.0/(na+nb-inter) >= 0.5
+        """,
+        # ground-truth token-3-gram jaccard pairs — the engine's
+        # 16x1-band LSH screen has P(miss) < 2e-6 at the 0.5 threshold,
+        # so screened+verified == ground truth on this corpus
+        "token_near_dup_documents": """
+            WITH t AS (
+              SELECT doc_id,
+                     [CAST(CAST(('0x'||substr(md5(w),1,15)) AS BIGINT)
+                           % 4096 AS INT)
+                      for w in string_split(substr(text,1,120), ' ')]
+                         AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(toks[i:i+2], ',')
+                                    for i in generate_series(1,
+                                        greatest(len(toks)-2, 1))]) AS sh
+              FROM t
+            ), e AS (
+              SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n FROM s
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS inter,
+                     any_value(a.n) AS na, any_value(b.n) AS nb
+              FROM e a JOIN e b ON a.shingle = b.shingle
+                                AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(inter*1.0/(na+nb-inter), 6) AS jaccard
             FROM pairs WHERE inter*1.0/(na+nb-inter) >= 0.5
         """,
         # ground-truth jaccard pairs labeled by source, folded to the

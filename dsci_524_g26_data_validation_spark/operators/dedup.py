@@ -25,7 +25,7 @@ Embedding-cosine near-dup lives in operators.similarity.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -40,6 +40,8 @@ __all__ = [
     "deduplicate_exact",
     "content_digest_expr",
     "shingles_expr",
+    "token_shingles_expr",
+    "token_near_duplicates",
     "minhash_signature_expr",
     "minhash_signatures",
     "minhash_band_digests",
@@ -164,6 +166,23 @@ def shingles_expr(text_col: Column | str, *, size: int = 3) -> Column:
     return F.array_distinct(sh)
 
 
+def token_shingles_expr(tokens_col: Column | str, *, size: int = 8) -> Column:
+    """Distinct ``size``-grams of a TOKEN-ID sequence, rendered as
+    comma-joined strings — the tokenized-corpus twin of
+    :func:`shingles_expr` (BASELINE's input is pre-tokenized sequences;
+    near-dup over token ids needs no text column and no tokenizer
+    round-trip). Sequences shorter than ``size`` yield one whole-sequence
+    shingle, mirroring the short-doc convention. Pure Catalyst."""
+    c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    toks = c.cast("array<string>")
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - size + 1, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, size), ","),
+    )
+    return F.array_distinct(sh)
+
+
 def minhash_signature_expr(
     shingles: Column, *, num_hashes: int = 32, seed: int = 42
 ) -> Column:
@@ -195,6 +214,7 @@ def minhash_signatures(
     shingle_size: int = 3,
     num_hashes: int = 32,
     seed: int = 42,
+    shingle_expr: Optional[Column] = None,
 ) -> DataFrame:
     """(id, _sig: array<bigint>) MinHash signatures, evaluated efficiently.
 
@@ -202,10 +222,19 @@ def minhash_signatures(
     the signature. Each step's output is referenced multiple times
     downstream, so Catalyst's CollapseProject keeps the barriers and every
     expensive array is computed once per row (vs. ``num_hashes``× when the
-    whole signature is one inlined expression)."""
+    whole signature is one inlined expression).
+
+    ``shingle_expr`` swaps the word-shingle source for any
+    array<string> Column (e.g. :func:`token_shingles_expr` for
+    pre-tokenized sequences); ``text_col``/``shingle_size`` are then
+    ignored."""
     sh = df.select(
         F.col(id_col).alias("_id"),
-        shingles_expr(text_col, size=shingle_size).alias("_sh"),
+        (
+            shingle_expr
+            if shingle_expr is not None
+            else shingles_expr(text_col, size=shingle_size)
+        ).alias("_sh"),
     )
     hashes = sh.select(
         "_id",
@@ -234,6 +263,7 @@ def minhash_band_digests(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 42,
+    shingle_expr: Optional[Column] = None,
 ) -> DataFrame:
     """(_id, band, digest) — one row per (document, LSH band), where
     ``digest`` is the 8-byte xxhash64 of that band's signature slice.
@@ -253,6 +283,7 @@ def minhash_band_digests(
         shingle_size=shingle_size,
         num_hashes=num_hashes,
         seed=seed,
+        shingle_expr=shingle_expr,
     ).select(
         "_id",
         # explode_OUTER: a plain explode triggers InferFiltersFromGenerate,
@@ -367,6 +398,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     seed: int = 42,
     max_bucket_size: int = 1000,
+    shingle_expr: Optional[Column] = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -408,6 +440,7 @@ def minhash_lsh_candidates(
         num_hashes=num_hashes,
         bands=bands,
         seed=seed,
+        shingle_expr=shingle_expr,
     )
     # One extra (band, digest)-keyed shuffle annotates every bucket with
     # its size and anchor (min id) before any pairing happens; anchor =
@@ -446,14 +479,22 @@ def jaccard_verify(
     id_col: str = "doc_id",
     shingle_size: int = 3,
     threshold: float = 0.7,
+    shingle_expr: Optional[Column] = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard on candidate pairs → (id_a, id_b, jaccard).
 
     Joins shingle arrays back to the (small) candidate set; similarity is
-    size(intersect)/size(union) — pure Catalyst.
-    """
+    size(intersect)/size(union) — pure Catalyst. ``shingle_expr``
+    overrides the word-shingle source (must match the expression the
+    candidates were generated with, or verification scores a different
+    similarity than the screen selected for)."""
     sh = df.select(
-        F.col(id_col).alias("_id"), shingles_expr(text_col, size=shingle_size).alias("_sh")
+        F.col(id_col).alias("_id"),
+        (
+            shingle_expr
+            if shingle_expr is not None
+            else shingles_expr(text_col, size=shingle_size)
+        ).alias("_sh"),
     )
     out = (
         candidates.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
@@ -467,6 +508,47 @@ def jaccard_verify(
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
     return out
+
+
+def token_near_duplicates(
+    df: DataFrame,
+    *,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    threshold: float = 0.7,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Verified near-duplicate pairs over PRE-TOKENIZED sequences:
+    banded MinHash-LSH on token ``k``-grams, then exact k-gram-Jaccard
+    verification → ``(id_a, id_b, jaccard)``.
+
+    The north-rule input is an Iceberg table of token arrays — this is
+    near-dedup that never needs the text column (no tokenizer
+    round-trip, no detok): the shingle universe is the token-id
+    sequence itself, so two documents tokenized identically dedup
+    identically regardless of surface form. Same scale machinery as the
+    text path (shared banding, degenerate-bucket cap, candidates-only
+    verification — token arrays never self-join); compose with
+    :func:`resolve_components` / :func:`deduplicate_near_best` exactly
+    like text-mode pairs.
+    """
+    sh = token_shingles_expr(tokens_col, size=k)
+    cand = minhash_lsh_candidates(
+        df,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        seed=seed,
+        max_bucket_size=max_bucket_size,
+        shingle_expr=sh,
+    )
+    return jaccard_verify(
+        df, cand, id_col=id_col, threshold=threshold, shingle_expr=sh
+    )
 
 
 def edit_similarity_verify(
