@@ -46,83 +46,38 @@ oracle) and documented as the operator's contract:
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..types import Issue, JsonFieldRule
 
 __all__ = [
     "JsonFieldRule",
     "PAYLOAD_RULE",
     "json_contract_report",
     "json_contract_violations",
+    "json_contract_check_terms",
+    "evaluate_json_contract_checks",
 ]
 
 #: pseudo-rule label carrying payload-level (not per-field) counters
 PAYLOAD_RULE = "__payload__"
 
-_DTYPES = ("number", "integer", "boolean")
-
 #: facet names in first-fail priority order (triage attribution)
 _FACETS = ("missing", "type", "range", "domain", "pattern")
 
 
-@dataclass(frozen=True)
-class JsonFieldRule:
-    """One declared field of a JSON payload contract.
-
-    ``field`` is a dot path under the root object (``"k"``,
-    ``"user.id"``). Facets are independent and optional:
-
-    * ``required`` — field must be present (JSON ``null`` counts as
-      absent, see module docstring);
-    * ``dtype`` — ``"number"`` | ``"integer"`` | ``"boolean"``. String
-      values that *render* numeric (``{"k": "87"}``) pass the numeric
-      dtypes — ``get_json_object`` erases the quote distinction in both
-      engines, so a stricter check is not portably expressible; string
-      fields are validated with ``pattern`` / ``allowed`` instead;
-    * ``min_value`` / ``max_value`` — inclusive numeric bounds over the
-      double rendering (only rows that pass the numeric cast are range-
-      checked; non-numeric values are the ``type`` facet's business);
-    * ``allowed`` — exact string renderings the value may take;
-    * ``pattern`` — contains-match regex (Java ∩ RE2 subset, the
-      engine-wide pattern-rule convention) on the string rendering.
-    """
-
-    field: str
-    required: bool = False
-    dtype: Optional[str] = None
-    min_value: Optional[float] = None
-    max_value: Optional[float] = None
-    allowed: Optional[Tuple[str, ...]] = None
-    pattern: Optional[str] = None
-    name: str = ""
-
-    def __post_init__(self):
-        if not self.field:
-            raise ValueError("JsonFieldRule requires a field path")
-        if self.dtype is not None and self.dtype not in _DTYPES:
-            raise ValueError(
-                f"dtype must be one of {_DTYPES}, got {self.dtype!r}"
-            )
-        if (
-            self.min_value is not None
-            and self.max_value is not None
-            and self.min_value > self.max_value
-        ):
-            raise ValueError("min_value must be <= max_value")
-        if self.allowed is not None and len(self.allowed) == 0:
-            raise ValueError("allowed, when given, must be non-empty")
-
-    @property
-    def label(self) -> str:
-        return self.name or f"$.{self.field}"
-
-    @property
-    def top_key(self) -> str:
-        """First path segment — the top-level key this rule declares."""
-        return self.field.split(".", 1)[0]
+# JsonFieldRule lives in ..types beside the other rule dataclasses so
+# TableContract can carry json_rules without a types→operators import;
+# re-exported here because this module defines its semantics. The
+# rule's facets: ``required`` (JSON null counts as absent), ``dtype``
+# over number/integer/boolean (string values that RENDER numeric pass —
+# get_json_object erases the quote distinction in both engines; string
+# fields are validated with pattern/allowed instead), inclusive numeric
+# bounds over the double rendering, exact allowed renderings, and a
+# contains-match pattern (Java ∩ RE2 subset).
 
 
 def _facet_exprs(
@@ -368,3 +323,68 @@ def json_contract_violations(
             F.col("_v.facet").alias("facet"),
         )
     )
+
+
+def json_contract_check_terms(
+    rules: Sequence[JsonFieldRule], *, col: str = "props"
+) -> List[Column]:
+    """Fused-aggregation terms for TableContract integration: per rule,
+    ``jr{i}_app`` (valid-object payload rows) and ``jr{i}_bad``
+    (violating rows), plus ``jr_payload_bad`` (malformed / non-object
+    payloads). Append to the fused pass's ``extra_terms`` — JSON payload
+    rules then ride the SAME single scan as the column stats, exactly
+    like :func:`~.conditional.conditional_check_terms`."""
+    payload = F.col(f"`{col}`")
+    valid = F.json_object_keys(payload).isNotNull()
+    terms: List[Column] = [
+        F.count_if(payload.isNotNull() & ~valid).alias("jr_payload_bad")
+    ]
+    for i, r in enumerate(rules):
+        facets = _facet_exprs(valid, payload, r)
+        terms.append(F.count_if(valid).alias(f"jr{i}_app"))
+        terms.append(
+            F.count_if(_violated_expr(facets, r)).alias(f"jr{i}_bad")
+        )
+    return terms
+
+
+def evaluate_json_contract_checks(
+    extras: Mapping[str, object],
+    rules: Sequence[JsonFieldRule],
+    *,
+    col: str = "props",
+) -> List[Issue]:
+    """Turn the fused-pass counters into Issues (one per failing rule;
+    one for payload rot when present)."""
+    issues: List[Issue] = []
+    bad_payload = int(extras.get("jr_payload_bad") or 0)
+    if bad_payload > 0:
+        issues.append(
+            Issue(
+                kind="json_payload",
+                message=(
+                    f"{bad_payload} malformed or non-object JSON "
+                    f"payload(s) in column {col!r}"
+                ),
+                column=col,
+                observed=bad_payload,
+                expected=0,
+            )
+        )
+    for i, r in enumerate(rules):
+        bad = int(extras.get(f"jr{i}_bad") or 0)
+        app = int(extras.get(f"jr{i}_app") or 0)
+        if bad > 0:
+            issues.append(
+                Issue(
+                    kind="json_field",
+                    message=(
+                        f"json rule violated on {bad} of {app} "
+                        f"valid-payload row(s): {r.label}"
+                    ),
+                    column=col,
+                    observed=bad,
+                    expected=0,
+                )
+            )
+    return issues

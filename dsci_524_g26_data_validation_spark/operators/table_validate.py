@@ -45,6 +45,10 @@ from ..sources.manifest import FileManifestStore
 from ..types import Issue, TableContract, ValidationResult
 from .checks import aggregate_check_terms, evaluate_aggregate_checks
 from .conditional import conditional_check_terms, evaluate_conditional_checks
+from .json_contract import (
+    evaluate_json_contract_checks,
+    json_contract_check_terms,
+)
 from .drift import drift_scores_from_counts, fused_drift_terms
 from .referential import referential_violations
 from .tokens import key_integrity_counts, token_equality_violations
@@ -134,6 +138,10 @@ def validate_table_contract(
     ]
     extra_terms.extend(aggregate_check_terms(tc.checks))
     extra_terms.extend(conditional_check_terms(tc.conditionals))
+    if tc.json_rules:
+        extra_terms.extend(
+            json_contract_check_terms(tc.json_rules, col=tc.json_col)
+        )
     drift_decode = None
     if tc.histograms:
         hg_terms, drift_decode = fused_drift_terms(df, tc.histograms)
@@ -185,6 +193,12 @@ def validate_table_contract(
 
     # Conditional WHEN→THEN row rules (same fused pass, zero extra jobs)
     issues.extend(evaluate_conditional_checks(extras, tc.conditionals))
+    if tc.json_rules:
+        issues.extend(
+            evaluate_json_contract_checks(
+                extras, tc.json_rules, col=tc.json_col
+            )
+        )
 
     # E1 uniqueness + E6 token equality: when the E6 reference is present
     # and the token key is also a uniqueness key, BOTH ride one fused

@@ -36,6 +36,7 @@ __all__ = [
     "FunctionalDependencyRule",
     "AggregateCheck",
     "ConditionalRule",
+    "JsonFieldRule",
     "normalize_dtype",
     "dtypes_equivalent",
     "contract_to_dict",
@@ -369,6 +370,56 @@ class ConditionalRule:
 
 
 @dataclass(frozen=True)
+class JsonFieldRule:
+    """One declared field of a JSON payload contract (engine extension,
+    like :class:`ConditionalRule`): required / dtype / range / domain /
+    pattern facets over a dot path inside a JSON string column. Compiled
+    to Catalyst by ``operators/json_contract.py`` — the JSON-Schema-
+    shaped subset exactly replicable in ANSI SQL; see that module for
+    the pinned cross-engine semantics (json-null == missing, integer
+    via floor(double), contains-match pattern)."""
+
+    field: str
+    required: bool = False
+    dtype: Optional[str] = None
+    min_value: Optional[float] = None
+    max_value: Optional[float] = None
+    allowed: Optional[Tuple[str, ...]] = None
+    pattern: Optional[str] = None
+    name: str = ""
+
+    def __post_init__(self):
+        if not self.field:
+            raise ValueError("JsonFieldRule requires a field path")
+        if self.dtype is not None and self.dtype not in (
+            "number",
+            "integer",
+            "boolean",
+        ):
+            raise ValueError(
+                "dtype must be one of ('number', 'integer', 'boolean'),"
+                f" got {self.dtype!r}"
+            )
+        if (
+            self.min_value is not None
+            and self.max_value is not None
+            and self.min_value > self.max_value
+        ):
+            raise ValueError("min_value must be <= max_value")
+        if self.allowed is not None and len(self.allowed) == 0:
+            raise ValueError("allowed, when given, must be non-empty")
+
+    @property
+    def label(self) -> str:
+        return self.name or f"$.{self.field}"
+
+    @property
+    def top_key(self) -> str:
+        """First path segment — the top-level key this rule declares."""
+        return self.field.split(".", 1)[0]
+
+
+@dataclass(frozen=True)
 class AggregateCheck:
     """Table-level aggregate assertion (Deequ-style "check").
 
@@ -421,6 +472,8 @@ class TableContract:
     checks: Tuple[AggregateCheck, ...] = ()
     fds: Tuple[FunctionalDependencyRule, ...] = ()
     conditionals: Tuple[ConditionalRule, ...] = ()
+    json_rules: Tuple[JsonFieldRule, ...] = ()
+    json_col: str = "props"
     name: str = "table_contract"
 
 
@@ -513,6 +566,20 @@ def table_contract_to_dict(tc: "TableContract") -> Dict[str, Any]:
             {"when": r.when, "then": r.then, "name": r.name}
             for r in tc.conditionals
         ],
+        "json_rules": [
+            {
+                "field": r.field,
+                "required": r.required,
+                "dtype": r.dtype,
+                "min_value": r.min_value,
+                "max_value": r.max_value,
+                "allowed": list(r.allowed) if r.allowed is not None else None,
+                "pattern": r.pattern,
+                "name": r.name,
+            }
+            for r in tc.json_rules
+        ],
+        "json_col": tc.json_col,
     }
 
 
@@ -562,6 +629,24 @@ def table_contract_from_dict(data: Mapping[str, Any]) -> "TableContract":
             )
             for r in data.get("conditionals", ())
         ),
+        json_rules=tuple(
+            JsonFieldRule(
+                field=r["field"],
+                required=r.get("required", False),
+                dtype=r.get("dtype"),
+                min_value=r.get("min_value"),
+                max_value=r.get("max_value"),
+                allowed=(
+                    tuple(r["allowed"])
+                    if r.get("allowed") is not None
+                    else None
+                ),
+                pattern=r.get("pattern"),
+                name=r.get("name", ""),
+            )
+            for r in data.get("json_rules", ())
+        ),
+        json_col=data.get("json_col", "props"),
         name=data.get("name", "table_contract"),
     )
 

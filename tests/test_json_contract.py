@@ -167,3 +167,78 @@ class TestViolations:
             df, [JsonFieldRule(field="k", dtype="integer")], ["id"],
             col="props")
         assert out.count() == 0  # NULL payload is not invalid
+
+
+class TestTableContractIntegration:
+    def test_round_trip(self):
+        from dsci_524_g26_data_validation_spark import (
+            Contract,
+            ColumnRule,
+            TableContract,
+            table_contract_from_json,
+            table_contract_to_json,
+        )
+
+        tc = TableContract(
+            contract=Contract(columns={"id": ColumnRule(dtype="bigint")}),
+            json_rules=RULES,
+            json_col="props",
+        )
+        rt = table_contract_from_json(table_contract_to_json(tc))
+        assert rt.json_rules == RULES and rt.json_col == "props"
+
+    def test_fused_pass_verdict(self, spark):
+        from dsci_524_g26_data_validation_spark import (
+            Contract,
+            ColumnRule,
+            TableContract,
+            validate_table_contract,
+        )
+
+        tc = TableContract(
+            contract=Contract(
+                columns={
+                    "id": ColumnRule(dtype="bigint"),
+                    "props": ColumnRule(dtype="string",
+                                        max_missing_frac=1.0),
+                }
+            ),
+            json_rules=RULES,
+            json_col="props",
+        )
+        res = validate_table_contract(_frame(spark), tc)
+        kinds = {i.kind for i in res.issues}
+        assert "json_field" in kinds and "json_payload" in kinds
+        jf = [i for i in res.issues if i.kind == "json_field"]
+        # the k rule: 6 violating rows (see TestReport); tag rule: 1
+        assert sorted(i.observed for i in jf) == [1, 6]
+        jp = [i for i in res.issues if i.kind == "json_payload"][0]
+        assert jp.observed == 2  # malformed + non-object
+
+    def test_clean_payload_no_issues(self, spark):
+        from dsci_524_g26_data_validation_spark import (
+            Contract,
+            ColumnRule,
+            JsonFieldRule,
+            TableContract,
+            validate_table_contract,
+        )
+
+        df = spark.createDataFrame(
+            [(0, '{"k": 5}'), (1, '{"k": 7}')],
+            "id bigint, props string",
+        )
+        tc = TableContract(
+            contract=Contract(
+                columns={
+                    "id": ColumnRule(dtype="bigint"),
+                    "props": ColumnRule(dtype="string"),
+                }
+            ),
+            json_rules=(JsonFieldRule(field="k", required=True,
+                                      dtype="integer"),),
+        )
+        res = validate_table_contract(df, tc)
+        assert not any(
+            i.kind in ("json_field", "json_payload") for i in res.issues
+        )
