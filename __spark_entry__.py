@@ -1560,14 +1560,15 @@ def _semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies under new ids. The multi-cell KMeans path is pinned by
     pytest (test_semantic_media_entropy.py) — exact copies always share
     the argmin cell."""
-    # proof universe capped at 500 vectors: the single-cell argument is
+    # proof universe capped at 300 vectors: the single-cell argument is
     # size-independent (cell-blocked == brute force over the SAME
     # universe) and the all-pairs verification cost is the ORACLE's
     # shape, not the engine's — at sf0.1 the uncapped 2000-vector
     # universe spent 18 s of suite wall on 2M interpreted-HOF cosines
+    # (and the 500-cap still 9 s — the r4 suite's single slowest query)
     e = (
         _read(spark, sf_dir, "embeddings")
-        .filter("vec_id < 500")
+        .filter("vec_id < 300")
         .select("vec_id", "embedding")
     )
     copies = e.filter("vec_id < 10").select(
@@ -4174,7 +4175,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "semantic_dedup_pairs": """
             WITH aug AS (
-                SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500
+                SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
                 UNION ALL
                 SELECT vec_id + 2000000, embedding FROM embeddings
                 WHERE vec_id < 10
