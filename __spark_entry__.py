@@ -29,6 +29,7 @@ from dsci_524_g26_data_validation_spark.operators import (
 )
 from dsci_524_g26_data_validation_spark.operators.drift import observed_histogram_df
 from dsci_524_g26_data_validation_spark.streaming import (
+    json_violation_counts_stream,
     validate_each_batch,
     violation_counts_stream,
 )
@@ -1733,6 +1734,36 @@ def _stream_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_json_contract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming JSON payload contract monitor: per-day
+    windowed per-rule violation counts over a file-stream of events
+    (availableNow → deterministic). Rule k in [0, 50] makes roughly half
+    the payloads range-violating; the __payload__ pseudo-rule row is
+    zero-inclusive (clean payloads are PROVEN clean, not absent)."""
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    counted = json_violation_counts_stream(
+        stream,
+        [
+            dv.JsonFieldRule(
+                field="k", required=True, dtype="integer",
+                min_value=0, max_value=50,
+            )
+        ],
+        col="props",
+        time_col="ts",
+        window_duration="1 day",
+        watermark_delay="2 days",
+    )
+    name = _run_stream_to_memory(counted, "jvc", mode="complete")
+    return spark.table(name).select(
+        "window_start", "rule", "n_violations", "n_rows"
+    )
+
+
 def _stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     lifetime per-key violation totals. After availableNow drains the
@@ -3318,6 +3349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": _embedding_norms,
         "embedding_drift_labels": _embedding_drift_labels,
         "stream_violation_counts": _stream_violation_counts,
+        "stream_json_contract_events": _stream_json_contract_events,
         "stream_category_drift": _stream_category_drift,
         "near_dedup_cluster_census": _near_dedup_cluster_census,
         "stream_numeric_drift": _stream_numeric_drift,
@@ -5899,6 +5931,42 @@ def oracle_sql() -> dict[str, str]:
                        AND event_type NOT IN ('click','view','purchase','signup')),
                    count(*)
             FROM events GROUP BY 1
+        """,
+        # batch replay of the streaming JSON-contract windows: k rule
+        # (required integer in [0,50]) + zero-inclusive __payload__ row
+        "stream_json_contract_events": """
+            WITH f AS (
+              SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w,
+                     props AS j,
+                     CASE WHEN props IS NULL THEN FALSE
+                          WHEN NOT json_valid(props) THEN FALSE
+                          WHEN json_type(props) != 'OBJECT' THEN FALSE
+                          ELSE TRUE END AS valid
+              FROM events
+            ), d AS (
+              SELECT w, j, valid,
+                     TRY_CAST(CASE WHEN valid THEN
+                         json_extract_string(j, '$.k') END AS DOUBLE) AS dk,
+                     CASE WHEN valid THEN
+                         json_extract_string(j, '$.k') END AS vk
+              FROM f
+            )
+            SELECT w AS window_start, '$.k' AS rule,
+                   CAST(count(*) FILTER (WHERE
+                        (valid AND vk IS NULL)
+                        OR (valid AND vk IS NOT NULL
+                            AND (dk IS NULL OR floor(dk) != dk))
+                        OR (valid AND vk IS NOT NULL AND dk IS NOT NULL
+                            AND (dk < 0 OR dk > 50))) AS BIGINT)
+                       AS n_violations,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM d GROUP BY 1
+            UNION ALL
+            SELECT w, '__payload__',
+                   CAST(count(*) FILTER (WHERE j IS NOT NULL AND NOT valid)
+                        AS BIGINT),
+                   CAST(count(*) AS BIGINT)
+            FROM d GROUP BY 1
         """,
         # token-ID drift: identical portable hash (top-60-bit md5 mod 4096)
         # and identical eps/rounding on both engines; the inner round(...,9)

@@ -6,6 +6,7 @@ from .validate_stream import (
     category_drift_stream,
     histogram_drift_stream,
     validate_each_batch,
+    json_violation_counts_stream,
     violation_counts_stream,
     violation_running_totals,
 )
@@ -18,5 +19,6 @@ __all__ = [
     "deduplicate_stream_by_content",
     "validate_each_batch",
     "violation_counts_stream",
+    "json_violation_counts_stream",
     "violation_running_totals",
 ]

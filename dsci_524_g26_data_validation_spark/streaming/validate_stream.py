@@ -35,6 +35,7 @@ __all__ = [
     "category_drift_stream",
     "histogram_drift_stream",
     "violation_counts_stream",
+    "json_violation_counts_stream",
     "violation_running_totals",
     "validate_each_batch",
     "BatchVerdict",
@@ -105,6 +106,76 @@ def violation_counts_stream(
             "column",
             "kind",
             "facet",
+            "n_violations",
+            "n_rows",
+        )
+    )
+
+
+def json_violation_counts_stream(
+    stream_df: DataFrame,
+    rules,
+    *,
+    col: str = "props",
+    time_col: str,
+    window_duration: str = "1 minute",
+    watermark_delay: str = "5 minutes",
+) -> DataFrame:
+    """Streaming per-window JSON payload contract monitor — the
+    :mod:`..operators.json_contract` facets on an event stream.
+
+    Output: ``(window_start, window_end, rule, n_violations, n_rows)``,
+    one row per (window, rule) plus the ``__payload__`` pseudo-rule
+    (malformed / non-object payloads). Same shape and late-data
+    contract as :func:`violation_counts_stream`: every rule's facets
+    evaluate as Catalyst predicates in ONE codegen projection, the
+    watermark bounds window state, and only (window, rule) partial
+    counts shuffle.
+    """
+    from ..operators.json_contract import (
+        PAYLOAD_RULE,
+        _facet_exprs,
+        _violated_expr,
+    )
+
+    if not rules:
+        raise ValueError(
+            "json_violation_counts_stream requires at least one rule"
+        )
+    payload = F.col(f"`{col}`")
+    valid = F.json_object_keys(payload).isNotNull()
+    entries = [
+        F.struct(
+            F.lit(PAYLOAD_RULE).alias("rule"),
+            (payload.isNotNull() & ~valid).cast("int").alias("viol"),
+        )
+    ]
+    for r in rules:
+        facets = _facet_exprs(valid, payload, r)
+        entries.append(
+            F.struct(
+                F.lit(r.label).alias("rule"),
+                _violated_expr(facets, r).cast("int").alias("viol"),
+            )
+        )
+    exploded = (
+        stream_df.withWatermark(time_col, watermark_delay)
+        .select(
+            F.col(time_col).alias("_ts"),
+            F.explode(F.array(*entries)).alias("e"),
+        )
+        .select("_ts", "e.rule", "e.viol")
+    )
+    return (
+        exploded.groupBy(F.window("_ts", window_duration).alias("w"), "rule")
+        .agg(
+            F.sum("viol").cast("bigint").alias("n_violations"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "rule",
             "n_violations",
             "n_rows",
         )

@@ -429,3 +429,66 @@ def test_boolean_baseline_matches_batch_capture(spark, tmp_path):
     # identical data vs its own baseline: zero drift, zero novel mass
     assert r["novel_frac"] == 0.0
     assert r["psi"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_json_violation_counts_stream(spark, tmp_path):
+    """Windowed JSON payload monitor: per-minute per-rule violation
+    counts match the hand-planted payload faults; the __payload__ row is
+    zero-inclusive for the clean minute."""
+    import datetime as dt2
+
+    from dsci_524_g26_data_validation_spark import JsonFieldRule
+    from dsci_524_g26_data_validation_spark.streaming import (
+        json_violation_counts_stream,
+    )
+
+    base = dt2.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(60):
+        minute = i % 2
+        if minute == 0:
+            props = '{"k": 5}'                      # clean
+        else:
+            props = (
+                "not json" if i % 10 == 1           # payload rot
+                else '{"k": 9999}' if i % 10 == 3   # range
+                else '{"k": 5}'
+            )
+        rows.append(
+            (i, base + dt2.timedelta(minutes=minute, seconds=i % 50), props)
+        )
+    schema = "event_id bigint, ts timestamp, props string"
+    path = str(tmp_path / "json_events_in")
+    spark.createDataFrame(rows, schema).repartition(2).write.parquet(path)
+
+    stream = spark.readStream.schema(schema).parquet(path)
+    counted = json_violation_counts_stream(
+        stream,
+        [JsonFieldRule(field="k", required=True, dtype="integer",
+                       min_value=0, max_value=100)],
+        col="props",
+        time_col="ts",
+        window_duration="1 minute",
+        watermark_delay="5 minutes",
+    )
+    q = (
+        counted.writeStream.format("memory")
+        .queryName("jvc_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_jvc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {
+        (r["window_start"].minute, r["rule"]): r.asDict()
+        for r in spark.table("jvc_test").collect()
+    }
+    # minute 0: 30 clean rows, no violations anywhere
+    assert out[(0, "$.k")]["n_violations"] == 0
+    assert out[(0, "__payload__")]["n_violations"] == 0
+    assert out[(0, "$.k")]["n_rows"] == 30
+    # minute 1 (odd i): i%10==1 -> 6 payload-rot rows; i%10==3 -> 6 range
+    assert out[(1, "__payload__")]["n_violations"] == 6
+    assert out[(1, "$.k")]["n_violations"] == 6
+    assert out[(1, "$.k")]["n_rows"] == 30
