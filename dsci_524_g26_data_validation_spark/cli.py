@@ -48,6 +48,10 @@ Commands (input = parquet path or catalog/Iceberg table name):
     interleave --input T --order-col C [--shard-col C] [--source-col C]
               (training-order mixing census: per-shard run lengths,
               entropy, JS divergence vs the global source mix)
+    datacard  --input T [--text-col C] [--id-col C] [--source-col C]
+              [--output PATH]   (one-command dataset card: column
+              profile + source shares + text/quality summary + exact-
+              dup estimate, each section one fused pass)
 
 Every command prints ONE JSON report to stdout (machine-parseable; logs
 go to stderr) and exits 0/1 per the verdict when --fail is given.
@@ -330,6 +334,14 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--order-col", required=True)
     p.add_argument("--source-col", default="source")
 
+    p = sub.add_parser("datacard")
+    p.add_argument("--input", required=True)
+    p.add_argument("--text-col", default=None)
+    p.add_argument("--id-col", default=None)
+    p.add_argument("--source-col", default=None)
+    p.add_argument("--output", default=None,
+                   help="also write the card JSON to this path")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "compare":  # driver-only: no SparkSession needed
@@ -426,6 +438,96 @@ def main(argv: Optional[list] = None) -> int:
         return 0
 
     df = load_table(spark, args.input)
+
+    if args.cmd == "datacard":
+        # one-command dataset card: compose the engine's censuses into a
+        # single JSON report — each section is one existing operator,
+        # each a bounded number of fused jobs
+        from .operators.infer import infer_profile
+
+        prof = infer_profile(df)
+        card: dict = {
+            "n_rows": prof.n_rows,
+            "n_columns": len(prof.columns),
+            "columns": {
+                col: {
+                    "dtype": p_.dtype,
+                    "null_frac": p_.null_frac,
+                    "approx_distinct": p_.approx_distinct,
+                    "min": p_.min_value,
+                    "max": p_.max_value,
+                    "quantiles": (
+                        list(p_.quantiles) if p_.quantiles else None
+                    ),
+                }
+                for col, p_ in prof.columns.items()
+            },
+        }
+        if args.source_col:
+            from pyspark.sql import functions as SF
+
+            shares = (
+                df.groupBy(args.source_col)
+                .agg(SF.count(SF.lit(1)).alias("n"))
+                .orderBy(SF.desc("n"))
+                .limit(50)
+                .collect()
+            )
+            total = prof.n_rows or 1
+            card["sources"] = [
+                {"source": r[args.source_col], "n_rows": r["n"],
+                 "share": round(r["n"] / total, 6)}
+                for r in shares
+            ]
+        if args.text_col:
+            from pyspark.sql import functions as SF
+
+            from .operators.text import (
+                char_entropy_expr,
+                quality_score_expr,
+                token_count_expr,
+            )
+
+            t = SF.col(args.text_col)
+            row = df.agg(
+                SF.round(SF.avg(SF.length(t)), 2).alias("avg_chars"),
+                SF.round(SF.avg(token_count_expr(t)), 2).alias("avg_words"),
+                SF.round(SF.avg(quality_score_expr(t)), 4).alias(
+                    "avg_quality"
+                ),
+                SF.round(SF.avg(char_entropy_expr(t)), 4).alias(
+                    "avg_char_entropy"
+                ),
+                SF.count_if(t.isNull() | (SF.length(t) == 0)).alias(
+                    "n_empty"
+                ),
+            ).collect()[0]
+            card["text"] = {k: row[k] for k in row.asDict()}
+            if args.id_col:
+                from .operators.dedup import content_digest_expr
+
+                dup = df.agg(
+                    SF.count(t).alias("n"),
+                    SF.approx_count_distinct(
+                        content_digest_expr([args.text_col])
+                    ).alias("approx_distinct_texts"),
+                ).collect()[0]
+                n = int(dup["n"]) or 1
+                card["dedup"] = {
+                    "n_texts": n,
+                    "approx_distinct_texts": int(
+                        dup["approx_distinct_texts"]
+                    ),
+                    "approx_exact_dup_frac": round(
+                        max(0.0, 1.0 - dup["approx_distinct_texts"] / n), 6
+                    ),
+                }
+        out_json = json.dumps(card, sort_keys=True, default=str)
+        if args.output:
+            with open(args.output, "w") as f:
+                f.write(out_json)
+        print(out_json)
+        return 0
 
     if args.cmd == "suggest":
         from .operators.advisor import suggest_bounds, suggest_contract

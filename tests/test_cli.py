@@ -555,3 +555,21 @@ def test_cli_interleave(spark, sf_dir, capsys):
         rep = _last_json(capsys)
         assert rep["n_shards"] == 4
         assert all("max_run" in s and "entropy" in s for s in rep["shards"])
+
+
+def test_cli_datacard(spark, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "card.json")
+    assert main(["datacard", "--input", f"{sf_dir}/documents.parquet",
+                 "--text-col", "text", "--id-col", "doc_id",
+                 "--source-col", "source", "--output", out]) == 0
+    card = _last_json(capsys)
+    assert card["n_rows"] > 0 and "doc_id" in card["columns"]
+    assert card["sources"] and abs(
+        sum(s["share"] for s in card["sources"]) - 1.0
+    ) < 0.01
+    assert card["text"]["avg_words"] > 0
+    assert 0.0 <= card["dedup"]["approx_exact_dup_frac"] < 1.0
+    import json as _json
+
+    with open(out) as f:
+        assert _json.load(f) == card
