@@ -442,9 +442,9 @@ def main(argv: Optional[list] = None) -> int:
     if args.cmd == "datacard":
         # one-command dataset card: compose the engine's censuses into a
         # single JSON report — each section is one existing operator,
-        # each a bounded number of fused jobs
-        from .operators.infer import infer_profile
-
+        # each a bounded number of fused jobs (infer_profile is the
+        # module-level import — a local re-import here would shadow it
+        # for the whole function, breaking the infer branch)
         prof = infer_profile(df)
         card: dict = {
             "n_rows": prof.n_rows,
