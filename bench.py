@@ -123,7 +123,16 @@ def reset_quiet_budget() -> None:
 
 def write_token_tables(spark, n_rows: int, workdir: str) -> None:
     """Materialize the dirty + reference token tables (NOT timed)."""
-    import dsci_524_g26_data_validation_spark as dv
+    # direct module imports (not the package namespace): the build
+    # fingerprint is the import closure of exactly these modules, so
+    # the timed path and the fingerprint can never disagree
+    import importlib
+
+    # import_module, not `import ... as`: sources/__init__ re-exports a
+    # FUNCTION named token_table that shadows the module attribute
+    dv = importlib.import_module(
+        "dsci_524_g26_data_validation_spark.sources.token_table"
+    )
 
     dv.token_table(
         spark,
@@ -144,7 +153,28 @@ def token_pass(
 ) -> dict:
     """North-star workload: full TableContract pass over a parquet-backed
     token table. Table build/write is NOT timed; the validation pass is."""
-    import dsci_524_g26_data_validation_spark as dv
+    import types as _t
+
+    from dsci_524_g26_data_validation_spark import types as _dvt
+    from dsci_524_g26_data_validation_spark.operators.drift import (
+        capture_histograms,
+    )
+    from dsci_524_g26_data_validation_spark.operators.table_validate import (
+        validate_table_contract,
+    )
+    from dsci_524_g26_data_validation_spark.sources.token_table import (
+        source_dim,
+    )
+
+    dv = _t.SimpleNamespace(
+        capture_histograms=capture_histograms,
+        validate_table_contract=validate_table_contract,
+        source_dim=source_dim,
+        TableContract=_dvt.TableContract,
+        Contract=_dvt.Contract,
+        ColumnRule=_dvt.ColumnRule,
+        ForeignKeyRule=_dvt.ForeignKeyRule,
+    )
 
     if not os.path.exists(f"{workdir}/tokens_dirty/_SUCCESS"):
         write_token_tables(spark, n_rows, workdir)
@@ -233,15 +263,83 @@ WARM_ROWS = 2_000_000
 _HISTORY_PATH = Path(__file__).resolve().parent / ".bench_history.json"
 
 
+def _timed_path_files() -> list:
+    """The engine files the timed workload can execute: the static
+    package-internal import closure of the timed roots (the
+    TableContract pass + the token-table source), resolved by AST walk.
+
+    Round 4 defect fix: the fingerprint used to hash EVERY package file,
+    so adding an unrelated operator (one the timed pass never imports)
+    reset the history and re-created the single-run-lottery problem the
+    estimator exists to solve. The closure is computed from the imports,
+    not a hand-kept list, so a new import on the timed path still —
+    correctly — starts a fresh history."""
+    import ast
+
+    root = Path(__file__).resolve().parent
+    pkgname = "dsci_524_g26_data_validation_spark"
+    pkgdir = root / pkgname
+
+    def resolve(mod: str):
+        """dotted package-relative module -> (file path, package parts)"""
+        p = pkgdir.joinpath(*mod.split("."))
+        if p.is_dir():
+            return p / "__init__.py", mod.split(".")
+        return p.with_suffix(".py"), mod.split(".")[:-1]
+
+    roots = [
+        "operators.table_validate",
+        "operators.drift",
+        "sources.token_table",
+        "types",
+    ]
+    seen, stack = set(), list(roots)
+    # bench.py imports the timed entry points DIRECTLY from these root
+    # modules (never through the package namespace), so the closure of
+    # the roots is exactly the code the timed pass can execute — a
+    # re-export added to the package __init__ cannot change it
+    files = set()
+    while stack:
+        m = stack.pop()
+        if m in seen:
+            continue
+        seen.add(m)
+        path, pkg_parts = resolve(m)
+        if not path.exists():
+            continue
+        files.add(path)
+        tree = ast.parse(path.read_text())
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom):
+                if node.level > 0:
+                    base = pkg_parts[: len(pkg_parts) - (node.level - 1)]
+                    if node.level - 1 > len(pkg_parts):
+                        continue
+                    head = base + (node.module.split(".") if node.module else [])
+                    target = ".".join(head)
+                    stack.append(target)
+                    for alias in node.names:
+                        stack.append(
+                            ".".join(head + [alias.name]) if head else alias.name
+                        )
+                elif node.module and node.module.startswith(pkgname):
+                    sub = node.module[len(pkgname) + 1 :]
+                    stack.append(sub)
+                    for alias in node.names:
+                        stack.append(f"{sub}.{alias.name}" if sub else alias.name)
+            elif isinstance(node, ast.Import):
+                for alias in node.names:
+                    if alias.name.startswith(pkgname):
+                        stack.append(alias.name[len(pkgname) + 1 :])
+    return sorted(files) + [root / "bench.py"]
+
+
 def _build_fingerprint() -> str:
     import hashlib
 
     root = Path(__file__).resolve().parent
     h = hashlib.sha256()
-    files = sorted(
-        (root / "dsci_524_g26_data_validation_spark").rglob("*.py")
-    ) + [root / "bench.py"]
-    for f in files:
+    for f in _timed_path_files():
         h.update(str(f.relative_to(root)).encode())
         h.update(f.read_bytes())
     return h.hexdigest()[:16]
