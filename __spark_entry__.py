@@ -3283,72 +3283,19 @@ def _near_dedup_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "profile_orders": _profile_orders,
-        "missingness_documents": _missingness_documents,
-        "range_violations_lineitem": _range_violations_lineitem,
-        "category_violations_orders": _category_violations_orders,
-        "quarantine_routing_orders": _quarantine_routing_orders,
-        "repair_census_orders": _repair_census_orders,
-        "structure_census_documents": _structure_census_documents,
-        "detok_census_documents": _detok_census_documents,
-        "detok_violations_documents": _detok_violations_documents,
-        "clipping_census_documents": _clipping_census_documents,
-        "semantic_dedup_pairs": _semantic_dedup_pairs,
-        "media_format_census": _media_format_census_q,
-        "entropy_census_documents": _entropy_census_documents,
-        "table_diff_orders": _table_diff_orders,
-        "comissingness_documents": _comissingness_documents,
-        "line_strip_documents": _line_strip_documents,
-        "monotonic_counters_events": _monotonic_counters_events,
-        "sketch_profile_orders": _sketch_profile_orders,
-        "mixture_documents": _mixture_documents,
-        "change_point_events": _change_point_events,
-        "priors_check_events": _priors_check_events,
-        "volume_calendar_events": _volume_calendar_events,
-        "robust_outliers_events": _robust_outliers_events,
-        "unseen_categories_events": _unseen_categories_events,
-        "pattern_violations_documents": _pattern_violations_documents,
-        "interval_overlaps_events": _interval_overlaps_events,
-        "null_patterns_documents": _null_patterns_documents,
-        "uniqueness_orders_custkey": _uniqueness_orders_custkey,
-        "referential_orders_customer": _referential_orders_customer,
-        "histogram_totalprice": _histogram_totalprice,
-        "ks_drift_totalprice": _ks_drift_totalprice,
-        "emd_drift_totalprice": _emd_drift_totalprice,
-        "psi_documents_source": _psi_documents_source,
-        "js_drift_documents_source": _js_drift_documents_source,
-        "repetition_by_source": _repetition_by_source,
-        "pii_by_source": _pii_by_source,
-        "pii_redacted_check": _pii_redacted_check,
-        "pack_chunks_documents": _pack_chunks_documents,
-        "sessionize_events": _sessionize_events,
-        "asof_events_orders": _asof_events_orders,
-        "freshness_events": _freshness_events,
-        "order_health_events": _order_health_events,
-        "sequence_gaps_events": _sequence_gaps_events,
-        "interarrival_users_events": _interarrival_users_events,
-        "vocab_violations_documents": _vocab_violations_documents,
-        "skew_report_orders": _skew_report_orders,
-        "heavy_hitters_lineitem": _heavy_hitters_lineitem,
-        "dedup_exact_prefix": _dedup_exact_prefix,
-        "token_stats_documents": _token_stats_documents,
-        "bpe_token_stats_documents": _bpe_token_stats_documents,
+        # Ordered for driver sampling: the driver verifies the head of
+        # this dict each round (~50 entries), so queries lacking prior
+        # driver-green evidence come first, then pre-round-4 evidence,
+        # then round-4-green entries. Every query is self-contained
+        # (takes (spark, sf_dir)); order carries no semantics.
         "top_tokens_by_source": _top_tokens_by_source,
-        "quality_by_source": _quality_by_source,
         "gopher_rules_documents": _gopher_rules_documents,
         "compression_census_documents": _compression_census_documents,
-        "langid_documents": _langid_documents,
         "langid_ngram_documents": _langid_ngram_documents,
-        "fingerprints_by_source": _fingerprints_by_source,
-        "winnow_fingerprints_documents": _winnow_fingerprints_documents,
         "span_dup_census_documents": _span_dup_census_documents,
         "top_dup_spans_documents": _top_dup_spans_documents,
-        "ntok_invariant_documents": _ntok_invariant_documents,
-        "simsearch_topk": _simsearch_topk,
         "vector_stats_embeddings": _vector_stats_embeddings,
-        "embedding_norms": _embedding_norms,
         "embedding_drift_labels": _embedding_drift_labels,
-        "stream_violation_counts": _stream_violation_counts,
         "stream_json_contract_events": _stream_json_contract_events,
         "stream_category_drift": _stream_category_drift,
         "near_dedup_cluster_census": _near_dedup_cluster_census,
@@ -3358,31 +3305,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_field_stats_events": _json_field_stats_events,
         "json_contract_events": _json_contract_events,
         "json_contract_triage_events": _json_contract_triage_events,
-        "infer_profile_documents": _infer_profile_documents,
-        "quantiles_orders": _quantiles_orders,
         "group_quantiles_documents": _group_quantiles_documents,
-        "dedup_keep_one": _dedup_keep_one,
-        "partition_verdicts_lineitem": _partition_verdicts_lineitem,
-        "violation_summary_lineitem": _violation_summary_lineitem,
-        "token_equality_documents": _token_equality_documents,
         "contamination_documents": _contamination_documents,
-        "embedding_near_dups": _embedding_near_dups,
-        "minhash_candidates": _minhash_candidates,
         "token_near_dup_documents": _token_near_dup_documents,
         "dup_source_matrix": _dup_source_matrix,
         "fuzzy_contamination_documents": _fuzzy_contamination_documents,
         "canary_census_documents": _canary_census_documents,
         "ge_adapter_orders": _ge_adapter_orders,
         "incremental_profile_orders": _incremental_profile_orders,
-        "token_contract_pass": _token_contract_pass,
-        "stream_running_totals": _stream_running_totals,
-        "near_dedup_dropped": _near_dedup_dropped,
         "near_dedup_kept": _near_dedup_kept,
         "incremental_dedup_documents": _incremental_dedup_documents,
         "stream_batch_verdicts": _stream_batch_verdicts,
         "stream_dedup_events": _stream_dedup_events,
         "ann_lsh_topk": _ann_lsh_topk,
-        "ann_ivf_topk": _ann_ivf_topk,
         "token_drift_sources": _token_drift_sources,
         "token_drift_movers_sources": _token_drift_movers_sources,
         "aggregate_checks_orders": _aggregate_checks_orders,
@@ -3441,6 +3376,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs_documents": _containment_pairs_documents,
         "edit_similarity_documents": _edit_similarity_documents,
         "near_dedup_best_survivors": _near_dedup_best_survivors,
+        "quality_by_source": _quality_by_source,
+        "langid_documents": _langid_documents,
+        "fingerprints_by_source": _fingerprints_by_source,
+        "winnow_fingerprints_documents": _winnow_fingerprints_documents,
+        "ntok_invariant_documents": _ntok_invariant_documents,
+        "simsearch_topk": _simsearch_topk,
+        "embedding_norms": _embedding_norms,
+        "stream_violation_counts": _stream_violation_counts,
+        "infer_profile_documents": _infer_profile_documents,
+        "quantiles_orders": _quantiles_orders,
+        "dedup_keep_one": _dedup_keep_one,
+        "partition_verdicts_lineitem": _partition_verdicts_lineitem,
+        "violation_summary_lineitem": _violation_summary_lineitem,
+        "token_equality_documents": _token_equality_documents,
+        "embedding_near_dups": _embedding_near_dups,
+        "minhash_candidates": _minhash_candidates,
+        "token_contract_pass": _token_contract_pass,
+        "stream_running_totals": _stream_running_totals,
+        "near_dedup_dropped": _near_dedup_dropped,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "profile_orders": _profile_orders,
+        "missingness_documents": _missingness_documents,
+        "range_violations_lineitem": _range_violations_lineitem,
+        "category_violations_orders": _category_violations_orders,
+        "quarantine_routing_orders": _quarantine_routing_orders,
+        "repair_census_orders": _repair_census_orders,
+        "structure_census_documents": _structure_census_documents,
+        "detok_census_documents": _detok_census_documents,
+        "detok_violations_documents": _detok_violations_documents,
+        "clipping_census_documents": _clipping_census_documents,
+        "semantic_dedup_pairs": _semantic_dedup_pairs,
+        "media_format_census": _media_format_census_q,
+        "entropy_census_documents": _entropy_census_documents,
+        "table_diff_orders": _table_diff_orders,
+        "comissingness_documents": _comissingness_documents,
+        "line_strip_documents": _line_strip_documents,
+        "monotonic_counters_events": _monotonic_counters_events,
+        "sketch_profile_orders": _sketch_profile_orders,
+        "mixture_documents": _mixture_documents,
+        "change_point_events": _change_point_events,
+        "priors_check_events": _priors_check_events,
+        "volume_calendar_events": _volume_calendar_events,
+        "robust_outliers_events": _robust_outliers_events,
+        "unseen_categories_events": _unseen_categories_events,
+        "pattern_violations_documents": _pattern_violations_documents,
+        "interval_overlaps_events": _interval_overlaps_events,
+        "null_patterns_documents": _null_patterns_documents,
+        "uniqueness_orders_custkey": _uniqueness_orders_custkey,
+        "referential_orders_customer": _referential_orders_customer,
+        "histogram_totalprice": _histogram_totalprice,
+        "ks_drift_totalprice": _ks_drift_totalprice,
+        "emd_drift_totalprice": _emd_drift_totalprice,
+        "psi_documents_source": _psi_documents_source,
+        "js_drift_documents_source": _js_drift_documents_source,
+        "repetition_by_source": _repetition_by_source,
+        "pii_by_source": _pii_by_source,
+        "pii_redacted_check": _pii_redacted_check,
+        "pack_chunks_documents": _pack_chunks_documents,
+        "sessionize_events": _sessionize_events,
+        "asof_events_orders": _asof_events_orders,
+        "freshness_events": _freshness_events,
+        "order_health_events": _order_health_events,
+        "sequence_gaps_events": _sequence_gaps_events,
+        "interarrival_users_events": _interarrival_users_events,
+        "vocab_violations_documents": _vocab_violations_documents,
+        "skew_report_orders": _skew_report_orders,
+        "heavy_hitters_lineitem": _heavy_hitters_lineitem,
+        "dedup_exact_prefix": _dedup_exact_prefix,
+        "token_stats_documents": _token_stats_documents,
+        "bpe_token_stats_documents": _bpe_token_stats_documents,
     }
 
 
