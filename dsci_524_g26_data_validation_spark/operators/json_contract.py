@@ -5,8 +5,9 @@ contract cannot address (reference ``validate_contract.py`` validates
 named columns only; this is an engine extension like
 :class:`~..types.ConditionalRule`): per-field required / dtype / range /
 domain / pattern rules over a JSON string column, compiled entirely to
-Catalyst (``get_json_object`` + ``try_cast`` + predicates) — the
-JSON-Schema-shaped subset that is exactly replicable in ANSI SQL.
+Catalyst (one ``from_json`` parse with a string-leaf schema shared by
+every rule + ``try_cast`` + predicates) — the JSON-Schema-shaped subset
+that is exactly replicable in ANSI SQL.
 
 At-scale shape (the module's reason to exist at 100 TB):
 
@@ -46,19 +47,22 @@ oracle) and documented as the operator's contract:
 
 from __future__ import annotations
 
-from typing import List, Mapping, Sequence
+from typing import List, Mapping, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..types import Issue, JsonFieldRule
 
 __all__ = [
     "JsonFieldRule",
     "PAYLOAD_RULE",
+    "PARSED_COL",
     "json_contract_report",
     "json_contract_violations",
     "json_contract_check_terms",
+    "json_contract_pre_columns",
     "evaluate_json_contract_checks",
 ]
 
@@ -80,13 +84,114 @@ _FACETS = ("missing", "type", "range", "domain", "pattern")
 # contains-match pattern (Java ∩ RE2 subset).
 
 
+#: trie leaf sentinel for the merged extraction schema
+_LEAF = object()
+
+
+def _merged_schema(rules: Sequence[JsonFieldRule]) -> Optional[T.StructType]:
+    """Merge every rule's dot path into ONE nested struct-of-strings
+    schema so the whole contract extracts from a single ``from_json``
+    parse. Returns None when the paths conflict (some field is both a
+    leaf and a prefix of another rule's path) — the caller then falls
+    back to per-rule ``get_json_object``."""
+    root: dict = {}
+    for r in rules:
+        segs = r.field.split(".")
+        node = root
+        for s in segs[:-1]:
+            child = node.get(s)
+            if child is _LEAF:
+                return None
+            if child is None:
+                child = node[s] = {}
+            node = child
+        existing = node.get(segs[-1])
+        if existing is not None and existing is not _LEAF:
+            return None
+        node[segs[-1]] = _LEAF
+
+    def to_struct(node: dict) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(
+                    k,
+                    T.StringType() if v is _LEAF else to_struct(v),
+                    True,
+                )
+                for k, v in node.items()
+            ]
+        )
+
+    return to_struct(root)
+
+
+#: projected helper-column name carrying the shared from_json parse
+PARSED_COL = "__json_parsed__"
+
+
+def json_contract_pre_columns(
+    rules: Sequence[JsonFieldRule], *, col: str = "props"
+) -> dict:
+    """Projection column materializing the shared JSON parse ONCE.
+
+    Returns ``{PARSED_COL: from_json(col, merged_schema)}`` to add via
+    ``df.withColumns`` BEFORE the facet expressions are evaluated — or
+    ``{}`` when the rule paths conflict (the facets then fall back to
+    per-rule ``get_json_object``).
+
+    Why a real projection instead of inlining ``from_json`` into every
+    term: Catalyst's JSON schema pruning rewrites each
+    ``from_json(...).field`` access to a per-field pruned parse, so k
+    inlined accesses become k distinct (non-CSE-able) parses again. A
+    projected column is multi-referenced and non-cheap, so
+    ``CollapseProject`` keeps it as one expression — the executed plan
+    carries exactly one JSON parse per payload column regardless of how
+    many fields the contract declares.
+    """
+    schema = _merged_schema(rules)
+    if schema is None:
+        return {}
+    return {PARSED_COL: F.from_json(F.col(f"`{col}`"), schema)}
+
+
+def _rule_values(
+    payload: Column,
+    rules: Sequence[JsonFieldRule],
+    parsed: Optional[Column] = None,
+) -> List[Column]:
+    """Per-rule extracted-value columns from ONE JSON parse.
+
+    The scale fix for this module's dominant cost: k rules used to mean
+    k ``GetJsonObject`` parses of the same payload string per row; now
+    every rule reads a struct field off a single ``from_json`` with a
+    string-leaf schema (``parsed``, materialized by
+    :func:`json_contract_pre_columns`), so the payload is tokenized
+    once per row no matter how many fields the contract declares.
+    Rendering semantics are unchanged — for non-string JSON values both
+    ``get_json_object`` and the string-typed ``from_json`` leaf
+    serialize the value through the same Jackson copy-event path
+    (numbers/booleans/nested objects render identically, JSON null
+    stays NULL), which is what the DuckDB oracle pins. Conflicting rule
+    paths (a field that is both a leaf and a parent) cannot share one
+    struct schema and fall back to per-rule ``get_json_object``."""
+    if parsed is None:
+        return [F.get_json_object(payload, f"$.{r.field}") for r in rules]
+    out: List[Column] = []
+    for r in rules:
+        v: Column = parsed
+        for s in r.field.split("."):
+            v = v.getField(s)
+        out.append(v)
+    return out
+
+
 def _facet_exprs(
-    valid: Column, payload: Column, rule: JsonFieldRule
+    valid: Column, v: Column, rule: JsonFieldRule
 ) -> List[Column]:
     """Boolean facet columns [missing, type, range, domain, pattern]
-    for one rule — missing is raw presence (required-ness is applied by
-    the caller), the rest are violations. Pure Catalyst."""
-    v = F.get_json_object(payload, f"$.{rule.field}")
+    for one rule over its extracted value ``v`` (from
+    :func:`_rule_values`) — missing is raw presence (required-ness is
+    applied by the caller), the rest are violations. Pure Catalyst."""
     d = v.try_cast("double")
     present = valid & v.isNotNull()
     missing = valid & v.isNull()
@@ -177,18 +282,26 @@ def json_contract_report(
         )
     else:
         terms.append(F.lit(0).cast("bigint").alias("p_extra"))
-    for i, r in enumerate(rules):
-        facets = _facet_exprs(valid, payload, r)
+    pre = json_contract_pre_columns(rules, col=col)
+    values = _rule_values(
+        payload, rules, parsed=F.col(PARSED_COL) if pre else None
+    )
+    for i, (r, v) in enumerate(zip(rules, values)):
+        facets = _facet_exprs(valid, v, r)
         for fname, fexpr in zip(_FACETS, facets):
             terms.append(F.count_if(fexpr).alias(f"r{i}_{fname}"))
         terms.append(
             F.count_if(_violated_expr(facets, r)).alias(f"r{i}_bad")
         )
 
-    agg = df.agg(*terms)
+    agg = (df.withColumns(pre) if pre else df).agg(*terms)
 
-    def q(s: str) -> str:  # SQL string literal (quote-doubled)
-        return "'" + s.replace("'", "''") + "'"
+    def q(s: str) -> str:
+        # SQL string literal: double quotes AND backslashes — Spark's
+        # default non-ANSI parser treats backslash as an escape inside
+        # string literals, so a raw backslash in a rule label would
+        # corrupt the stack() pivot's label (or fail to parse)
+        return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
     rows = [
         f"{q(PAYLOAD_RULE)}, {q(col)}, p_all, p_null, p_invalid,"
@@ -261,7 +374,6 @@ def json_contract_violations(
     valid = F.json_object_keys(payload).isNotNull()
 
     labels: List[Column] = []
-    flags: List[Column] = []
     bad_payload = payload.isNotNull() & ~valid
     labels.append(
         F.when(
@@ -272,49 +384,48 @@ def json_contract_violations(
             ),
         )
     )
-    flags.append(bad_payload.alias("v_payload"))
-    for i, r in enumerate(rules):
-        facets = _facet_exprs(valid, payload, r)
+    pre = json_contract_pre_columns(rules, col=col)
+    values = _rule_values(
+        payload, rules, parsed=F.col(PARSED_COL) if pre else None
+    )
+    for r, v in zip(rules, values):
+        facets = _facet_exprs(valid, v, r)
         first_fail = F.lit(None).cast("string")
         order = list(zip(_FACETS, facets))
         if not r.required:
             order = order[1:]  # missing never fails a non-required rule
         for fname, fexpr in reversed(order):
             first_fail = F.when(fexpr, F.lit(fname)).otherwise(first_fail)
-        violated = _violated_expr(facets, r)
         labels.append(
             F.when(
-                violated,
+                _violated_expr(facets, r),
                 F.struct(
                     F.lit(r.label).alias("rule"),
                     first_fail.alias("facet"),
                 ),
             )
         )
-        flags.append(violated.alias(f"v{i}"))
 
-    packed = F.array(*labels)
-    # one projection evaluates every facet; flags + packed labels are
-    # materialized together so the disjunction filter and the explode
-    # both read the already-computed columns (no re-evaluation)
-    projected = df.select(
+    # Null labels drop inside the array, so clean rows pack an EMPTY
+    # array; explode_outer turns them into a single NULL row that the
+    # post-explode guard removes. Row multiplication still applies only
+    # to dirty rows. Why this exact shape and not a pre-explode
+    # disjunction filter or a plain explode: either of those puts a
+    # filter below/above the Generate that the optimizer pushes through
+    # the parse projection by SUBSTITUTING the facet expressions, which
+    # splits the single from_json back into per-field pruned parses on
+    # every row. The isnotnull(_v) guard references the generator
+    # output, so it can never be pushed below the Generate — the
+    # executed plan keeps exactly ONE JSON parse per payload column.
+    packed = F.filter(F.array(*labels), lambda x: x.isNotNull())
+    projected = (df.withColumns(pre) if pre else df).select(
         *[F.col(f"`{c}`") for c in id_cols],
-        *flags,
         packed.alias("_packed"),
     )
-    flag_names = ["v_payload"] + [f"v{i}" for i in range(len(rules))]
-    any_bad = F.col(flag_names[0])
-    for n in flag_names[1:]:
-        any_bad = any_bad | F.col(n)
     return (
-        projected.filter(any_bad)
-        .select(
+        projected.select(
             *[F.col(f"`{c}`") for c in id_cols],
-            # explode_outer + null guard: the any_bad pre-filter
-            # guarantees >=1 label so no null row survives the guard
-            F.explode_outer(
-                F.filter(F.col("_packed"), lambda x: x.isNotNull())
-            ).alias("_v"),
+            F.explode_outer(F.col("_packed")).alias("_v"),
         )
         .filter(F.col("_v").isNotNull())
         .select(
@@ -326,21 +437,32 @@ def json_contract_violations(
 
 
 def json_contract_check_terms(
-    rules: Sequence[JsonFieldRule], *, col: str = "props"
+    rules: Sequence[JsonFieldRule],
+    *,
+    col: str = "props",
+    use_parsed: bool = False,
 ) -> List[Column]:
     """Fused-aggregation terms for TableContract integration: per rule,
     ``jr{i}_app`` (valid-object payload rows) and ``jr{i}_bad``
     (violating rows), plus ``jr_payload_bad`` (malformed / non-object
     payloads). Append to the fused pass's ``extra_terms`` — JSON payload
     rules then ride the SAME single scan as the column stats, exactly
-    like :func:`~.conditional.conditional_check_terms`."""
+    like :func:`~.conditional.conditional_check_terms`.
+
+    Pass ``use_parsed=True`` when the caller also feeds
+    :func:`json_contract_pre_columns` (non-empty) into the fused pass's
+    ``pre_columns`` — the terms then read the materialized single-parse
+    struct instead of re-parsing per rule."""
     payload = F.col(f"`{col}`")
     valid = F.json_object_keys(payload).isNotNull()
     terms: List[Column] = [
         F.count_if(payload.isNotNull() & ~valid).alias("jr_payload_bad")
     ]
-    for i, r in enumerate(rules):
-        facets = _facet_exprs(valid, payload, r)
+    values = _rule_values(
+        payload, rules, parsed=F.col(PARSED_COL) if use_parsed else None
+    )
+    for i, (r, v) in enumerate(zip(rules, values)):
+        facets = _facet_exprs(valid, v, r)
         terms.append(F.count_if(valid).alias(f"jr{i}_app"))
         terms.append(
             F.count_if(_violated_expr(facets, r)).alias(f"jr{i}_bad")

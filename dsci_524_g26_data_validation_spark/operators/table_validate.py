@@ -48,6 +48,7 @@ from .conditional import conditional_check_terms, evaluate_conditional_checks
 from .json_contract import (
     evaluate_json_contract_checks,
     json_contract_check_terms,
+    json_contract_pre_columns,
 )
 from .drift import drift_scores_from_counts, fused_drift_terms
 from .referential import referential_violations
@@ -138,9 +139,13 @@ def validate_table_contract(
     ]
     extra_terms.extend(aggregate_check_terms(tc.checks))
     extra_terms.extend(conditional_check_terms(tc.conditionals))
+    json_pre: Dict[str, object] = {}
     if tc.json_rules:
+        json_pre = json_contract_pre_columns(tc.json_rules, col=tc.json_col)
         extra_terms.extend(
-            json_contract_check_terms(tc.json_rules, col=tc.json_col)
+            json_contract_check_terms(
+                tc.json_rules, col=tc.json_col, use_parsed=bool(json_pre)
+            )
         )
     drift_decode = None
     if tc.histograms:
@@ -171,6 +176,7 @@ def validate_table_contract(
         strict=strict,
         extra_terms=extra_terms,
         category_observed="invalid_only",
+        pre_columns=json_pre or None,
     )
     issues.extend(col_result.issues)
 

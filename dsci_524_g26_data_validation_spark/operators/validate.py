@@ -78,6 +78,7 @@ def validate_contract_fused(
     strict: bool = True,
     extra_terms: Optional[List] = None,
     category_observed: str = "full",
+    pre_columns: Optional[Dict[str, object]] = None,
 ):
     """validate_contract + caller-supplied aggregate terms in the SAME
     single scan.
@@ -88,6 +89,13 @@ def validate_contract_fused(
     scan for ALL per-column rules + table-level counts together. Returns
     ``(ValidationResult, extras)`` where ``extras`` maps each extra
     term's alias to its aggregated value ({} when none given).
+
+    ``pre_columns`` (name → Column) are projected via ``withColumns``
+    under the phase-1 aggregate only, so an expensive expression many
+    extra_terms share (e.g. the JSON payload contract's single
+    ``from_json`` parse) evaluates once per row instead of once per
+    term. They are invisible to the schema checks (phases 0) — those
+    run against the caller's original columns.
 
     ``category_observed``:
 
@@ -155,7 +163,8 @@ def validate_contract_fused(
     extras: Dict[str, object] = {}
     observed_sets: Dict[str, set] = {}
     if plan.terms or extra_terms or cat_terms:
-        agg_df = df.agg(*plan.terms, *extra_terms, *cat_terms)
+        agg_src = df.withColumns(dict(pre_columns)) if pre_columns else df
+        agg_df = agg_src.agg(*plan.terms, *extra_terms, *cat_terms)
         row = agg_df.collect()[0]
         stats = plan.decode(row)
         n_plan, n_extra = len(plan.terms), len(extra_terms)

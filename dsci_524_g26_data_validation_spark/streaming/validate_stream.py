@@ -133,9 +133,12 @@ def json_violation_counts_stream(
     counts shuffle.
     """
     from ..operators.json_contract import (
+        PARSED_COL,
         PAYLOAD_RULE,
         _facet_exprs,
+        _rule_values,
         _violated_expr,
+        json_contract_pre_columns,
     )
 
     if not rules:
@@ -150,17 +153,26 @@ def json_violation_counts_stream(
             (payload.isNotNull() & ~valid).cast("int").alias("viol"),
         )
     ]
-    for r in rules:
-        facets = _facet_exprs(valid, payload, r)
+    # one from_json parse per row, materialized as a projected column
+    # (json_contract_pre_columns) so schema pruning can't split it back
+    # into per-rule parses; {} on conflicting paths -> get_json_object
+    pre = json_contract_pre_columns(rules, col=col)
+    values = _rule_values(
+        payload, rules, parsed=F.col(PARSED_COL) if pre else None
+    )
+    for r, v in zip(rules, values):
+        facets = _facet_exprs(valid, v, r)
         entries.append(
             F.struct(
                 F.lit(r.label).alias("rule"),
                 _violated_expr(facets, r).cast("int").alias("viol"),
             )
         )
+    src = stream_df.withWatermark(time_col, watermark_delay)
+    if pre:
+        src = src.withColumns(pre)
     exploded = (
-        stream_df.withWatermark(time_col, watermark_delay)
-        .select(
+        src.select(
             F.col(time_col).alias("_ts"),
             F.explode(F.array(*entries)).alias("e"),
         )

@@ -515,24 +515,63 @@ def test_json_contract_report_single_fused_agg(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1
 
 
-def test_json_contract_violations_prune_before_explode(spark, sf_dir):
-    """Triage must stay shuffle-free and prune clean rows BEFORE the
-    explode: the Generate node's child subtree contains the disjunction
-    Filter, so row multiplication only ever applies to dirty rows."""
+def test_json_contract_violations_single_parse(spark, sf_dir):
+    """Triage must stay shuffle-free and parse the payload exactly ONCE
+    per row no matter how many fields the contract declares: one
+    from_json in the whole plan (no per-rule get_json_object fan-out,
+    no pruned-parse copies pushed into a pre-explode filter), and the
+    clean-row guard sits ABOVE the Generate (explode_outer of the
+    null-filtered label array), where the optimizer cannot substitute
+    facet expressions back into a pushed-down filter."""
     from dsci_524_g26_data_validation_spark.operators.json_contract import (
         JsonFieldRule,
         json_contract_violations,
     )
 
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    rules = [JsonFieldRule(field="k", required=True, dtype="integer")]
+    rules = [
+        JsonFieldRule(field="k", required=True, dtype="integer"),
+        JsonFieldRule(field="tag", allowed=("a", "b")),
+        JsonFieldRule(field="sess", pattern="^s"),
+    ]
     out = json_contract_violations(e, rules, ["event_id"], col="props")
     plan = _spark_plan(out)
     assert "Exchange" not in plan
+    assert plan.count("from_json") == 1
+    assert "get_json_object" not in plan
     lines = plan.splitlines()
     gen = next(i for i, l in enumerate(lines) if "Generate" in l)
-    # plans print top-down: a Filter BELOW the Generate line is its child
-    assert any("Filter" in l for l in lines[gen + 1:])
+    # plans print top-down: the isnotnull(_v) guard is ABOVE the
+    # Generate, and no Filter anywhere re-parses the payload (a pushed
+    # pre-explode filter would carry substituted pruned from_json
+    # copies evaluated on every row)
+    assert any("Filter" in l for l in lines[:gen])
+    assert not any(
+        "Filter" in l and ("from_json" in l or "get_json_object" in l)
+        for l in lines
+    )
+
+
+def test_json_contract_report_single_parse(spark, sf_dir):
+    """The report's fused aggregate must carry exactly one JSON parse
+    per payload column — k rules ride one from_json projection, never
+    k GetJsonObject parses of the same string per row."""
+    from dsci_524_g26_data_validation_spark.operators.json_contract import (
+        JsonFieldRule,
+        json_contract_report,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rules = [
+        JsonFieldRule(field="k", required=True, dtype="integer",
+                      min_value=0, max_value=100),
+        JsonFieldRule(field="tag", allowed=("a", "b")),
+        JsonFieldRule(field="sess", pattern="^s"),
+    ]
+    rep = json_contract_report(e, rules, col="props")
+    plan = _spark_plan(rep)
+    assert plan.count("from_json") == 1
+    assert "get_json_object" not in plan
 
 
 def test_interleave_census_corpus_read_once(spark, tmp_path):
