@@ -229,7 +229,11 @@ from .operators.json_contract import (
     json_contract_violations,
 )
 from .operators.interleave import interleaving_census
-from .operators.advisor import suggest_bounds, suggest_contract
+from .operators.advisor import (
+    suggest_bounds,
+    suggest_contract,
+    suggest_contract_and_bounds,
+)
 from .operators.incremental import (
     admit_batch,
     incremental_near_dup_pairs,
@@ -314,6 +318,7 @@ __all__ = [
     "interleaving_census",
     "suggest_bounds",
     "suggest_contract",
+    "suggest_contract_and_bounds",
     "centroid_vector",
     "embedding_outlier_census",
     "embedding_outlier_topk",

@@ -503,25 +503,26 @@ def main(argv: Optional[list] = None) -> int:
                 ),
             ).collect()[0]
             card["text"] = {k: row[k] for k in row.asDict()}
-            if args.id_col:
-                from .operators.dedup import content_digest_expr
+            # dedup estimate needs only the text digest — no id column
+            from .operators.dedup import content_digest_expr
 
-                dup = df.agg(
-                    SF.count(t).alias("n"),
-                    SF.approx_count_distinct(
-                        content_digest_expr([args.text_col])
-                    ).alias("approx_distinct_texts"),
-                ).collect()[0]
-                n = int(dup["n"]) or 1
-                card["dedup"] = {
-                    "n_texts": n,
-                    "approx_distinct_texts": int(
-                        dup["approx_distinct_texts"]
-                    ),
-                    "approx_exact_dup_frac": round(
-                        max(0.0, 1.0 - dup["approx_distinct_texts"] / n), 6
-                    ),
-                }
+            dup = df.agg(
+                SF.count(t).alias("n"),
+                SF.approx_count_distinct(
+                    content_digest_expr([args.text_col])
+                ).alias("approx_distinct_texts"),
+            ).collect()[0]
+            n = int(dup["n"])
+            distinct = int(dup["approx_distinct_texts"])
+            card["dedup"] = {
+                "n_texts": n,
+                "approx_distinct_texts": distinct,
+                # guard only the division: an empty corpus has a dup
+                # fraction of 0.0, not 1.0
+                "approx_exact_dup_frac": (
+                    round(max(0.0, 1.0 - distinct / n), 6) if n else 0.0
+                ),
+            }
         out_json = json.dumps(card, sort_keys=True, default=str)
         if args.output:
             with open(args.output, "w") as f:
@@ -530,9 +531,12 @@ def main(argv: Optional[list] = None) -> int:
         return 0
 
     if args.cmd == "suggest":
-        from .operators.advisor import suggest_bounds, suggest_contract
+        from .operators.advisor import suggest_contract_and_bounds
 
-        contract = suggest_contract(
+        # one quantile + violation pass feeds BOTH the written contract
+        # and the printed report — they can never observe different
+        # snapshots of a concurrently-written table
+        contract, bounds = suggest_contract_and_bounds(
             df,
             violation_budget=args.budget,
             max_categories=args.max_categories,
@@ -540,12 +544,7 @@ def main(argv: Optional[list] = None) -> int:
         )
         with open(args.output, "w") as f:
             f.write(contract_to_json(contract, indent=2))
-        numeric = [
-            r.asDict()
-            for r in suggest_bounds(
-                df, violation_budget=args.budget, approx=args.approx
-            ).collect()
-        ]
+        numeric = [r.asDict() for r in bounds.collect()]
         print(json.dumps(
             {"written": args.output, "n_columns": len(contract.columns),
              "violation_budget": args.budget, "bounds": numeric},

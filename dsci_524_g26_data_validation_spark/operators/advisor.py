@@ -45,7 +45,11 @@ from ..plans.rule_compiler import is_numeric_spark_type
 from ..types import Contract
 from .infer import DEFAULT_MAX_CATEGORIES, infer_contract
 
-__all__ = ["suggest_bounds", "suggest_contract"]
+__all__ = [
+    "suggest_bounds",
+    "suggest_contract",
+    "suggest_contract_and_bounds",
+]
 
 
 def _numeric_cols(df: DataFrame, cols: Optional[Sequence[str]]) -> List[str]:
@@ -148,8 +152,11 @@ def suggest_bounds(
     rows = _suggest_raw(
         df, names, violation_budget, approx=approx, accuracy=accuracy
     )
+    return _bounds_report(df.sparkSession, rows)
 
-    spark = df.sparkSession
+
+def _bounds_report(spark, rows: List[tuple]) -> DataFrame:
+    """Render :func:`_suggest_raw` rows as the suggest_bounds report."""
     raw = spark.createDataFrame(
         sorted(rows),
         "column string, n_nonnull bigint, suggested_min double,"
@@ -190,16 +197,46 @@ def suggest_contract(
     guarded categorical domains) exactly as :func:`infer_contract`
     produces it. Columns whose quantiles come back NULL (all-NULL
     columns) keep rule bounds of None, same as inference."""
+    contract, _report = suggest_contract_and_bounds(
+        df,
+        violation_budget=violation_budget,
+        max_categories=max_categories,
+        approx=approx,
+        name=name,
+    )
+    return contract
+
+
+def suggest_contract_and_bounds(
+    df: DataFrame,
+    *,
+    violation_budget: float = 0.01,
+    max_categories: int = DEFAULT_MAX_CATEGORIES,
+    approx: bool = False,
+    accuracy: int = 10000,
+    name: str = "contract",
+):
+    """Both advisor artifacts from ONE quantile + violation-count pass:
+    ``(contract, bounds_report)``.
+
+    The contract carries the unrounded quantiles; the report renders
+    the SAME values at 6 dp with the realized violation evidence —
+    deriving both from a single :func:`_suggest_raw` halves the scans
+    and guarantees a written contract can never disagree with the
+    printed report (a concurrently-written table would otherwise let
+    the two passes observe different snapshots). Tables with no numeric
+    columns return the plain inferred contract and an empty report."""
     base = infer_contract(df, max_categories=max_categories, name=name)
     numeric = _numeric_cols(df, None)
     if not numeric:
-        return base
+        return base, _bounds_report(df.sparkSession, [])
     # unrounded bounds: a contract carries the true quantile, not the
     # 6-dp report rendering
     rows = _suggest_raw(
-        df, numeric, violation_budget, approx=approx, accuracy=10000
+        df, numeric, violation_budget, approx=approx, accuracy=accuracy
     )
     columns = dict(base.columns)
     for c, _n, lo, hi, _nb, _na in rows:
         columns[c] = replace(columns[c], min_value=lo, max_value=hi)
-    return Contract(columns=columns, name=name)
+    contract = Contract(columns=columns, name=name)
+    return contract, _bounds_report(df.sparkSession, rows)

@@ -180,7 +180,13 @@ def token_shingles_expr(tokens_col: Column | str, *, size: int = 8) -> Column:
         F.sequence(F.lit(1), F.greatest(n - size + 1, F.lit(1))),
         lambda i: F.array_join(F.slice(toks, i, size), ","),
     )
-    return F.array_distinct(sh)
+    # NULL / empty sequences shingle to an EMPTY array (never the ""
+    # or [null] singleton): a degenerate row must not band-collide, or
+    # every pair of blank rows verifies at jaccard 1.0 and floods the
+    # pair output on corpora with blank rows
+    return F.when(n > 0, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def minhash_signature_expr(
@@ -536,6 +542,12 @@ def token_near_duplicates(
     :func:`resolve_components` / :func:`deduplicate_near_best` exactly
     like text-mode pairs.
     """
+    # blank rows can never be near-dups: drop NULL/empty sequences up
+    # front (cheap scan-level predicate) so their degenerate signatures
+    # never reach the band join — paired with token_shingles_expr's
+    # empty-array convention, which keeps any that slip through other
+    # entry points from verifying at jaccard 1.0
+    df = df.filter(F.size(F.col(f"`{tokens_col}`")) > 0)
     sh = token_shingles_expr(tokens_col, size=k)
     cand = minhash_lsh_candidates(
         df,

@@ -49,6 +49,30 @@ def test_token_near_duplicates_finds_planted_pair(spark):
     assert pairs[0]["jaccard"] == round(25 / 41, 6)
 
 
+def test_blank_sequences_never_pair(spark):
+    """NULL/empty token arrays shingle to an EMPTY array and are
+    filtered before signature generation — two blank rows must NOT
+    verify as a jaccard-1.0 pair (the blank-corpus flooding bug)."""
+    df = spark.createDataFrame(
+        [(0, [1, 2, 3, 4]), (1, []), (2, []), (3, None)],
+        "doc_id bigint, tokens array<int>",
+    )
+    sh = df.select(
+        dedup.token_shingles_expr("tokens", size=3).alias("sh")
+    ).collect()
+    assert sh[1]["sh"] == [] and sh[2]["sh"] == [] and sh[3]["sh"] == []
+    pairs = dedup.token_near_duplicates(
+        df,
+        tokens_col="tokens",
+        id_col="doc_id",
+        k=3,
+        num_hashes=16,
+        bands=8,
+        threshold=0.5,
+    ).collect()
+    assert pairs == []
+
+
 def test_threshold_excludes_weak_pairs(spark):
     pairs = dedup.token_near_duplicates(
         _tokens_frame(spark),
