@@ -33,6 +33,7 @@ from ..plans.rule_compiler import (
     categorical_cast,
     compile_stats_pass,
     is_numeric_spark_type,
+    run_stats_pass,
 )
 from ..types import ColumnProfile, ColumnRule, Contract, TableProfile
 
@@ -108,29 +109,29 @@ def infer_contract(
     if not fields:
         return Contract(columns={}, name=name)
 
-    # ---- pass 1: fused profile aggregation (one scan) -------------------
-    terms = []
-    slots: Dict[str, Dict[str, str]] = {}
-
-    def add(col: str, stat: str, expr) -> None:
-        alias = f"s{len(terms)}"
-        terms.append(expr.alias(alias))
-        slots.setdefault(col, {})[stat] = alias
-
-    for f in fields:
-        c = F.col(f"`{f.name}`")
-        add(f.name, "null_frac", F.avg(c.isNull().cast("double")))
-        if is_numeric_spark_type(f.dataType):
-            add(f.name, "min", F.min(c))
-            add(f.name, "max", F.max(c))
-        if _is_categorical_like(f.dataType):
-            add(f.name, "acd", F.approx_count_distinct(c))
-
-    row = df.agg(*terms).collect()[0].asDict()
+    # ---- pass 1: fused profile aggregation (one scan), compiled by the
+    # SAME rule compiler as validation/profiling so the P1-P5 statistic
+    # semantics live in exactly one place; inference trims the profile
+    # set (no quantile sketches, HLL only where the domain guard needs
+    # it) --------------------------------------------------------------
+    base = Contract(
+        columns={
+            f.name: ColumnRule(dtype=f.dataType.simpleString()) for f in fields
+        },
+        name=name,
+    )
+    plan = compile_stats_pass(
+        df,
+        base,
+        include_profile_stats=True,
+        profile_quantiles=False,
+        profile_acd="categorical",
+    )
+    stats = run_stats_pass(df, plan)
 
     # ---- pass 2: guarded collect_set for qualifying categoricals --------
     acd = {
-        f.name: row[slots[f.name]["acd"]]
+        f.name: stats[f.name].approx_distinct
         for f in fields
         if _is_categorical_like(f.dataType)
     }
@@ -139,14 +140,14 @@ def infer_contract(
     # ---- assemble --------------------------------------------------------
     columns: Dict[str, ColumnRule] = {}
     for f in fields:
-        s = slots[f.name]
-        nf = row[s["null_frac"]]
-        missing_frac = float(nf) if nf is not None else 0.0
+        cs = stats[f.name]
+        missing_frac = float(cs.null_frac) if cs.null_frac is not None else 0.0
         min_v = max_v = None
-        if "min" in s:
-            mn, mx = row[s["min"]], row[s["max"]]
-            min_v = float(mn) if mn is not None else None
-            max_v = float(mx) if mx is not None else None
+        if is_numeric_spark_type(f.dataType):
+            if cs.min_value is not None:
+                min_v = float(cs.min_value)
+            if cs.max_value is not None:
+                max_v = float(cs.max_value)
         columns[f.name] = ColumnRule(
             dtype=f.dataType.simpleString(),
             max_missing_frac=missing_frac,

@@ -142,6 +142,8 @@ def compile_stats_pass(
     *,
     include_profile_stats: bool = False,
     exact_quantiles: bool = False,
+    profile_quantiles: bool = True,
+    profile_acd: str = "all",
 ) -> StatsPlan:
     """Compile every data-dependent check of ``contract`` into one agg list.
 
@@ -158,9 +160,20 @@ def compile_stats_pass(
     * ``acd`` (HyperLogLog++ distinct estimate) — with
       ``include_profile_stats`` (profiling P6, BASELINE.json north star).
 
+    ``profile_quantiles`` / ``profile_acd`` trim the profile-stat set
+    for the INFERENCE pass (P1-P5), which shares this compiler so the
+    per-statistic semantics live in exactly one place:
+    ``profile_quantiles=False`` drops the per-numeric-column quantile
+    sketches, and ``profile_acd="categorical"`` emits the HLL distinct
+    estimate only for string/boolean columns (the domain-guard inputs)
+    instead of every column. Both only apply with
+    ``include_profile_stats``.
+
     Aliases are positional (``s0``, ``s1`` …) so arbitrary column names
     (spaces, dots, unicode) can never collide or break resolution.
     """
+    if profile_acd not in ("all", "categorical"):
+        raise ValueError("profile_acd must be 'all' or 'categorical'")
     schema = {f.name: f.dataType for f in df.schema.fields}
     terms: List[Column] = []
     slots: Dict[str, Dict[str, str]] = {}
@@ -215,12 +228,17 @@ def compile_stats_pass(
         if include_profile_stats:
             if "nnc" not in slots.get(col, {}):
                 add(col, "nnc", F.count(c))
-            add(col, "acd", F.approx_count_distinct(c))
+            if profile_acd == "all" or isinstance(
+                dt, (T.StringType, T.BooleanType)
+            ):
+                add(col, "acd", F.approx_count_distinct(c))
             if is_numeric_spark_type(dt):
                 if "min" not in slots.get(col, {}):
                     add(col, "min", F.min(c))
                     add(col, "max", F.max(c))
-                if exact_quantiles:
+                if not profile_quantiles:
+                    pass
+                elif exact_quantiles:
                     # Exact interpolated percentiles (oracle-checkable vs
                     # DuckDB quantile_cont); distributed but holds value
                     # counts in the aggregation state — fine at test
