@@ -193,9 +193,19 @@ def key_overlap_sketch(
 
     Returns one row: ``n_keys_left_est, n_keys_right_est,
     n_union_est, n_shared_est, containment_left, containment_right,
-    jaccard_est`` where ``containment_left`` = shared/left ("what
-    fraction of my corpus keys have a dim row") — usually the number
-    the referential question actually needs.
+    jaccard_est, regime`` where ``containment_left`` = shared/left
+    ("what fraction of my corpus keys have a dim row") — usually the
+    number the referential question actually needs. ``regime`` is the
+    operator's actual product — the triage label the error contract
+    guarantees even where the estimates cannot be trusted:
+
+    * ``"contained"`` — either containment ≥ 0.9 (one side is (nearly)
+      a subset of the other; equal key sets land here);
+    * ``"disjoint"``  — jaccard ≤ 0.02 (includes TRUE small overlaps:
+      the subtraction error swamps the estimate there, and the honest
+      answer is "≈ nothing within sketch noise — run the exact report
+      if the exact small count matters");
+    * ``"overlapping"`` — everything else.
 
     Error honesty: each HLL carries ~1.04/√2^lg_k relative error
     (~0.8% at lg_k=14), but inclusion–exclusion SUBTRACTS estimates,
@@ -258,7 +268,7 @@ def key_overlap_sketch(
         - F.col("n_union_est"),
         F.lit(0),
     )
-    return est.select(
+    out = est.select(
         "n_keys_left_est",
         "n_keys_right_est",
         "n_union_est",
@@ -274,4 +284,13 @@ def key_overlap_sketch(
         F.when(
             F.col("n_union_est") > 0, shared / F.col("n_union_est")
         ).alias("jaccard_est"),
+    )
+    cl = F.coalesce(F.col("containment_left"), F.lit(0.0))
+    cr = F.coalesce(F.col("containment_right"), F.lit(0.0))
+    jac = F.coalesce(F.col("jaccard_est"), F.lit(0.0))
+    return out.withColumn(
+        "regime",
+        F.when(F.greatest(cl, cr) >= 0.9, F.lit("contained"))
+        .when(jac <= 0.02, F.lit("disjoint"))
+        .otherwise(F.lit("overlapping")),
     )

@@ -78,6 +78,44 @@ def test_key_overlap_sketch_disjoint_clamps(spark):
     r = key_overlap_sketch(left, right, ["k"]).first()
     assert r.n_shared_est >= 0  # inclusion-exclusion clamped, never negative
     assert r.n_shared_est < 100
+    assert r.regime == "disjoint"
+
+
+def test_key_overlap_sketch_contained_regime(spark):
+    # right ⊂ left: containment_right ≈ 1 regardless of size ratio
+    left = spark.createDataFrame([(i,) for i in range(5000)], "k int")
+    right = spark.createDataFrame([(i,) for i in range(500)], "k int")
+    r = key_overlap_sketch(left, right, ["k"]).first()
+    assert r.containment_right == pytest.approx(1.0, abs=0.1)
+    assert r.regime == "contained"
+    # equal key sets are "contained" too (both containments ~1)
+    r2 = key_overlap_sketch(left, left, ["k"]).first()
+    assert r2.regime == "contained"
+
+
+def test_key_overlap_sketch_small_overlap_blowup_keeps_label(spark):
+    # THE documented error-contract case: true overlap (20 keys) is far
+    # below the subtraction noise of two ~5k-key sketches, so the
+    # ESTIMATE is untrustworthy (may be 0 or several times the truth) —
+    # but the triage label must still read "disjoint" (≈ nothing within
+    # sketch noise), never "overlapping". This is the executable form
+    # of the docstring's small-overlap caveat.
+    left = spark.createDataFrame([(i,) for i in range(5000)], "k int")
+    right = spark.createDataFrame(
+        [(i,) for i in range(4980, 10000)], "k int"
+    )
+    r = key_overlap_sketch(left, right, ["k"]).first()
+    assert r.regime == "disjoint"
+    # and the clamp still holds
+    assert r.n_shared_est >= 0
+
+
+def test_key_overlap_sketch_overlapping_regime(spark):
+    # genuine ~50% overlap: neither contained nor disjoint
+    left = spark.createDataFrame([(i,) for i in range(2000)], "k int")
+    right = spark.createDataFrame([(i,) for i in range(1000, 3000)], "k int")
+    r = key_overlap_sketch(left, right, ["k"]).first()
+    assert r.regime == "overlapping"
 
 
 def test_key_overlap_sketch_composite_keys(spark):
