@@ -152,6 +152,27 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--threshold", type=float, default=0.7)
 
+    p = sub.add_parser("near-dedup")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument(
+        "--mode",
+        choices=("minhash", "containment", "semantic", "incremental"),
+        default="minhash",
+    )
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--threshold", type=float, default=None)
+    p.add_argument("--shingle-size", type=int, default=3)
+    p.add_argument("--max-df", type=int, default=50)
+    p.add_argument("--keep", choices=("first", "best"), default="first")
+    p.add_argument("--metric-col", default=None)
+    p.add_argument("--verify", choices=("jaccard", "edit"), default="jaccard")
+    p.add_argument("--index-dir", default=None)
+    p.add_argument("--init-index", action="store_true")
+    p.add_argument("--update-index", action="store_true")
+
     p = sub.add_parser("decontaminate")
     p.add_argument("--input", required=True)
     p.add_argument("--benchmark", required=True)
@@ -675,6 +696,123 @@ def main(argv: Optional[list] = None) -> int:
             "method": args.method, "rows_in": n_in, "rows_out": n_out,
             "rows_dropped": n_in - n_out, "written": args.output,
         }, sort_keys=True))
+        return 0
+
+    if args.cmd == "near-dedup":
+        # one subcommand, four near-dup engines: MinHash LSH (with
+        # jaccard or edit-similarity verify and first/best survivor
+        # election), asymmetric containment (quote/subset pairs — pass
+        # --keep best so the CONTAINER survives), SemDeDup semantic
+        # dedup over an embedding column, and index-backed incremental
+        # ingest dedup (--init-index builds the persisted index;
+        # --update-index appends the admitted batch to it)
+        from pyspark.sql import functions as SF
+
+        from .operators import dedup as dd
+
+        n_in = df.count()
+        summary = {"mode": args.mode, "rows_in": n_in}
+
+        if args.mode == "incremental":
+            from .operators import incremental as inc
+
+            if not args.index_dir:
+                raise SystemExit("--mode incremental requires --index-dir")
+            bands_path = f"{args.index_dir}/bands"
+            hashes_path = f"{args.index_dir}/hashes"
+            if args.init_index:
+                inc.minhash_index(
+                    df, text_col=args.text_col, id_col=args.id_col,
+                    shingle_size=args.shingle_size,
+                ).write.mode("overwrite").parquet(bands_path)
+                inc.shingle_hash_index(
+                    df, text_col=args.text_col, id_col=args.id_col,
+                    shingle_size=args.shingle_size,
+                ).write.mode("overwrite").parquet(hashes_path)
+                print(json.dumps({
+                    "mode": args.mode, "indexed": n_in,
+                    "index_dir": args.index_dir,
+                }, sort_keys=True))
+                return 0
+            kept = inc.admit_batch(
+                df,
+                spark.read.parquet(bands_path),
+                spark.read.parquet(hashes_path),
+                text_col=args.text_col,
+                id_col=args.id_col,
+                shingle_size=args.shingle_size,
+                threshold=args.threshold or 0.5,
+            )
+        elif args.mode == "semantic":
+            from .operators import similarity as sim
+
+            kept = sim.semantic_deduplicate(
+                df, vec_col=args.vec_col, id_col=args.id_col,
+                threshold=args.threshold or 0.95,
+            )
+        else:
+            if args.mode == "containment":
+                pairs = dd.containment_pairs(
+                    df, text_col=args.text_col, id_col=args.id_col,
+                    shingle_size=args.shingle_size,
+                    threshold=args.threshold or 0.8, max_df=args.max_df,
+                ).select("id_a", "id_b")
+            else:  # minhash
+                cand = dd.minhash_lsh_candidates(
+                    df, text_col=args.text_col, id_col=args.id_col,
+                    shingle_size=args.shingle_size,
+                )
+                if args.verify == "edit":
+                    pairs = dd.edit_similarity_verify(
+                        df, cand, text_col=args.text_col,
+                        id_col=args.id_col,
+                        threshold=args.threshold or 0.8,
+                    )
+                else:
+                    pairs = dd.jaccard_verify(
+                        df, cand, text_col=args.text_col,
+                        id_col=args.id_col,
+                        shingle_size=args.shingle_size,
+                        threshold=args.threshold or 0.7,
+                    )
+                summary["verify"] = args.verify
+            if args.keep == "best":
+                metric, src = args.metric_col, df
+                if metric is None:
+                    # default quality metric: text length (the longer
+                    # member survives — for containment that is the
+                    # containing document)
+                    metric = "_metric"
+                    src = df.withColumn(
+                        metric, SF.length(SF.col(f"`{args.text_col}`"))
+                    )
+                kept = dd.deduplicate_near_best(
+                    src, pairs, id_col=args.id_col, metric_col=metric
+                )
+                if args.metric_col is None:
+                    kept = kept.drop("_metric")
+            else:
+                kept = dd.deduplicate_near(df, pairs, id_col=args.id_col)
+            summary["keep"] = args.keep
+
+        kept.write.mode("overwrite").parquet(args.output)
+        n_out = spark.read.parquet(args.output).count()
+        summary.update({
+            "rows_out": n_out, "rows_dropped": n_in - n_out,
+            "written": args.output,
+        })
+        if args.mode == "incremental" and args.update_index:
+            admitted = spark.read.parquet(args.output)
+            inc.minhash_index(
+                admitted, text_col=args.text_col, id_col=args.id_col,
+                shingle_size=args.shingle_size,
+            ).write.mode("append").parquet(bands_path)
+            inc.shingle_hash_index(
+                admitted, text_col=args.text_col, id_col=args.id_col,
+                shingle_size=args.shingle_size,
+            ).write.mode("append").parquet(hashes_path)
+            summary["index_updated"] = True
+        print(json.dumps(summary, sort_keys=True))
         return 0
 
     if args.cmd == "decontaminate":

@@ -94,6 +94,107 @@ def test_cli_infer_profile_flag(spark, sf_dir, tmp_path, capsys):
     assert rep["profile"]["o_orderpriority"]["quantiles"] is None
 
 
+def _near_dup_corpus(spark, path):
+    """3 planted near-dup pairs (one-word edits of 40-word docs), one
+    short doc fully contained in a long one, and unique filler."""
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" if i != 20 else "EDIT" for i in range(40))
+    quote = " ".join(f"tok{i}" for i in range(10, 20))
+    rows = [(0, base), (1, near), (2, quote)] + [
+        (i, " ".join(f"w{i}_{j}" for j in range(30))) for i in range(3, 20)
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def test_cli_near_dedup_minhash_modes(spark, tmp_path, capsys):
+    src = str(tmp_path / "corpus")
+    _near_dup_corpus(spark, src)
+    out = str(tmp_path / "kept")
+
+    # jaccard verify, min-id survivor: doc 1 drops, doc 0 survives
+    assert main(["near-dedup", "--input", src, "--output", out,
+                 "--mode", "minhash", "--threshold", "0.5"]) == 0
+    rep = _last_json(capsys)
+    assert rep["mode"] == "minhash" and rep["verify"] == "jaccard"
+    kept_ids = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 0 in kept_ids and 1 not in kept_ids and 2 in kept_ids
+
+    # edit verify at a high threshold: the one-word edit still pairs
+    assert main(["near-dedup", "--input", src, "--output", out,
+                 "--mode", "minhash", "--verify", "edit",
+                 "--threshold", "0.8", "--keep", "best"]) == 0
+    rep = _last_json(capsys)
+    assert rep["verify"] == "edit" and rep["keep"] == "best"
+    kept = spark.read.parquet(out)
+    kept_ids = {r.doc_id for r in kept.collect()}
+    assert len(kept_ids & {0, 1}) == 1  # one member of the pair survives
+    assert "_metric" not in kept.columns
+
+
+def test_cli_near_dedup_containment(spark, tmp_path, capsys):
+    src = str(tmp_path / "corpus")
+    _near_dup_corpus(spark, src)
+    out = str(tmp_path / "kept")
+    # quote (doc 2) is contained in doc 0; --keep best keeps the
+    # CONTAINER (longer text)
+    assert main(["near-dedup", "--input", src, "--output", out,
+                 "--mode", "containment", "--threshold", "0.9",
+                 "--keep", "best"]) == 0
+    rep = _last_json(capsys)
+    assert rep["mode"] == "containment"
+    kept_ids = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 2 not in kept_ids and 0 in kept_ids
+
+
+def test_cli_near_dedup_semantic(spark, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "kept")
+    assert main(["near-dedup", "--input", f"{sf_dir}/embeddings.parquet",
+                 "--output", out, "--mode", "semantic",
+                 "--id-col", "vec_id", "--threshold", "0.99"]) == 0
+    rep = _last_json(capsys)
+    assert rep["mode"] == "semantic"
+    assert rep["rows_out"] + rep["rows_dropped"] == rep["rows_in"]
+    assert spark.read.parquet(out).count() == rep["rows_out"]
+
+
+def test_cli_near_dedup_incremental(spark, tmp_path, capsys):
+    corpus = str(tmp_path / "corpus")
+    _near_dup_corpus(spark, corpus)
+    idx = str(tmp_path / "index")
+    # build the persisted index from the corpus
+    assert main(["near-dedup", "--input", corpus, "--output",
+                 str(tmp_path / "ignored"), "--mode", "incremental",
+                 "--index-dir", idx, "--init-index"]) == 0
+    assert _last_json(capsys)["indexed"] == 20
+
+    # batch: one doc near-dups the indexed base (dropped), one novel
+    base_edit = " ".join(
+        f"tok{i}" if i != 5 else "OTHER" for i in range(40)
+    )
+    batch = str(tmp_path / "batch")
+    spark.createDataFrame(
+        [(100, base_edit), (101, " ".join(f"z{j}" for j in range(30)))],
+        "doc_id bigint, text string",
+    ).write.parquet(batch)
+    out = str(tmp_path / "admitted")
+    assert main(["near-dedup", "--input", batch, "--output", out,
+                 "--mode", "incremental", "--index-dir", idx,
+                 "--threshold", "0.5", "--update-index"]) == 0
+    rep = _last_json(capsys)
+    assert rep["rows_in"] == 2 and rep["rows_out"] == 1
+    assert rep["index_updated"] is True
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {101}
+    # the admitted doc joined the index: re-running the same batch
+    # now drops BOTH members
+    out2 = str(tmp_path / "admitted2")
+    assert main(["near-dedup", "--input", batch, "--output", out2,
+                 "--mode", "incremental", "--index-dir", idx,
+                 "--threshold", "0.5"]) == 0
+    assert _last_json(capsys)["rows_out"] == 0
+
+
 def test_cli_dedup_and_decontaminate(spark, tmp_path, capsys):
     src = str(tmp_path / "corpus")
     spark.createDataFrame(
