@@ -3281,6 +3281,72 @@ def _near_dedup_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clustering_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-layout clustering arithmetic (sources/files.py
+    clustering_report) oracled over a DETERMINISTIC synthetic census:
+    orderkey buckets stand in for files, each carrying its o_custkey
+    [key_min, key_max] range. Real file paths are environment-local,
+    but the running-max overlap sweep and span-inflation arithmetic are
+    engine-independent — the shard_plan replay pattern."""
+    from dsci_524_g26_data_validation_spark.sources.files import (
+        clustering_report,
+    )
+
+    o = _read(spark, sf_dir, "orders")
+    census = (
+        o.groupBy(
+            F.floor(F.col("o_orderkey") / 150).cast("bigint").alias("_b")
+        )
+        .agg(
+            F.min("o_custkey").alias("key_min"),
+            F.max("o_custkey").alias("key_max"),
+        )
+        .select(
+            F.concat(F.lit("f"), F.col("_b")).alias("file"),
+            "key_min",
+            "key_max",
+        )
+    )
+    return clustering_report(census)
+
+
+def _file_order_summary_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-file sort-order summary arithmetic (sources/files.py
+    file_order_summary + the census inversion math) over a
+    deterministic fixture: each orderkey bucket is a "file" whose
+    physical row order is o_orderkey ascending; adjacent-pair
+    o_custkey inversions replay identically in SQL (lag window). The
+    mapInPandas physical-segment machinery itself stays pytest-pinned
+    (env-local paths), this oracles the arithmetic it feeds."""
+    from pyspark.sql import Window
+
+    from dsci_524_g26_data_validation_spark.sources.files import (
+        file_order_summary,
+    )
+
+    o = _read(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_orderkey") / 150).cast("bigint").alias("_b"),
+        "o_orderkey",
+        "o_custkey",
+    )
+    w = Window.partitionBy("_b").orderBy("o_orderkey")
+    per = o.withColumn("_prev", F.lag("o_custkey").over(w))
+    census = per.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("_prev").alias("n_pairs"),
+        F.count_if(F.col("o_custkey") < F.col("_prev")).alias(
+            "n_inversions"
+        ),
+    ).select(
+        F.concat(F.lit("f"), F.col("_b")).alias("file"),
+        "n_rows",
+        "n_pairs",
+        "n_inversions",
+        (F.col("n_inversions") == 0).alias("is_sorted"),
+    )
+    return file_order_summary(census)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered for driver sampling: the driver verifies the head of
@@ -3288,6 +3354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-green evidence come first, then pre-round-4 evidence,
         # then round-4-green entries. Every query is self-contained
         # (takes (spark, sf_dir)); order carries no semantics.
+        "clustering_report_orders": _clustering_report_orders,
+        "file_order_summary_orders": _file_order_summary_orders,
         "top_tokens_by_source": _top_tokens_by_source,
         "gopher_rules_documents": _gopher_rules_documents,
         "compression_census_documents": _compression_census_documents,
@@ -4792,6 +4860,69 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(len(regexp_extract_all(text, '{_BPE_RE_SQL}', 0))) AS DOUBLE)
                          / sum(len(string_split(text, ' '))), 6) AS bpe_per_word
             FROM documents GROUP BY source
+        """,
+        # file-layout arithmetic over the deterministic bucket-as-file
+        # census (paths are env-local; the numbers are not)
+        "clustering_report_orders": """
+            WITH census AS (
+              SELECT 'f' || CAST(CAST(floor(o_orderkey/150) AS BIGINT)
+                                 AS VARCHAR) AS file,
+                     min(o_custkey) AS key_min,
+                     max(o_custkey) AS key_max
+              FROM orders GROUP BY 1
+            ), swept AS (
+              SELECT CAST(key_min AS DOUBLE) AS km,
+                     CAST(key_max AS DOUBLE) AS kx,
+                     key_min <= max(key_max) OVER (
+                       ORDER BY key_min ASC, key_max ASC, file ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS ov
+              FROM census
+              WHERE key_min IS NOT NULL AND key_max IS NOT NULL
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM census)
+                       AS n_files,
+                   CAST(count(*) AS BIGINT) AS n_ranged_files,
+                   CAST(coalesce(count(*) FILTER (WHERE ov), 0)
+                        AS BIGINT) AS n_overlapping_files,
+                   round(CASE WHEN count(*) > 0 THEN
+                     count(*) FILTER (WHERE ov) * 1.0 / count(*) END, 6)
+                       AS overlap_frac,
+                   round(CASE WHEN max(kx) > min(km) THEN
+                     sum(kx - km) / (max(kx) - min(km)) END, 6)
+                       AS span_inflation
+            FROM swept
+        """,
+        "file_order_summary_orders": """
+            WITH per AS (
+              SELECT CAST(floor(o_orderkey/150) AS BIGINT) AS b,
+                     o_custkey,
+                     lag(o_custkey) OVER (
+                       PARTITION BY CAST(floor(o_orderkey/150) AS BIGINT)
+                       ORDER BY o_orderkey
+                     ) AS prev
+              FROM orders
+            ), census AS (
+              SELECT b,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(prev) AS BIGINT) AS n_pairs,
+                     CAST(coalesce(count(*) FILTER (WHERE o_custkey < prev),
+                                   0) AS BIGINT) AS n_inversions
+              FROM per GROUP BY 1
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_files,
+                   CAST(coalesce(count(*) FILTER (WHERE n_inversions = 0),
+                                 0) AS BIGINT) AS n_sorted_files,
+                   round(CASE WHEN count(*) > 0 THEN
+                     count(*) FILTER (WHERE n_inversions = 0) * 1.0
+                       / count(*) END, 6) AS sorted_file_frac,
+                   CAST(sum(n_rows) AS BIGINT) AS n_rows,
+                   CAST(sum(n_pairs) AS BIGINT) AS n_pairs,
+                   CAST(sum(n_inversions) AS BIGINT) AS n_inversions,
+                   round(CASE WHEN sum(n_pairs) > 0 THEN
+                     1.0 - sum(n_inversions) * 1.0 / sum(n_pairs) END, 6)
+                       AS global_sorted_frac
+            FROM census
         """,
         "top_tokens_by_source": """
             WITH e AS (
