@@ -314,12 +314,15 @@ def main() -> None:
 
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
     add(
-        "JSON payload contract report (one fused scan)",
+        "JSON payload contract report (one fused scan, ONE parse/row)",
         "Every per-field facet counter (missing/type/range/domain/pattern "
         "x rules, plus payload rot) is a count_if term of ONE global "
         "aggregate over one scan; the stack pivot to per-rule rows sits "
         "ABOVE the 1-row aggregate, so adding rules adds projection "
-        "columns, never scans or shuffles.",
+        "columns, never scans or shuffles. The payload parses ONCE per "
+        "row: a single from_json with the merged string-leaf schema is "
+        "materialized as a projected column (visible below the "
+        "HashAggregate), never one get_json_object per rule.",
         json_contract_report(
             events,
             [
