@@ -15,6 +15,15 @@ Commands (input = parquet path or catalog/Iceberg table name):
     compare   --old a.json --new b.json
     dedup     --input T --output PATH [--method exact|near]
               [--text-col C] [--id-col C] [--threshold F]
+    near-dedup --input T --output PATH
+              --mode minhash|containment|semantic|incremental
+              [--verify jaccard|edit] [--keep first|best]
+              [--metric-col C] [--threshold F] [--shingle-size N]
+              [--max-df N] [--vec-col C]
+              [--index-dir DIR [--init-index | --update-index]]
+              (the full near-dup engine menu behind one flag; --keep
+              best elects the argmax-metric survivor — for containment
+              that keeps the CONTAINING document)
     decontaminate --input T --benchmark T2 --output PATH
               [--ngram N] [--text-col C] [--id-col C]
     quarantine --input T --contract contract.json --output PATH
@@ -90,6 +99,31 @@ def _spark(app: str):
     return SparkSession.builder.appName(app).getOrCreate()
 
 
+def _minhash_pairs(dd, df, text_col, id_col, threshold, shingle_size=3):
+    """MinHash LSH candidates -> exact-jaccard verified pairs: the
+    shared pipeline behind `dedup --method near` and `near-dedup --mode
+    minhash` (one implementation, two CLI surfaces)."""
+    return dd.jaccard_verify(
+        df,
+        dd.minhash_lsh_candidates(
+            df, text_col=text_col, id_col=id_col, shingle_size=shingle_size
+        ),
+        text_col=text_col,
+        id_col=id_col,
+        shingle_size=shingle_size,
+        threshold=threshold,
+    )
+
+
+def _minhash_keep_first(dd, df, text_col, id_col, threshold, shingle_size=3):
+    """:func:`_minhash_pairs` resolved to the min-id survivors."""
+    return dd.deduplicate_near(
+        df,
+        _minhash_pairs(dd, df, text_col, id_col, threshold, shingle_size),
+        id_col=id_col,
+    )
+
+
 def _issues_json(result) -> dict:
     return {
         "ok": result.ok,
@@ -154,7 +188,8 @@ def main(argv: Optional[list] = None) -> int:
 
     p = sub.add_parser("near-dedup")
     p.add_argument("--input", required=True)
-    p.add_argument("--output", required=True)
+    # not required: --init-index only writes the index, never --output
+    p.add_argument("--output")
     p.add_argument(
         "--mode",
         choices=("minhash", "containment", "semantic", "incremental"),
@@ -680,16 +715,13 @@ def main(argv: Optional[list] = None) -> int:
                 df, cols=(args.text_col,), id_col=args.id_col
             )
         else:
-            cand = dd.jaccard_verify(
-                df,
-                dd.minhash_lsh_candidates(
-                    df, text_col=args.text_col, id_col=args.id_col
-                ),
-                text_col=args.text_col,
-                id_col=args.id_col,
-                threshold=args.threshold,
+            # same pipeline as `near-dedup --mode minhash --keep first`
+            # (that subcommand is the full near-dup menu; this branch
+            # stays for back-compat and delegates to the shared helper
+            # so the two surfaces cannot drift)
+            kept = _minhash_keep_first(
+                dd, df, args.text_col, args.id_col, args.threshold
             )
-            kept = dd.deduplicate_near(df, cand, id_col=args.id_col)
         kept.write.mode("overwrite").parquet(args.output)
         n_out = spark.read.parquet(args.output).count()
         print(json.dumps({
@@ -709,6 +741,27 @@ def main(argv: Optional[list] = None) -> int:
         from pyspark.sql import functions as SF
 
         from .operators import dedup as dd
+
+        # mode/flag validation: refuse silently-ignored flags, and
+        # require --output only when something will be written there
+        if not args.init_index and not args.output:
+            raise SystemExit("--output is required unless --init-index")
+        if args.mode in ("semantic", "incremental") and (
+            args.keep != "first"
+            or args.verify != "jaccard"
+            or args.metric_col
+        ):
+            raise SystemExit(
+                f"--keep/--verify/--metric-col do not apply to "
+                f"--mode {args.mode}"
+            )
+        if args.mode == "containment" and args.verify != "jaccard":
+            raise SystemExit("--verify does not apply to --mode containment")
+
+        def thr(default: float) -> float:
+            # explicit --threshold 0 is a real request (keep every
+            # candidate), not "use the default"
+            return args.threshold if args.threshold is not None else default
 
         n_in = df.count()
         summary = {"mode": args.mode, "rows_in": n_in}
@@ -740,40 +793,39 @@ def main(argv: Optional[list] = None) -> int:
                 spark.read.parquet(hashes_path),
                 text_col=args.text_col,
                 id_col=args.id_col,
+                index_id_col=args.id_col,
                 shingle_size=args.shingle_size,
-                threshold=args.threshold or 0.5,
+                threshold=thr(0.5),
             )
         elif args.mode == "semantic":
             from .operators import similarity as sim
 
             kept = sim.semantic_deduplicate(
                 df, vec_col=args.vec_col, id_col=args.id_col,
-                threshold=args.threshold or 0.95,
+                threshold=thr(0.95),
             )
         else:
             if args.mode == "containment":
                 pairs = dd.containment_pairs(
                     df, text_col=args.text_col, id_col=args.id_col,
                     shingle_size=args.shingle_size,
-                    threshold=args.threshold or 0.8, max_df=args.max_df,
+                    threshold=thr(0.8), max_df=args.max_df,
                 ).select("id_a", "id_b")
             else:  # minhash
-                cand = dd.minhash_lsh_candidates(
-                    df, text_col=args.text_col, id_col=args.id_col,
-                    shingle_size=args.shingle_size,
-                )
                 if args.verify == "edit":
+                    cand = dd.minhash_lsh_candidates(
+                        df, text_col=args.text_col, id_col=args.id_col,
+                        shingle_size=args.shingle_size,
+                    )
                     pairs = dd.edit_similarity_verify(
                         df, cand, text_col=args.text_col,
                         id_col=args.id_col,
-                        threshold=args.threshold or 0.8,
+                        threshold=thr(0.8),
                     )
                 else:
-                    pairs = dd.jaccard_verify(
-                        df, cand, text_col=args.text_col,
-                        id_col=args.id_col,
-                        shingle_size=args.shingle_size,
-                        threshold=args.threshold or 0.7,
+                    pairs = _minhash_pairs(
+                        dd, df, args.text_col, args.id_col, thr(0.7),
+                        args.shingle_size,
                     )
                 summary["verify"] = args.verify
             if args.keep == "best":

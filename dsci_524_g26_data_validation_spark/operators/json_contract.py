@@ -95,20 +95,34 @@ def _merged_schema(rules: Sequence[JsonFieldRule]) -> Optional[T.StructType]:
     leaf and a prefix of another rule's path) — the caller then falls
     back to per-rule ``get_json_object``."""
     root: dict = {}
+    seen_casings: dict = {}  # node id -> {lower: original}
     for r in rules:
         segs = r.field.split(".")
         node = root
-        for s in segs[:-1]:
-            child = node.get(s)
-            if child is _LEAF:
+        for i, s in enumerate(segs):
+            # struct getField resolves case-INsensitively under Spark's
+            # default spark.sql.caseSensitive=false, so two rule fields
+            # differing only in case ("tag" / "TAG") would make the
+            # merged-struct access ambiguous (AnalysisException) — a
+            # conflict; fall back to per-rule get_json_object, which is
+            # case-exact
+            casings = seen_casings.setdefault(id(node), {})
+            prior = casings.get(s.lower())
+            if prior is not None and prior != s:
                 return None
-            if child is None:
-                child = node[s] = {}
-            node = child
-        existing = node.get(segs[-1])
-        if existing is not None and existing is not _LEAF:
-            return None
-        node[segs[-1]] = _LEAF
+            casings[s.lower()] = s
+            if i < len(segs) - 1:
+                child = node.get(s)
+                if child is _LEAF:
+                    return None
+                if child is None:
+                    child = node[s] = {}
+                node = child
+            else:
+                existing = node.get(s)
+                if existing is not None and existing is not _LEAF:
+                    return None
+                node[s] = _LEAF
 
     def to_struct(node: dict) -> T.StructType:
         return T.StructType(
@@ -172,8 +186,19 @@ def _rule_values(
     serialize the value through the same Jackson copy-event path
     (numbers/booleans/nested objects render identically, JSON null
     stays NULL), which is what the DuckDB oracle pins. Conflicting rule
-    paths (a field that is both a leaf and a parent) cannot share one
-    struct schema and fall back to per-rule ``get_json_object``."""
+    paths (a field that is both a leaf and a parent, or two fields
+    differing only in case — struct access is case-insensitive under
+    Spark defaults) cannot share one struct schema and fall back to
+    per-rule ``get_json_object``.
+
+    One DOCUMENTED divergence: on a payload with DUPLICATE keys (RFC
+    8259 undefined behavior; a producer bug) the struct path reads the
+    LAST occurrence — the ecosystem-default resolution (JavaScript,
+    Python ``json``, Jackson databind) — where ``get_json_object`` and
+    DuckDB's yyjson read the FIRST. Rows like that can therefore score
+    facets against the other copy of the key than the oracle does;
+    surface duplicate-key payloads with ``json_key_census`` (which
+    counts every occurrence) rather than relying on which copy wins."""
     if parsed is None:
         return [F.get_json_object(payload, f"$.{r.field}") for r in rules]
     out: List[Column] = []

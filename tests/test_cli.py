@@ -159,13 +159,32 @@ def test_cli_near_dedup_semantic(spark, sf_dir, tmp_path, capsys):
     assert spark.read.parquet(out).count() == rep["rows_out"]
 
 
+def test_cli_near_dedup_flag_validation(spark, tmp_path):
+    src = str(tmp_path / "corpus")
+    _near_dup_corpus(spark, src)
+    import pytest
+
+    # --output required unless --init-index
+    with pytest.raises(SystemExit, match="--output"):
+        main(["near-dedup", "--input", src, "--mode", "minhash"])
+    # flags that a mode silently ignored now refuse loudly
+    with pytest.raises(SystemExit, match="do not apply"):
+        main(["near-dedup", "--input", src, "--output",
+              str(tmp_path / "o"), "--mode", "semantic",
+              "--keep", "best"])
+    with pytest.raises(SystemExit, match="does not apply"):
+        main(["near-dedup", "--input", src, "--output",
+              str(tmp_path / "o"), "--mode", "containment",
+              "--verify", "edit"])
+
+
 def test_cli_near_dedup_incremental(spark, tmp_path, capsys):
     corpus = str(tmp_path / "corpus")
     _near_dup_corpus(spark, corpus)
     idx = str(tmp_path / "index")
-    # build the persisted index from the corpus
-    assert main(["near-dedup", "--input", corpus, "--output",
-                 str(tmp_path / "ignored"), "--mode", "incremental",
+    # build the persisted index from the corpus — no --output needed
+    assert main(["near-dedup", "--input", corpus,
+                 "--mode", "incremental",
                  "--index-dir", idx, "--init-index"]) == 0
     assert _last_json(capsys)["indexed"] == 20
 
@@ -193,6 +212,31 @@ def test_cli_near_dedup_incremental(spark, tmp_path, capsys):
                  "--mode", "incremental", "--index-dir", idx,
                  "--threshold", "0.5"]) == 0
     assert _last_json(capsys)["rows_out"] == 0
+
+
+def test_cli_near_dedup_incremental_custom_id_col(spark, tmp_path, capsys):
+    # a non-default --id-col must flow to index_id_col too (the index
+    # parquet carries the custom name; admit must select it, not doc_id)
+    base = " ".join(f"tok{i}" for i in range(40))
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(0, base), (1, " ".join(f"w{j}" for j in range(30)))],
+        "uid bigint, text string",
+    ).write.parquet(corpus)
+    idx = str(tmp_path / "index")
+    assert main(["near-dedup", "--input", corpus, "--mode", "incremental",
+                 "--id-col", "uid", "--index-dir", idx,
+                 "--init-index"]) == 0
+    batch = str(tmp_path / "batch")
+    near = " ".join(f"tok{i}" if i != 5 else "X" for i in range(40))
+    spark.createDataFrame(
+        [(100, near)], "uid bigint, text string"
+    ).write.parquet(batch)
+    out = str(tmp_path / "admitted")
+    assert main(["near-dedup", "--input", batch, "--output", out,
+                 "--mode", "incremental", "--id-col", "uid",
+                 "--index-dir", idx, "--threshold", "0.5"]) == 0
+    assert _last_json(capsys)["rows_out"] == 0  # near-dup of indexed doc
 
 
 def test_cli_dedup_and_decontaminate(spark, tmp_path, capsys):

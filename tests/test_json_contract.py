@@ -242,3 +242,46 @@ class TestTableContractIntegration:
         assert not any(
             i.kind in ("json_field", "json_payload") for i in res.issues
         )
+
+
+class TestMergedSchemaConflicts:
+    def test_case_variant_fields_fall_back(self, spark):
+        """Struct getField is case-INsensitive under Spark defaults, so
+        rules on 'tag' and 'TAG' cannot share one merged schema — the
+        evaluator must fall back to case-exact get_json_object instead
+        of raising AMBIGUOUS_REFERENCE_TO_FIELDS."""
+        from dsci_524_g26_data_validation_spark.operators.json_contract import (
+            JsonFieldRule,
+            _merged_schema,
+            json_contract_report,
+        )
+
+        rules = [
+            JsonFieldRule(field="tag", allowed=("a",)),
+            JsonFieldRule(field="TAG", allowed=("B",)),
+        ]
+        assert _merged_schema(rules) is None
+        df = spark.createDataFrame(
+            [('{"tag": "a", "TAG": "B"}',), ('{"tag": "x", "TAG": "B"}',)],
+            "props string",
+        )
+        rep = {r["rule"]: r for r in
+               json_contract_report(df, rules, col="props").collect()}
+        # case-exact extraction: each rule sees only its own casing
+        assert rep["$.tag"]["n_domain_bad"] == 1   # "x" not allowed
+        assert rep["$.TAG"]["n_domain_bad"] == 0
+
+    def test_nested_case_conflict_falls_back(self):
+        from dsci_524_g26_data_validation_spark.operators.json_contract import (
+            JsonFieldRule,
+            _merged_schema,
+        )
+
+        assert _merged_schema(
+            [JsonFieldRule(field="a.b"), JsonFieldRule(field="a.B")]
+        ) is None
+        # same casing twice is NOT a conflict
+        assert _merged_schema(
+            [JsonFieldRule(field="a.b", required=True),
+             JsonFieldRule(field="a.b", dtype="number")]
+        ) is not None
